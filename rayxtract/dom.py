@@ -1,0 +1,268 @@
+"""From-scratch DOM boilerplate stripper on stdlib ``html.parser``.
+
+Readability-style main-content extraction: build a tag tree, prune
+non-content tags and penalty-classed subtrees, score candidate paragraphs by
+length + punctuation, aggregate scores into their nearest container element,
+pick the best container, and emit its paragraphs joined with ``"\n"`` with a
+final ``.strip()``.
+
+The join/strip conventions (``"\n"`` between text units, strip the final
+result, whitespace collapsed inside a unit) deliberately mirror the
+reference's extraction conventions for PDF pages / DOCX paragraphs / Excel
+rows (reference: utils.py:110,122,148,185-201) — those conventions are the
+byte-identical contract this engine carries over to the HTML payload.
+
+Pure per-row deterministic function: output depends only on the input bytes,
+never on block boundaries, actor identity or parallelism (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+__all__ = ["extract_main_content", "normalize_ws", "DomConfig"]
+
+_WS_RE = re.compile(r"\s+")
+
+
+def normalize_ws(s: str) -> str:
+    """Collapse whitespace runs to single spaces and strip."""
+    return _WS_RE.sub(" ", s).strip()
+
+
+# Tags whose subtrees are never content.
+PRUNE_TAGS = frozenset(
+    {
+        "script",
+        "style",
+        "noscript",
+        "nav",
+        "header",
+        "footer",
+        "aside",
+        "form",
+        "iframe",
+        "svg",
+        "head",
+        "button",
+        "select",
+        "option",
+        "template",
+        "object",
+        "embed",
+    }
+)
+
+# class/id substrings marking unlikely-content subtrees (readability's
+# "unlikely candidates" idea, re-derived from scratch).
+PENALTY_RE = re.compile(
+    r"(?:ad|ads|advert|promo|banner|sidebar|side-bar|comment|share|social"
+    r"|sponsor|related|widget|menu|breadcrumb|cookie|popup|subscribe)",
+    re.IGNORECASE,
+)
+
+# Elements that can be elected as the main-content container.
+CONTAINER_TAGS = frozenset({"article", "main", "section", "div", "body", "td"})
+
+# Text units that become output blocks.
+PARAGRAPH_TAGS = frozenset({"p", "blockquote", "pre"})
+
+# Void elements — no closing tag.
+VOID_TAGS = frozenset(
+    {
+        "area",
+        "base",
+        "br",
+        "col",
+        "embed",
+        "hr",
+        "img",
+        "input",
+        "link",
+        "meta",
+        "param",
+        "source",
+        "track",
+        "wbr",
+    }
+)
+
+# Tags that implicitly close an open <p> (HTML5 paragraph auto-close subset —
+# enough to survive the ~3% malformed pages with unclosed tags).
+_P_CLOSERS = frozenset(
+    {"p", "div", "section", "article", "aside", "footer", "header", "nav",
+     "ul", "ol", "li", "table", "blockquote", "pre", "h1", "h2", "h3", "h4",
+     "h5", "h6", "main", "form"}
+)
+
+
+class _Node:
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs, parent) -> None:
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list = []  # str (text) | _Node
+        self.parent = parent
+
+
+class _TreeBuilder(HTMLParser):
+    """Tolerant tag-tree builder (auto-closes mismatched tags)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("#root", (), None)
+        self.cur = self.root
+
+    def handle_starttag(self, tag, attrs):
+        if tag in VOID_TAGS:
+            self.cur.children.append(_Node(tag, tuple(attrs), self.cur))
+            return
+        # implicit </p>
+        if tag in _P_CLOSERS:
+            node = self.cur
+            while node is not self.root:
+                if node.tag == "p":
+                    self.cur = node.parent
+                    break
+                if node.tag in CONTAINER_TAGS or node.tag == "#root":
+                    break
+                node = node.parent
+        child = _Node(tag, tuple(attrs), self.cur)
+        self.cur.children.append(child)
+        self.cur = child
+
+    def handle_startendtag(self, tag, attrs):
+        self.cur.children.append(_Node(tag, tuple(attrs), self.cur))
+
+    def handle_endtag(self, tag):
+        # pop to the nearest matching open tag; ignore stray closers
+        node = self.cur
+        while node is not self.root:
+            if node.tag == tag:
+                self.cur = node.parent
+                return
+            node = node.parent
+
+    def handle_data(self, data):
+        if data:
+            self.cur.children.append(data)
+
+
+class DomConfig:
+    """Extraction thresholds (the engine's ExtractConfig surface,
+    reference's env-knob analogue, reference: utils.py:19-23)."""
+
+    __slots__ = ("min_par_chars", "max_link_density", "score_cap")
+
+    def __init__(
+        self,
+        min_par_chars: int = 25,
+        max_link_density: float = 0.33,
+        score_cap: int = 500,
+    ) -> None:
+        self.min_par_chars = min_par_chars
+        self.max_link_density = max_link_density
+        self.score_cap = score_cap
+
+
+_DEFAULT_CFG = DomConfig()
+
+
+def _is_penalized(node: _Node) -> bool:
+    for k, v in node.attrs:
+        if v and k in ("class", "id") and PENALTY_RE.search(v):
+            return True
+    return False
+
+
+def _collect_text(node: _Node, out: list, link_out: list, in_link: bool) -> None:
+    for ch in node.children:
+        if isinstance(ch, str):
+            out.append(ch)
+            if in_link:
+                link_out.append(ch)
+        else:
+            if ch.tag in PRUNE_TAGS or _is_penalized(ch):
+                continue
+            _collect_text(ch, out, link_out, in_link or ch.tag == "a")
+
+
+def _paragraph_text(node: _Node) -> tuple[str, float]:
+    """(normalized text, link_density) of a candidate block."""
+    pieces: list = []
+    link_pieces: list = []
+    _collect_text(node, pieces, link_pieces, False)
+    text = normalize_ws("".join(pieces))
+    if not text:
+        return "", 0.0
+    link_chars = len(normalize_ws("".join(link_pieces)))
+    return text, link_chars / len(text)
+
+
+def _nearest_container(node: _Node) -> _Node:
+    p = node.parent
+    while p is not None and p.tag not in CONTAINER_TAGS and p.tag != "#root":
+        p = p.parent
+    return p if p is not None else node
+
+
+def extract_main_content(
+    html: str, cfg: DomConfig = _DEFAULT_CFG
+) -> tuple[str, list[dict]]:
+    """Extract main-content text + spans from an HTML string.
+
+    Returns ``(text, spans)`` where ``spans`` is a list of
+    ``{"start": int, "end": int, "kind": "p"}`` char ranges into ``text``.
+    Empty text means no content survived the heuristics (caller emits the
+    reference's empty-extraction sentinel, reference: workers.py:70-75).
+    """
+    builder = _TreeBuilder()
+    builder.feed(html)
+    builder.close()
+
+    # Walk: collect candidate paragraphs with scores, grouped by container.
+    candidates: list[tuple[_Node, str, float]] = []  # (container, text, score)
+    order: dict[int, int] = {}
+
+    def walk(node: _Node) -> None:
+        for ch in node.children:
+            if isinstance(ch, str):
+                continue
+            if ch.tag in PRUNE_TAGS or _is_penalized(ch):
+                continue
+            if ch.tag in PARAGRAPH_TAGS:
+                text, link_density = _paragraph_text(ch)
+                if (
+                    len(text) >= cfg.min_par_chars
+                    and link_density <= cfg.max_link_density
+                ):
+                    score = min(len(text), cfg.score_cap) / 100.0 + text.count(",")
+                    container = _nearest_container(ch)
+                    cid = id(container)
+                    if cid not in order:
+                        order[cid] = len(order)
+                    candidates.append((container, text, score))
+                # paragraphs never nest content paragraphs
+                continue
+            walk(ch)
+
+    walk(builder.root)
+    if not candidates:
+        return "", []
+
+    # Elect best container: max total score, tie -> earliest in document order.
+    totals: dict[int, float] = {}
+    for container, _, score in candidates:
+        totals[id(container)] = totals.get(id(container), 0.0) + score
+    best = max(totals, key=lambda cid: (totals[cid], -order[cid]))
+
+    blocks = [text for container, text, _ in candidates if id(container) == best]
+    out_text = "\n".join(blocks).strip()
+    spans: list[dict] = []
+    pos = 0
+    for b in blocks:
+        spans.append({"start": pos, "end": pos + len(b), "kind": "p"})
+        pos += len(b) + 1
+    return out_text, spans

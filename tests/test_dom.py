@@ -1,0 +1,124 @@
+"""Unit tests for the DOM stripper and PDFL layout parser (no Ray needed)."""
+
+import pytest
+
+from rayxtract.dom import extract_main_content, normalize_ws
+from rayxtract.layout import decode_pdfl, encode_pdfl, layout_text, parse_pdfl
+
+
+def test_normalize_ws():
+    assert normalize_ws("  a \t b\n\nc ") == "a b c"
+
+
+def test_basic_extraction():
+    html = (
+        "<html><body><nav><a href='/'>home</a></nav>"
+        "<div id='main'><p>This is the principal article content paragraph.</p>"
+        "<p>And a second paragraph with enough characters to count.</p></div>"
+        "<footer><a href='/x'>contact</a></footer></body></html>"
+    )
+    text, spans = extract_main_content(html)
+    assert text == (
+        "This is the principal article content paragraph.\n"
+        "And a second paragraph with enough characters to count."
+    )
+    assert spans == [
+        {"start": 0, "end": 48, "kind": "p"},
+        {"start": 49, "end": 104, "kind": "p"},
+    ]
+
+
+def test_prunes_script_style_and_penalty_classes():
+    html = (
+        "<body><script>var x = 'not content at all, really quite long';</script>"
+        "<div class='sidebar'><p>link farm text that is long enough to pass</p></div>"
+        "<div class='comments'><p>a comment that is long enough to be a paragraph</p></div>"
+        "<div><p>The only real content paragraph in this document body.</p></div></body>"
+    )
+    text, _ = extract_main_content(html)
+    assert text == "The only real content paragraph in this document body."
+
+
+def test_link_density_excludes_link_farms():
+    html = (
+        "<body><div><p><a href='/1'>one two three four five six seven eight nine ten</a></p>"
+        "<p>Plain prose paragraph long enough to be selected as content.</p></div></body>"
+    )
+    text, _ = extract_main_content(html)
+    assert text == "Plain prose paragraph long enough to be selected as content."
+
+
+def test_short_paragraphs_excluded():
+    html = "<body><div><p>too short</p><p>This paragraph easily clears the minimum character bar.</p></div></body>"
+    text, _ = extract_main_content(html)
+    assert text == "This paragraph easily clears the minimum character bar."
+
+
+def test_best_container_wins():
+    html = (
+        "<body><div><p>Stray paragraph outside the main container, long enough.</p></div>"
+        "<article><p>Main body paragraph number one, with plenty of characters, commas, and words.</p>"
+        "<p>Main body paragraph number two, also comfortably long enough to score.</p>"
+        "<p>Main body paragraph number three, pushing the container score higher.</p></article></body>"
+    )
+    text, _ = extract_main_content(html)
+    assert text.startswith("Main body paragraph number one")
+    assert "Stray paragraph" not in text
+
+
+def test_malformed_unclosed_tags():
+    html = (
+        "<body><div class='c'><p>First unclosed paragraph that is long enough to count"
+        "<p>Second paragraph also long enough to be selected here.</p>"
+        "<footer><a>x</a></footer></body>"
+    )
+    text, _ = extract_main_content(html)
+    assert text == (
+        "First unclosed paragraph that is long enough to count\n"
+        "Second paragraph also long enough to be selected here."
+    )
+
+
+def test_entities_unescaped():
+    html = "<body><div><p>Rock &amp; roll paragraphs need enough characters to pass the bar.</p></div></body>"
+    text, _ = extract_main_content(html)
+    assert "Rock & roll" in text
+
+
+def test_empty_returns_empty():
+    assert extract_main_content("<body><nav><a>x</a></nav></body>") == ("", [])
+
+
+# --- PDFL -----------------------------------------------------------------
+
+
+def test_pdfl_roundtrip():
+    pages = [
+        [(10, 20, "hello"), (5, 20, "well"), (0, 40, "below")],
+        [(0, 0, "page two")],
+    ]
+    data = encode_pdfl(pages)
+    assert decode_pdfl(data) == pages
+    text, spans = parse_pdfl(data)
+    # within a page: sorted by (y, x), space-joined; pages joined by \n
+    assert text == "well hello below\npage two"
+    assert spans == [
+        {"start": 0, "end": 16, "kind": "page"},
+        {"start": 17, "end": 25, "kind": "page"},
+    ]
+
+
+def test_pdfl_truncation_raises():
+    data = encode_pdfl([[(1, 1, "abc")]])
+    with pytest.raises(ValueError):
+        decode_pdfl(data[:-1])
+    with pytest.raises(ValueError):
+        decode_pdfl(b"NOPE" + data[4:])
+    with pytest.raises(ValueError):
+        decode_pdfl(data + b"x")
+
+
+def test_layout_text_spec():
+    # spec: runs sorted (y, x), space-joined; pages "\n"-joined; strip
+    text, _ = layout_text([[(100, 5, "b"), (1, 5, "a"), (1, 2, "top")]])
+    assert text == "top a b"
