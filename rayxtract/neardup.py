@@ -1,0 +1,426 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, embedding-cosine.
+
+Training-data-pipeline dedup over the ``documents`` / ``embeddings`` tables
+(and the engine's own extracted pages). The reference has no dedup at all —
+it sidesteps collisions with uuid filenames (reference: utils.py:37) — so
+these are engine-first operators designed Ray-Data-native:
+
+  * exact: md5 content hash -> tiny (fp, doc_id) shuffle -> min-id per group.
+  * MinHash/LSH: per-batch vectorized signatures -> explode to
+    (band, band_key, doc_id) rows -> groupby band bucket -> candidate pairs
+    -> signature-estimated Jaccard filter. The shuffle moves only band keys,
+    never documents.
+  * SimHash: 64-bit sign-hash, banded into 4x16-bit keys for candidate
+    generation, Hamming-distance verify.
+  * embedding cosine: random-hyperplane LSH bucket -> within-bucket matmul.
+
+Scale note: candidate-pair verification happens inside the bucket groups
+(map_groups), so nothing is materialized on the driver; cluster formation
+beyond pairs (connected components) is a driver-side union-find ONLY over the
+(small) verified-pair set.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = [
+    "exact_dedup",
+    "MinHashBatch",
+    "minhash_candidate_pairs",
+    "SimHashBatch",
+    "simhash_candidate_pairs",
+    "embedding_neardup_pairs",
+    "union_find_clusters",
+]
+
+
+# ---------------------------------------------------------------------------
+# exact
+
+
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """One surviving (min id) row per distinct text. Shuffles only (fp, id)."""
+    from ray.data.aggregate import Min
+
+    def fp_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "fp": [
+                    hashlib.md5(t.encode("utf-8")).hexdigest()
+                    for t in batch[text_col]
+                ],
+                id_col: batch[id_col].astype("int64"),
+            }
+        )
+
+    partial = ds.map_batches(fp_batch, batch_format="pandas")
+    return partial.groupby("fp").aggregate(Min(id_col, alias_name=id_col))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+# 32-bit shingle domain with a > 2^32 prime modulus: a*x + b < 2^63 fits
+# in uint64, so the permutation sweep is one vectorized numpy expression.
+_LSH_P = np.uint64(4294967311)
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """32-bit hashes of word k-grams (content-defined shingles)."""
+    words = text.split()
+    if len(words) < k:
+        grams = [" ".join(words)] if words else [""]
+    else:
+        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(g.encode(), digest_size=4).digest(), "little")
+            for g in grams
+        ),
+        dtype=np.uint64,
+        count=len(grams),
+    )
+
+
+class MinHashBatch:
+    """Actor-pool stage: per-doc MinHash signature (num_perm mins).
+
+    Permutation parameters are seeded once per actor in ``__init__`` and are
+    identical across actors (fixed seed) — signatures are deterministic and
+    parallelism-independent.
+    """
+
+    def __init__(self, num_perm: int = 64, k: int = 3, seed: int = 7):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, 1 << 31, size=num_perm).astype(np.uint64)
+        self.b = rng.randint(0, 1 << 31, size=num_perm).astype(np.uint64)
+        self.num_perm = num_perm
+        self.k = k
+
+    def signature(self, text: str) -> np.ndarray:
+        s = _shingle_hashes(text, self.k)  # (m,) uint64 < 2^32
+        # (num_perm, m): a*x+b < 2^63 — no overflow in uint64
+        sig = ((self.a[:, None] * s[None, :] + self.b[:, None]) % _LSH_P).min(axis=1)
+        return sig
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = [self.signature(t) for t in batch["text"]]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64").values,
+                "sig": [s.astype("int64") for s in sigs],  # list<int64> column
+            }
+        )
+
+
+def _explode_bands(batch: pd.DataFrame, n_bands: int) -> pd.DataFrame:
+    """(doc_id, sig) -> one row per (band, band_key, doc_id)."""
+    rows_band, rows_key, rows_doc = [], [], []
+    for doc_id, sig in zip(batch["doc_id"], batch["sig"]):
+        sig = np.asarray(sig, dtype=np.int64)
+        r = len(sig) // n_bands
+        for band in range(n_bands):
+            chunk = sig[band * r : (band + 1) * r]
+            key = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+            rows_band.append(band)
+            rows_key.append(int.from_bytes(key, "little", signed=True))
+            rows_doc.append(int(doc_id))
+    return pd.DataFrame(
+        {"band": rows_band, "band_key": rows_key, "doc_id": rows_doc}
+    )
+
+
+def _pairs_from_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    ids = sorted(set(group["doc_id"].astype(int)))
+    if len(ids) < 2:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64")})
+    pa_, pb_ = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            pa_.append(ids[i])
+            pb_.append(ids[j])
+    return pd.DataFrame({"doc_a": pa_, "doc_b": pb_})
+
+
+def minhash_candidate_pairs(
+    ds,
+    num_perm: int = 64,
+    n_bands: int = 16,
+    jaccard_threshold: float = 0.5,
+    seed: int = 7,
+):
+    """Verified near-duplicate pairs (doc_a < doc_b, jaccard_est >= thr).
+
+    Pipeline: signatures (actor pool) -> band explode -> bucket groupby ->
+    candidate pairs -> estimate Jaccard from signatures (broadcast lookup)
+    -> threshold. The signature table is assumed broadcastable for the
+    verify step (it is tiny: num_perm*8 bytes/doc); at larger scale swap the
+    verify for a signature re-join on doc_a/doc_b.
+    """
+    import ray
+
+    sigs = ds.map_batches(
+        MinHashBatch,
+        fn_constructor_kwargs={"num_perm": num_perm, "seed": seed},
+        batch_format="pandas",
+        concurrency=(1, 8),
+        batch_size=256,
+    )
+    sigs = sigs.materialize()  # reused twice: banding + verification lookup
+
+    bands = sigs.map_batches(
+        lambda b: _explode_bands(b, n_bands), batch_format="pandas"
+    )
+    cand = (
+        bands.groupby(["band", "band_key"])
+        .map_groups(_pairs_from_bucket, batch_format="pandas")
+    ).materialize()
+    if cand.count() == 0:
+        return _empty_pairs(
+            {"doc_a": "int64", "doc_b": "int64", "jaccard_est": "float64"}
+        )
+    pairs = cand.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+    sig_map = {
+        int(r["doc_id"]): np.asarray(r["sig"], dtype=np.int64)
+        for r in sigs.take_all()
+    }
+    sig_ref = ray.put(sig_map)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(sig_ref)
+        if not len(batch):
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "jaccard_est": pd.Series([], dtype="float64")}
+            )
+        est = [
+            float(np.mean(m[int(a)] == m[int(b)]))
+            for a, b in zip(batch["doc_a"], batch["doc_b"])
+        ]
+        batch = batch.copy()
+        batch["jaccard_est"] = est
+        return batch[batch["jaccard_est"] >= jaccard_threshold]
+
+    return pairs.map_batches(verify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def _fnv64(data: bytes) -> int:
+    h = 0xCBF29CE484222325
+    for byte in data:
+        h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+class SimHashBatch:
+    """Actor-pool stage: 64-bit SimHash per doc (word-level features).
+
+    Keeps a word->hash cache as actor state — the cache warms across batches
+    (the actor-pool pattern the reference uses for its model daemon)."""
+
+    def __init__(self):
+        self.cache: dict[str, int] = {}
+
+    def _word_hash(self, w: str) -> int:
+        h = self.cache.get(w)
+        if h is None:
+            h = _fnv64(w.encode("utf-8"))
+            self.cache[w] = h
+        return h
+
+    def simhash(self, text: str) -> int:
+        acc = np.zeros(64, dtype=np.int64)
+        for w in text.split():
+            h = self._word_hash(w)
+            bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+            acc += bits.astype(np.int64) * 2 - 1
+        out = 0
+        for i in range(64):
+            if acc[i] > 0:
+                out |= 1 << i
+        return out
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        hs = [self.simhash(t) for t in batch["text"]]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64").values,
+                "simhash": np.array(hs, dtype=np.uint64).astype(np.int64),
+            }
+        )
+
+
+def simhash_signatures(ds):
+    return ds.map_batches(
+        SimHashBatch, batch_format="pandas", concurrency=(1, 8), batch_size=512
+    )
+
+
+def simhash_candidate_pairs(ds, max_hamming: int = 3):
+    """Near-dup pairs by SimHash: band 64 bits into 4x16-bit keys (any pair
+    within Hamming distance 3 must agree on >=1 band), verify in-bucket."""
+    sigs = simhash_signatures(ds)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {"band": [], "band_key": [], "doc_id": [], "simhash": []}
+        for doc_id, sh in zip(batch["doc_id"], batch["simhash"]):
+            u = int(np.uint64(sh))
+            for band in range(4):
+                rows["band"].append(band)
+                rows["band_key"].append((u >> (band * 16)) & 0xFFFF)
+                rows["doc_id"].append(int(doc_id))
+                rows["simhash"].append(int(sh))
+        return pd.DataFrame(rows)
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        recs = sorted(
+            set(zip(group["doc_id"].astype(int), group["simhash"].astype(int)))
+        )
+        out = {"doc_a": [], "doc_b": [], "hamming": []}
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                d = bin(
+                    int(np.uint64(recs[i][1])) ^ int(np.uint64(recs[j][1]))
+                ).count("1")
+                if d <= max_hamming:
+                    out["doc_a"].append(recs[i][0])
+                    out["doc_b"].append(recs[j][0])
+                    out["hamming"].append(d)
+        return pd.DataFrame(out)
+
+    pairs = (
+        sigs.map_batches(explode, batch_format="pandas")
+        .groupby(["band", "band_key"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    ).materialize()
+    if pairs.count() == 0:
+        return _empty_pairs(
+            {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
+        )
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup (random-hyperplane LSH)
+
+
+def _empty_pairs(cols: dict[str, str]) -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+
+
+def embedding_neardup_pairs(
+    ds,
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Pairs with cosine >= threshold via multi-table random-hyperplane LSH.
+
+    Each of ``n_tables`` independent plane sets hashes a vector to a bucket;
+    candidates are vectors sharing a (table, bucket) key. More tables raises
+    recall (union of probes), more planes shrinks buckets. The exact path is
+    ann.knn_bruteforce; this is the scale path — expected recall for a pair
+    at angle θ is 1-(1-(1-θ/π)^planes)^tables, NOT 1.0.
+    """
+    planes_by_dim: dict[int, np.ndarray] = {}
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(batch[vec_col].to_numpy())
+        dim = vecs.shape[1]
+        if dim not in planes_by_dim:
+            planes_by_dim[dim] = np.random.RandomState(seed).randn(
+                n_tables, dim, n_planes
+            )
+        planes = planes_by_dim[dim]
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = (vecs / norms[:, None]).astype(np.float64)
+        ids = batch[id_col].astype("int64").values
+        frames = []
+        pow2 = 1 << np.arange(n_planes)
+        for t in range(n_tables):
+            keys = (((unit @ planes[t]) > 0) * pow2).sum(axis=1)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "bucket": (keys + (t << 32)).astype("int64"),
+                        id_col: ids,
+                        "unit": list(unit),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group[id_col].astype(int).to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        if len(ids) < 2:
+            return _empty_pairs(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        mat = np.stack(group["unit"].to_numpy())[order]
+        sims = mat @ mat.T
+        ii, jj = np.where(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ii].astype("int64"),
+                "vec_b": ids[jj].astype("int64"),
+                "cosine": sims[ii, jj].astype("float64"),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    ).materialize()
+    if pairs.count() == 0:
+        return _empty_pairs({"vec_a": "int64", "vec_b": "int64", "cosine": "float64"})
+    # a pair can surface from several tables — keep one
+    return pairs.groupby(["vec_a", "vec_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# clustering of verified pairs (driver-side, small input by contract)
+
+
+def union_find_clusters(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """id -> cluster representative (min id). Driver-side union-find: only
+    ever applied to the verified near-dup PAIR set, which is small relative
+    to the corpus; at extreme scale replace with iterative min-label
+    propagation (groupby rounds)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}

@@ -1,0 +1,686 @@
+"""Operator showcase queries over the driver test tables + synth pages.
+
+Each ``q_*`` function takes ``sf_dir`` and returns a Dataset / DataFrame;
+``ORACLE_SQL`` holds the DuckDB-equivalent ANSI SQL for every
+SQL-expressible query (the driver's correctness gate). Conventions that keep
+the value-hash comparison exact:
+
+  * money/float aggregates are computed as integer cents via
+    ``floor(x * 100)`` — float64 IEEE ops are bit-identical between numpy
+    and DuckDB, and integer sums are order-independent;
+  * every aggregate/computed column is aliased identically in Ray and SQL;
+  * DuckDB ``SUM(BIGINT)`` returns HUGEINT, so oracles CAST back to BIGINT.
+
+Scale-shape notes per query are in the docstrings: pre-aggregated partials
+before global groupbys, broadcast small sides for joins, ids-only outputs
+for ANN (float cosine ordering is engine-specific at the last ulp).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["QUERIES", "ORACLE_SQL", "flagship_entry"]
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _floor_cents(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 100.0).astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped relational queries
+
+
+def q_q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: filter -> per-batch partial aggregate (combiner) ->
+    tiny global groupby. The shuffle moves one partial row per
+    (flag,status,batch), never base rows."""
+    from ray.data.aggregate import Sum
+
+    cutoff = np.datetime64("1998-09-02", "us")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["l_shipdate"] <= cutoff]
+        if not len(b):
+            return pd.DataFrame(
+                {
+                    "l_returnflag": pd.Series(dtype="object"),
+                    "l_linestatus": pd.Series(dtype="object"),
+                    "sum_qty": pd.Series(dtype="int64"),
+                    "sum_base_cents": pd.Series(dtype="int64"),
+                    "sum_disc_cents": pd.Series(dtype="int64"),
+                    "n_rows": pd.Series(dtype="int64"),
+                }
+            )
+        disc_price = b["l_extendedprice"].to_numpy() * (
+            1.0 - b["l_discount"].to_numpy()
+        )
+        tmp = pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"].values,
+                "l_linestatus": b["l_linestatus"].values,
+                "sum_qty": b["l_quantity"].to_numpy().astype("int64"),
+                "sum_base_cents": _floor_cents(b["l_extendedprice"].to_numpy()),
+                "sum_disc_cents": _floor_cents(disc_price),
+                "n_rows": np.ones(len(b), dtype="int64"),
+            }
+        )
+        return (
+            tmp.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+        )
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        [
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_cents", alias_name="sum_base_cents"),
+            Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+
+
+def q_filter_revenue(sf_dir: str):
+    """Vectorized filter + projection (per-row revenue in integer cents)."""
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1996-12-31", "us")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(batch["l_shipdate"], pa.scalar(lo)),
+            pc.less_equal(batch["l_shipdate"], pa.scalar(hi)),
+        )
+        b = batch.filter(m)
+        rev = np.floor(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
+            * 100.0
+        ).astype("int64")
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_linenumber": b["l_linenumber"],
+                "revenue_cents": pa.array(rev, type=pa.int64()),
+            }
+        )
+
+    return _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(fn, batch_format="pyarrow")
+
+
+def q_top_customers(sf_dir: str):
+    """Broadcast join: customer (small side) shipped once via ray.put and
+    looked up per batch — no shuffle join of the orders fact table."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    )
+    name_ref = ray.put(dict(zip(cust["c_custkey"].astype("int64"), cust["c_name"])))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        tmp = pd.DataFrame(
+            {
+                "c_custkey": batch["o_custkey"].astype("int64").values,
+                "revenue_cents": _floor_cents(batch["o_totalprice"].to_numpy()),
+            }
+        )
+        return tmp.groupby("c_custkey", as_index=False).sum()
+
+    agg = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("c_custkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+    def attach_name(batch: pd.DataFrame) -> pd.DataFrame:
+        names = ray.get(name_ref)
+        batch["c_name"] = [names.get(int(k), "") for k in batch["c_custkey"]]
+        return batch
+
+    top = (
+        agg.map_batches(attach_name, batch_format="pandas")
+        .sort(["revenue_cents", "c_custkey"], descending=[True, False])
+        .limit(20)
+    )
+    return top
+
+
+def q_orders_sort_limit(sf_dir: str):
+    """Global sort + limit (top-k by totalprice, deterministic tie-break)."""
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype("int64")
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_custkey": batch["o_custkey"],
+                "totalprice_cents": pa.array(c, type=pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(cents, batch_format="pyarrow")
+        .sort(["totalprice_cents", "o_orderkey"], descending=[True, False])
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: windowed aggregate + sessionize (streaming-shaped)
+
+_HOUR_US = 3_600_000_000
+_GAP_US = 1_800_000_000  # 30-min session gap
+
+
+def q_events_windowed(sf_dir: str):
+    """Tumbling 1h event-time windows as groupby(user, window) — the
+    batch-engine expression of a windowed aggregate (no watermarks: input is
+    a complete log, SURVEY.md §2.8)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_us = batch["ts"].astype("int64")
+        tmp = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype("int64").values,
+                "window_id": (ts_us // _HOUR_US).astype("int64").values,
+                "n_events": np.ones(len(batch), dtype="int64"),
+                "value_cents": _floor_cents(batch["value"].to_numpy()),
+            }
+        )
+        return tmp.groupby(["user_id", "window_id"], as_index=False).sum()
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts", "value"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["user_id", "window_id"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("value_cents", alias_name="value_cents"),
+        )
+    )
+
+
+def q_events_sessionize(sf_dir: str):
+    """Session windows (30-min gap) per user: hash-partition by user_id,
+    sort-within-group, gap-split — the partitioned-log pattern."""
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("ts", kind="mergesort")
+        ts_us = g["ts"].astype("int64").to_numpy()
+        new_s = np.zeros(len(g), dtype="int64")
+        if len(g) > 1:
+            new_s[1:] = (np.diff(ts_us) > _GAP_US).astype("int64")
+        sid = np.cumsum(new_s)
+        out = pd.DataFrame(
+            {"user_id": g["user_id"].astype("int64").values, "session_id": sid,
+             "ts_us": ts_us}
+        )
+        res = out.groupby(["user_id", "session_id"], as_index=False).agg(
+            n_events=("ts_us", "size"),
+            start_us=("ts_us", "min"),
+            end_us=("ts_us", "max"),
+        )
+        res["n_events"] = res["n_events"].astype("int64")
+        return res
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+def q_events_type_counts(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        tmp = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].values,
+                "n_events": np.ones(len(batch), dtype="int64"),
+                "value_cents": _floor_cents(batch["value"].to_numpy()),
+            }
+        )
+        return tmp.groupby("event_type", as_index=False).sum()
+
+    return (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("value_cents", alias_name="value_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# documents: text analysis + dedup
+
+
+def q_doc_stats_by_lang(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        _read(sf_dir, "documents", ["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
+        )
+    )
+
+
+def q_doc_filter_long(sf_dir: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(batch["lang"], pa.scalar("en")),
+            pc.greater_equal(batch["n_chars"], pa.scalar(300)),
+        )
+        return batch.filter(m)
+
+    return _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def q_doc_token_counts(sf_dir: str):
+    from .textops import add_token_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(add_token_counts, batch_format="pandas").drop_columns(
+        ["text"]
+    )
+
+
+def q_doc_quality(sf_dir: str):
+    from .textops import add_quality_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(add_quality_counts, batch_format="pandas").drop_columns(
+        ["text"]
+    )
+
+
+def q_doc_fingerprint(sf_dir: str):
+    from .textops import add_fingerprints
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(add_fingerprints, batch_format="pandas")
+    return out.drop_columns(["text", "fp_fnv"])
+
+
+def q_doc_dedup_exact(sf_dir: str):
+    from .neardup import exact_dedup
+
+    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_doc_top_longest(sf_dir: str):
+    return (
+        _read(sf_dir, "documents", ["doc_id", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def q_doc_distinct_langs(sf_dir: str):
+    import ray.data
+
+    vals = _read(sf_dir, "documents", ["lang"]).unique("lang")
+    return pd.DataFrame({"lang": sorted(vals)})
+
+
+def q_doc_union_sources(sf_dir: str):
+    """ds.union of two filtered scans (set-op surface)."""
+    a = _read(sf_dir, "documents", ["doc_id", "source"]).filter(
+        lambda r: r["source"] == "src0"
+    )
+    b = _read(sf_dir, "documents", ["doc_id", "source"]).filter(
+        lambda r: r["source"] == "src1"
+    )
+    return a.union(b)
+
+
+def q_doc_langid(sf_dir: str):
+    from .textops import LangIdBatch
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(LangIdBatch, batch_format="pandas", concurrency=(1, 8))
+        .drop_columns(["text"])
+    )
+
+
+def q_doc_simhash(sf_dir: str):
+    from .neardup import simhash_signatures
+
+    return simhash_signatures(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_doc_minhash_pairs(sf_dir: str):
+    from .neardup import minhash_candidate_pairs
+
+    return minhash_candidate_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), jaccard_threshold=0.5
+    )
+
+
+def q_doc_format_fields(sf_dir: str):
+    """Deterministic field-extraction cascade over document text
+    (the reference's formatter semantics, utils.py:321-474)."""
+    from .extract_fields import FormatBatch
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(
+            FormatBatch,
+            fn_constructor_kwargs={"template": '[{"value": ""}]'},
+            batch_format="pandas",
+            concurrency=(1, 8),
+        )
+        .drop_columns(["text"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# embeddings: ANN + near-dup
+
+
+def _query_matrix(sf_dir: str, ids=(0, 1)) -> np.ndarray:
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"WHERE vec_id IN ({','.join(map(str, ids))}) ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    return np.array([r[0] for r in rows], dtype=np.float64)
+
+
+def q_emb_knn_brute(sf_dir: str):
+    """Exact cosine top-10 for two fixed query vectors; ids-only output
+    (cosine floats differ engine-to-engine at the last ulp)."""
+    from .ann import knn_bruteforce
+
+    q = _query_matrix(sf_dir)
+    out = knn_bruteforce(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), q, k=10
+    )
+    return out.drop_columns(["cosine"])
+
+
+def q_emb_knn_ivf(sf_dir: str):
+    from .ann import knn_ivf
+
+    q = _query_matrix(sf_dir)
+    return knn_ivf(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), q, k=10)
+
+
+def q_emb_label_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return (
+        _read(sf_dir, "embeddings", ["label"]).groupby("label").aggregate(
+            Count(alias_name="n_vecs")
+        )
+    )
+
+
+def q_emb_neardup(sf_dir: str):
+    from .neardup import embedding_neardup_pairs
+
+    # testdata embeddings are unclustered randoms (max pairwise cos ≈ 0.48);
+    # 0.3 exercises the LSH path with a non-trivial result set
+    return embedding_neardup_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.3
+    )
+
+
+# ---------------------------------------------------------------------------
+# synth pages: the flagship extraction + media plumbing (rows-only checks)
+
+
+def _pages_corpus(sf_dir: str):
+    from .synth import ensure_corpus, sf_dir_to_n_pages
+
+    return ensure_corpus(sf_dir_to_n_pages(sf_dir))
+
+
+def q_pages_extract(sf_dir: str):
+    """Flagship: full extraction + dedup over the synth corpus sized to
+    sf_dir's tier; returns per-url metrics columns (content identity is
+    covered by text_crc; golden byte-equality is asserted in tests/)."""
+    from .ops import ExtractConfig
+    from .pipeline import extraction_dataset
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    ds = extraction_dataset(pages_dir, ExtractConfig())
+    return ds.select_columns(
+        ["url", "doc_type", "n_chars", "is_ocr_fallback", "is_parse_failure", "text_crc"]
+    )
+
+
+def q_pages_media_features(sf_dir: str):
+    """Multimodal plumbing: treat page payloads as opaque media binaries,
+    run the actor-pool fake-decode stage (small batch_size for big blobs)."""
+    from .multimodal import DecodeImageBatch
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    import ray.data
+
+    ds = ray.data.read_parquet(pages_dir, columns=["url", "html"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        import zlib as _z
+
+        ids = [
+            _z.crc32(u.encode()) for u in batch["url"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "payload": batch["html"],
+            }
+        )
+
+    return ds.map_batches(to_media, batch_format="pyarrow").map_batches(
+        DecodeImageBatch,
+        batch_format="pandas",
+        batch_size=32,
+        concurrency=(1, 8),
+    )
+
+
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "filter_revenue": q_filter_revenue,
+    "top_customers": q_top_customers,
+    "orders_sort_limit": q_orders_sort_limit,
+    "events_windowed": q_events_windowed,
+    "events_sessionize": q_events_sessionize,
+    "events_type_counts": q_events_type_counts,
+    "doc_stats_by_lang": q_doc_stats_by_lang,
+    "doc_filter_long": q_doc_filter_long,
+    "doc_token_counts": q_doc_token_counts,
+    "doc_quality": q_doc_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    "doc_dedup_exact": q_doc_dedup_exact,
+    "doc_top_longest": q_doc_top_longest,
+    "doc_distinct_langs": q_doc_distinct_langs,
+    "doc_union_sources": q_doc_union_sources,
+    "doc_langid": q_doc_langid,
+    "doc_simhash": q_doc_simhash,
+    "doc_minhash_pairs": q_doc_minhash_pairs,
+    "doc_format_fields": q_doc_format_fields,
+    "emb_knn_brute": q_emb_knn_brute,
+    "emb_knn_ivf": q_emb_knn_ivf,
+    "emb_label_counts": q_emb_label_counts,
+    "emb_neardup": q_emb_neardup,
+    "pages_extract": q_pages_extract,
+    "pages_media_features": q_pages_media_features,
+}
+
+ORACLE_SQL = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "filter_revenue": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT) AS revenue_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate <= TIMESTAMP '1996-12-31'
+    """,
+    "top_customers": """
+        SELECT c.c_custkey,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+               c.c_name
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_name
+        ORDER BY revenue_cents DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    "orders_sort_limit": """
+        SELECT o_orderkey, o_custkey,
+               CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS totalprice_cents
+        FROM orders
+        ORDER BY totalprice_cents DESC, o_orderkey ASC
+        LIMIT 15
+    """,
+    "events_windowed": """
+        SELECT user_id,
+               epoch_us(ts) // 3600000000 AS window_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM events
+        GROUP BY user_id, window_id
+    """,
+    "events_sessionize": """
+        WITH marked AS (
+          SELECT user_id, epoch_us(ts) AS ts_us,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+        ), sess AS (
+          SELECT user_id, ts_us,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM marked
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+        FROM sess GROUP BY user_id, session_id
+    """,
+    "events_type_counts": """
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM events GROUP BY event_type
+    """,
+    "doc_stats_by_lang": """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY lang
+    """,
+    "doc_filter_long": """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE lang = 'en' AND n_chars >= 300
+    """,
+    "doc_token_counts": r"""
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS BIGINT) AS n_pieces
+        FROM documents
+    """,
+    "doc_quality": r"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_q,
+               CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+               CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+               CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS BIGINT) AS n_punct
+        FROM documents
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id, md5(text) AS fp FROM documents
+    """,
+    "doc_dedup_exact": """
+        SELECT md5(text) AS fp, CAST(MIN(doc_id) AS BIGINT) AS doc_id
+        FROM documents GROUP BY md5(text)
+    """,
+    "doc_top_longest": """
+        SELECT doc_id, n_chars FROM documents
+        ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+    """,
+    "doc_distinct_langs": """
+        SELECT DISTINCT lang FROM documents
+    """,
+    "doc_union_sources": """
+        SELECT doc_id, source FROM documents WHERE source = 'src0'
+        UNION ALL
+        SELECT doc_id, source FROM documents WHERE source = 'src1'
+    """,
+    "emb_knn_brute": """
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id IN (0, 1)
+        ), ranked AS (
+          SELECT CASE WHEN q.query_id = 0 THEN 0 ELSE 1 END AS query_id,
+                 e.vec_id,
+                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])) AS sim
+          FROM embeddings e CROSS JOIN q
+        )
+        SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rn
+          FROM ranked
+        ) WHERE rn <= 10
+    """,
+    "emb_label_counts": """
+        SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label
+    """,
+}
+
+
+def flagship_entry():
+    """Driver smoke entry: flagship extraction over the sf0.001-tier corpus
+    (1000 pages), returning the deduped per-url result (stable schema)."""
+    return q_pages_extract("/root/testdata/sf0.001")

@@ -1,0 +1,92 @@
+"""Oracle-parity harness: runs every queries() entry at sf0.001 and compares
+SQL-expressible ones against DuckDB the way the driver does (row count +
+column names + order-insensitive value equality)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import os
+SF_DIR = os.environ.get("QTEST_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    df = con.execute(sql).df()
+    con.close()
+    return df
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith(("int", "uint", "Int")):
+            df[c] = df[c].astype("int64")
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(9)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _oracle_names():
+    import __ray_entry__ as e
+
+    return sorted(e.oracle_sql().keys())
+
+
+def _query_names():
+    import __ray_entry__ as e
+
+    return sorted(e.queries().keys())
+
+
+@pytest.mark.parametrize("name", _oracle_names())
+def test_oracle_parity(name):
+    import __ray_entry__ as e
+
+    got = _canon(_to_pandas(e.queries()[name](SF_DIR)))
+    exp = _canon(_duck(e.oracle_sql()[name]))
+    assert list(got.columns) == list(exp.columns), (
+        f"{name}: columns {list(got.columns)} != {list(exp.columns)}"
+    )
+    assert len(got) == len(exp), f"{name}: {len(got)} rows vs {len(exp)}"
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, obj=name)
+
+
+@pytest.mark.parametrize("name", sorted(set(_query_names()) - set(_oracle_names())))
+def test_rows_only_queries_run(name):
+    """Non-SQL-expressible ops must at least run and return a stable frame."""
+    import __ray_entry__ as e
+
+    df = _to_pandas(e.queries()[name](SF_DIR))
+    assert df is not None
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke():
+    import __ray_entry__ as e
+
+    df = _to_pandas(e.entry())
+    assert len(df) == 1000  # unique urls at the sf0.001 tier
+    assert {"url", "n_chars", "doc_type"} <= set(df.columns)
