@@ -1,0 +1,65 @@
+"""Tree aggregation: partial-combine grouped aggregates without a sort.
+
+Ray's sort-based groupby carries a large fixed exchange cost (measured ~20s
+for a 100k-row two-column aggregate at 32 CPUs). For BOUNDED-CARDINALITY
+aggregates — result rows << input rows — the scale-correct pattern is:
+
+    map_batches(partial pandas groupby)      # one partial row per key/batch
+    -> repartition(num_merge_blocks)         # tiny: only partials move
+    -> map_batches(merge, whole block)       # final rows per key
+
+This is the classic combiner tree. Use Ray's groupby instead when the
+result is corpus-sized (e.g. dedup by content hash) — there the shuffle is
+the honest cost and no combiner can help.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+__all__ = ["tree_aggregate"]
+
+_AGG_FUNCS = {"sum", "min", "max", "count"}
+
+
+def tree_aggregate(
+    ds,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    num_merge_blocks: int = 1,
+):
+    """Grouped aggregate via partial combine + merge.
+
+    ``aggs``: {out_col: (in_col, fn)} with fn in sum|min|max|count.
+    Result cardinality must be small enough that result/num_merge_blocks
+    fits one block (the caller's contract — document per use).
+    """
+    for out, (col, fn) in aggs.items():
+        if fn not in _AGG_FUNCS:
+            raise ValueError(f"unsupported agg fn {fn} for {out}")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cols = {k: batch[k].values for k in keys}
+        for out, (col, fn) in aggs.items():
+            cols[out] = (
+                1 if fn == "count" else batch[col].values
+            )
+        tmp = pd.DataFrame(cols)
+        spec = {
+            out: (out, "sum" if fn == "count" else fn)
+            for out, (col, fn) in aggs.items()
+        }
+        return tmp.groupby(keys, as_index=False).agg(**spec)
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        spec = {
+            out: (out, "sum" if fn == "count" else fn)
+            for out, (col, fn) in aggs.items()
+        }
+        return batch.groupby(keys, as_index=False).agg(**spec)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(num_merge_blocks)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+    )

@@ -51,7 +51,20 @@ def _group_keep_latest(group: pa.Table) -> pa.Table:
     return _keep_latest_table(group)
 
 
-def dedup_keep_latest(ds):
-    """Global dedup: local combine -> hash shuffle on url -> per-group pick."""
+def dedup_keep_latest(ds, by_partition: bool = True):
+    """EXCHANGE-based dedup: local combine -> groupby shuffle -> per-group
+    pick. This is the strict/general-purpose op; the flagship pipeline
+    resolves recrawls WITHOUT moving payloads (pipeline.py pass A winner
+    map) and does not call this.
+
+    With ``by_partition=True`` (requires a ``partition_id`` column whose
+    value is a function of url, e.g. hash(url) % P) the exchange groups by
+    partition_id: all crawls of a url share its partition, so within-group
+    url-dedup is globally exact, the exchange has P groups instead of
+    |urls|, and output blocks align with partitions (no tiny-file fanout
+    under ``partition_cols`` writes). ``by_partition=False`` groups by url
+    directly — for ad-hoc tables without a partition column.
+    """
     ds = ds.map_batches(local_keep_latest, batch_format="pyarrow")
-    return ds.groupby("url").map_groups(_group_keep_latest, batch_format="pyarrow")
+    key = "partition_id" if by_partition else "url"
+    return ds.groupby(key).map_groups(_group_keep_latest, batch_format="pyarrow")

@@ -1,22 +1,26 @@
 """Structured-field extraction + JSON formatting cascade.
 
-Re-implements (from the SURVEY.md §2.2 semantic spec, NOT the code) the
-reference's deterministic response formatter — the only part of its LLM
-post-processing that is reproducible offline:
+From-scratch re-implementation of the reference's deterministic response
+formatter semantics (the only LLM post-processing that is reproducible
+offline). Behavioral contract verified against the reference
+(reference: utils.py:321-437 ``format_llm_response``, utils.py:439-474
+``extract_value_from_text``):
 
-  * ``format_response`` — the 4-method cascade of
-    ``format_llm_response`` (reference: utils.py:321-437): whole-string JSON
-    parse; first valid non-greedy ``[.*?]`` / ``{.*?}`` regex match chosen by
-    the template's leading char; template-key-driven field extraction;
-    example-key-driven field extraction; fallback to the stripped original.
-    JSON is serialized with ``ensure_ascii=False`` (non-ASCII preserved —
-    part of the byte-level contract, reference: utils.py:391,403,422).
-  * ``extract_value_from_text`` — ordered first-match regex cascade
-    (reference: utils.py:439-474): key:value / key= forms, d/m/y dates,
-    CNPJ-style ids (dotted and 14-digit), decimals, integers; trailing
-    ``[,;.]`` stripped.
+  * method 1 — whole string parses as JSON -> return the ORIGINAL stripped
+    string verbatim (no re-serialization; byte contract);
+  * method 2 — only when a template exists: non-greedy DOTALL ``\\[.*?\\]``
+    scan when the template is ``[...]``-shaped, ``\\{.*?\\}`` when
+    ``{...}``-shaped; first substring that parses returns VERBATIM;
+  * method 3 — template keys drive the regex value cascade; an array
+    template yields a LIST OF SINGLE-KEY DICTS (one per found key), an
+    object template one dict; serialized ``ensure_ascii=False``;
+  * method 4 — same, driven by the example (array-of-objects form only);
+  * fallback — the stripped original.
 
-Exposed as a vectorizable ``map_batches`` stage over extracted text.
+Value cascade (ordered, first pattern with any match wins, first match
+taken): ``key: v`` / ``key = v`` capturing ``[^\\n,}]+``, d/m/y and y/m/d
+dates with ``/-.`` separators, dotted CNPJ, 14-digit runs, decimals,
+integers; trailing ``[,;.]`` stripped.
 """
 
 from __future__ import annotations
@@ -26,7 +30,13 @@ import re
 
 import pandas as pd
 
-__all__ = ["extract_value_from_text", "format_response", "FormatBatch"]
+__all__ = [
+    "extract_value_from_text",
+    "format_response",
+    "FormatBatch",
+    "build_prompt",
+    "PromptBatch",
+]
 
 _ARRAY_RE = re.compile(r"\[.*?\]", re.DOTALL)
 _OBJECT_RE = re.compile(r"\{.*?\}", re.DOTALL)
@@ -36,84 +46,170 @@ _TRAIL_RE = re.compile(r"[,;.]+$")
 def _value_patterns(key: str) -> list[re.Pattern]:
     k = re.escape(key)
     return [
-        re.compile(rf"{k}\s*:\s*([^\n,;]+)", re.IGNORECASE),
-        re.compile(rf"{k}\s*=\s*([^\n,;]+)", re.IGNORECASE),
-        re.compile(r"\b(\d{1,2}/\d{1,2}/\d{4})\b"),
-        re.compile(r"\b(\d{1,2}/\d{1,2}/\d{2})\b"),
-        re.compile(r"\b(\d{2}\.\d{3}\.\d{3}/\d{4}-\d{2})\b"),
-        re.compile(r"\b(\d{14})\b"),
-        re.compile(r"\b(\d+[.,]\d+)\b"),
-        re.compile(r"\b(\d+)\b"),
+        re.compile(rf"{k}:\s*([^\n,}}]+)", re.IGNORECASE),
+        re.compile(rf"{k}\s*:\s*([^\n,}}]+)", re.IGNORECASE),
+        re.compile(rf"{k}\s*=\s*([^\n,}}]+)", re.IGNORECASE),
+        re.compile(r"(\d{1,2}[/\-.]\d{1,2}[/\-.]\d{2,4})"),
+        re.compile(r"(\d{2,4}[/\-.]\d{1,2}[/\-.]\d{1,2})"),
+        re.compile(r"(\d{2}\.\d{3}\.\d{3}/\d{4}-\d{2})"),
+        re.compile(r"(\d{14})"),
+        re.compile(r"(\d+[,.]\d+)"),
+        re.compile(r"(\d+)"),
     ]
 
 
 def extract_value_from_text(text: str, key: str) -> str:
-    """First-match ordered regex cascade for one template key."""
+    """First-match ordered regex cascade for one template key ("" if none)."""
     for pat in _value_patterns(key):
-        m = pat.search(text)
-        if m:
-            return _TRAIL_RE.sub("", m.group(1).strip()).strip()
+        matches = pat.findall(text)
+        if matches:
+            value = _TRAIL_RE.sub("", matches[0].strip())
+            if value:
+                return value
     return ""
 
 
-def _template_keys(template: str) -> tuple[list[str], bool]:
-    """(keys, is_array) from a JSON template like '[{"CNPJ": ""}]'."""
+def _keyed_extraction(response: str, source: str, allow_object: bool) -> str | None:
+    """Methods 3/4: template/example-key-driven extraction."""
     try:
-        obj = json.loads(template)
+        obj = json.loads(source)
     except (json.JSONDecodeError, TypeError):
-        return [], False
-    if isinstance(obj, list):
-        keys: list[str] = []
-        for item in obj:
-            if isinstance(item, dict):
-                keys.extend(item.keys())
-        return keys, True
-    if isinstance(obj, dict):
-        return list(obj.keys()), False
-    return [], False
+        return None
+    if isinstance(obj, list) and obj and isinstance(obj[0], dict):
+        found = []
+        for key in obj[0].keys():
+            value = extract_value_from_text(response, key)
+            if value:
+                found.append({key: value})
+        if found:
+            return json.dumps(found, ensure_ascii=False)
+    elif allow_object and isinstance(obj, dict):
+        found = {}
+        for key in obj.keys():
+            value = extract_value_from_text(response, key)
+            if value:
+                found[key] = value
+        if found:
+            return json.dumps(found, ensure_ascii=False)
+    return None
 
 
 def format_response(
     response: str, template: str | None = None, example: str | None = None
 ) -> str:
     """4-method cascade; always returns a string (JSON or stripped original)."""
-    response = (response or "").strip()
+    cleaned = (response or "").strip()
 
-    # method 1: the whole response is valid JSON
+    # method 1: the whole response is valid JSON -> verbatim
     try:
-        return json.dumps(json.loads(response), ensure_ascii=False)
-    except (json.JSONDecodeError, TypeError):
+        json.loads(cleaned)
+        return cleaned
+    except json.JSONDecodeError:
         pass
 
-    # method 2: first valid embedded JSON (array vs object chosen by the
-    # template's leading char; both tried when no template)
-    want_array = bool(template) and template.lstrip().startswith("[")
-    pats = (
-        [_ARRAY_RE, _OBJECT_RE]
-        if (template is None or want_array)
-        else [_OBJECT_RE, _ARRAY_RE]
-    )
-    for pat in pats[: 1 if template else 2]:
-        for m in pat.finditer(response):
-            try:
-                return json.dumps(json.loads(m.group(0)), ensure_ascii=False)
-            except json.JSONDecodeError:
-                continue
+    # method 2: first valid embedded JSON, shape chosen by the template
+    if template:
+        t = template
+        pat = None
+        if t.startswith("[") and t.endswith("]"):
+            pat = _ARRAY_RE
+        elif t.startswith("{") and t.endswith("}"):
+            pat = _OBJECT_RE
+        if pat is not None:
+            for m in pat.findall(cleaned):
+                try:
+                    json.loads(m)
+                    return m
+                except json.JSONDecodeError:
+                    continue
 
     # method 3: template-key-driven extraction
-    for source in (template, example):
-        if not source:
-            continue
-        keys, is_array = _template_keys(source)
-        if not keys:
-            continue
-        values = {k: extract_value_from_text(response, k) for k in keys}
-        if any(values.values()):
-            out = [values] if is_array else values
-            return json.dumps(out, ensure_ascii=False)
+    if template:
+        out = _keyed_extraction(cleaned, template, allow_object=True)
+        if out is not None:
+            return out
 
-    # method 4 fallback: stripped original
-    return response
+    # method 4: example-driven fallback (array-of-objects form)
+    if example:
+        out = _keyed_extraction(cleaned, example, allow_object=False)
+        if out is not None:
+            return out
+
+    return cleaned
+
+
+_FMT_WITH_EXAMPLE = """
+
+CRITICAL FORMATTING INSTRUCTIONS:
+- You MUST respond ONLY with the exact JSON format specified below
+- DO NOT include any explanations, introductions, or additional text
+- DO NOT use markdown formatting or code blocks
+- Respond with ONLY the JSON structure, nothing else
+- Follow the exact pattern shown in the example
+
+Required JSON Format: {template}
+Example Response: {example}
+
+Your response must be EXACTLY in this JSON format. No other text is allowed."""
+
+_FMT_NO_EXAMPLE = """
+
+CRITICAL FORMATTING INSTRUCTIONS:
+- You MUST respond ONLY with the exact JSON format specified below
+- DO NOT include any explanations, introductions, or additional text
+- DO NOT use markdown formatting or code blocks
+- Respond with ONLY the JSON structure, nothing else
+
+Required JSON Format: {template}
+
+Your response must be EXACTLY in this JSON format. No other text is allowed."""
+
+
+def build_prompt(
+    context: str,
+    prompt: str,
+    template: str | None = None,
+    example: str | None = None,
+) -> str:
+    """Deterministic prompt assembly — byte-parity with the reference's
+    3-variant template (template+example / template only / neither;
+    reference: utils.py:239-271, duplicated for the second provider at
+    utils.py:521-554). A pure string projection, exposed as a map_batches
+    stage via PromptBatch."""
+    if template and example:
+        fmt = _FMT_WITH_EXAMPLE.format(template=template, example=example)
+    elif template:
+        fmt = _FMT_NO_EXAMPLE.format(template=template)
+    else:
+        fmt = ""
+    return (
+        f"Context: {context}\n\nQuestion: {prompt}{fmt}\n\n"
+        "Based on the context provided above, extract the required "
+        "information and respond ONLY in the specified JSON format. "
+        "Do not include any explanations or additional text."
+    )
+
+
+class PromptBatch:
+    """map_batches stage: build the LLM prompt column from extracted text
+    (the reference's stage-2 preamble, workers.py:165-234, minus the
+    network call — the deterministic, verifiable part)."""
+
+    def __init__(self, prompt: str, template: str | None = None,
+                 example: str | None = None, col: str = "text",
+                 out_col: str = "full_prompt"):
+        self.prompt = prompt
+        self.template = template
+        self.example = example
+        self.col = col
+        self.out_col = out_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch[self.out_col] = [
+            build_prompt(t, self.prompt, self.template, self.example)
+            for t in batch[self.col]
+        ]
+        return batch
 
 
 class FormatBatch:

@@ -1,64 +1,170 @@
-"""The flagship extraction pipeline: one streaming Ray Data DAG.
+"""The flagship extraction pipeline: one streaming Ray Data DAG, no
+payload shuffle.
 
 Replaces the reference's API + Redis queue + 3 Celery stages + SQLite
 checkpoints (reference: main.py:178-325, workers.py:39-345) with::
 
-    read_parquet(pages, columns=[url, warc_ts, html, lang])
-      -> map_batches(add_partition_id)          # cheap; resume filter point
-      -> [filter out completed partitions]      # resume-from-checkpoint
-      -> map_batches(ExtractBatch, actor pool)  # DOM strip / layout parse
-      -> dedup_keep_latest                      # one shuffle, post-extraction
-      -> write_parquet(partition_cols=[partition_id])
-      -> metrics read-back -> per-partition _manifest.json
+    pass A (tiny): read_parquet(columns=[url, warc_ts])
+                   -> partial (count, max_ts) per url -> groupby(url)
+                   -> recrawl winner map {url: max_ts}  (only dup urls)
+    pass B (main): read_parquet(shard files, include_paths=True)
+                   -> shard_id -> filter losers via broadcast winner map
+                   -> map_batches(extract_batch)    # stateless DOM strip
+                   -> map_batches(LayoutParse, ...) # stateful actor pool
+                   -> write_parquet(partition_cols=[partition_id])
+    then: metrics read-back -> per-partition _manifest.json
 
-Stage sizing: the extract stage is an autoscaling actor pool with a modest
-``batch_size`` so a heavy-tail blob (multi-MB html) occupies one small batch
-instead of stalling a big one — skew control without a pre-shuffle
-(SURVEY.md §4). Column pruning at the read drops the WET ``text`` column
-(never needed for extraction).
+Scale design (the whole point):
+
+  * NO all-to-all over payloads. Dedup-keep-latest is resolved by pass A —
+    a shuffle of two pruned columns (~tens of bytes/row), then an in-stream
+    broadcast-filter. The extracted text never moves between workers. (The
+    exchange-based alternative lives in dedup.dedup_keep_latest for inputs
+    with exact warc_ts ties across shards — impossible in WARC-style data
+    where (url, fetch time) is unique per capture.)
+  * partition == INPUT SHARD (parquet file). Deterministic, and resume
+    skips completed shards AT THE READ — an interrupted run re-reads only
+    missing shards, not the whole input.
+  * skew: heavy blobs are isolated by small ``batch_size`` and Ray's
+    dynamic block splitting; no pre-shuffle needed.
+  * winner map size scales with the RECRAWL-DUP url count (~5% of urls),
+    not the corpus; at extreme scale swap the broadcast for a hash-bucketed
+    anti-join keyed on url (documented partitioning assumption).
 """
 
 from __future__ import annotations
 
+import glob
+import os
 import time
 
 import pyarrow as pa
 
 from . import manifest as mf
-from .dedup import dedup_keep_latest
-from .ops import ExtractBatch, ExtractConfig, add_partition_id
+from .ops import ExtractConfig, LayoutParse, extract_batch
 
-__all__ = ["extraction_dataset", "run_extraction"]
+__all__ = [
+    "extraction_dataset",
+    "run_extraction",
+    "compute_recrawl_winners",
+    "list_shards",
+]
 
 
-def extraction_dataset(pages_path: str, cfg: ExtractConfig | None = None, skip_partitions: set[int] | None = None):
-    """Build the lazy extraction Dataset (no output side effects)."""
+def list_shards(pages_path: str) -> list[str]:
+    """Stable (sorted) list of input parquet files; shard_id = list index."""
+    if os.path.isfile(pages_path):
+        return [pages_path]
+    files = sorted(
+        glob.glob(os.path.join(pages_path, "**", "*.parquet"), recursive=True)
+    )
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {pages_path}")
+    return files
+
+
+def compute_recrawl_winners(pages_path: str) -> dict[str, int]:
+    """Pass A: {url: max_warc_ts_us} for urls with >1 crawl only.
+
+    Reads just (url, warc_ts) — column pruning keeps this pass ~0.1% of the
+    input bytes. Per-batch partials (url, n, max_ts) are reduced in
+    parallel, streamed to the driver and merged vectorized — honest because
+    the resulting winner map must fit on the driver to be ray.put-broadcast
+    anyway; at a scale where it doesn't, replace broadcast+merge with a
+    hash-bucketed anti-join on url. (A Ray groupby here cost 31s of fixed
+    sort overhead for a 200k-row two-column table — worse than the whole
+    extraction; the streamed merge is ~1s.)"""
+    import pandas as pd
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def shard_partial(path: str) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["url", "warc_ts"])
+        df = pd.DataFrame(
+            {"url": t["url"].to_pandas(), "ts": t["warc_ts"].cast("int64").to_pandas()}
+        ).assign(n=1)
+        return df.groupby("url", as_index=False).agg(
+            n=("n", "sum"), max_ts=("ts", "max")
+        )
+
+    shards = list_shards(pages_path)
+    frames = ray.get([shard_partial.remote(p) for p in shards])
+    allp = pd.concat(frames, ignore_index=True)
+    g = allp.groupby("url", sort=False).agg(n=("n", "sum"), max_ts=("max_ts", "max"))
+    dups = g[g["n"] > 1]
+    return dups["max_ts"].astype("int64").to_dict()
+
+
+def extraction_dataset(
+    pages_path: str,
+    cfg: ExtractConfig | None = None,
+    skip_partitions: set[int] | None = None,
+):
+    """Build the extraction Dataset (lazy main pass; the tiny winner pass
+    executes eagerly at build time)."""
+    import ray
     import ray.data
 
     cfg = cfg or ExtractConfig()
+    shards = list_shards(pages_path)
+    shard_of = {path: i for i, path in enumerate(shards)}
+    todo = [
+        p
+        for p in shards
+        if not skip_partitions or shard_of[p] not in skip_partitions
+    ]
+
+    winners = compute_recrawl_winners(pages_path)
+    winners_ref = ray.put(winners)
+    shard_ref = ray.put(shard_of)
+
     ds = ray.data.read_parquet(
-        pages_path, columns=["url", "warc_ts", "html", "lang"]
+        todo, columns=["url", "warc_ts", "html", "lang"], include_paths=True
     )
-    n_parts = cfg.n_partitions
-    ds = ds.map_batches(
-        lambda b: add_partition_id(b, n_parts), batch_format="pyarrow"
-    )
-    if skip_partitions:
-        skip = skip_partitions
+
+    def tag_and_filter(batch: pa.Table) -> pa.Table:
+        w = ray.get(winners_ref)
+        s = ray.get(shard_ref)
+        urls = batch["url"].to_pylist()
+        ts = batch["warc_ts"].cast(pa.int64()).to_pylist()
+        keep = [u not in w or t == w[u] for u, t in zip(urls, ts)]
+        pids = [s[p] for p in batch["path"].to_pylist()]
+        batch = batch.append_column(
+            "partition_id", pa.array(pids, type=pa.int64())
+        ).drop_columns(["path"])
+        return batch.filter(pa.array(keep))
+
+    ds = ds.map_batches(tag_and_filter, batch_format="pyarrow")
+    if cfg.use_layout_actors:
+        # stage 1: stateless DOM strip / sniff (PDFL rows deferred), then
+        # stage 2: stateful layout/"OCR" parse on a warm actor pool. NOTE:
+        # Ray fuses the task stage into the actor operator — everything
+        # flows through the pool; use only with a generous
+        # layout_concurrency and a genuinely heavy parse engine (see
+        # ExtractConfig.use_layout_actors).
         ds = ds.map_batches(
-            lambda b: b.filter(
-                pa.array([p not in skip for p in b["partition_id"].to_pylist()])
-            ),
+            lambda b: extract_batch(b, cfg, parse_pdfl_inline=False),
             batch_format="pyarrow",
+            batch_size=cfg.batch_size,
         )
+        ds = ds.map_batches(
+            LayoutParse,
+            fn_constructor_kwargs={"cfg": cfg},
+            batch_format="pyarrow",
+            batch_size=cfg.layout_batch_size,
+            concurrency=cfg.layout_concurrency,
+        )
+        return ds
+    # default: one stateless task stage does DOM strip AND the (cheap)
+    # PDFL decode inline — elastic tasks, no pool cap on throughput
     ds = ds.map_batches(
-        ExtractBatch,
-        fn_constructor_kwargs={"cfg": cfg},
+        lambda b: extract_batch(b, cfg).drop_columns(["payload"]),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=cfg.concurrency,
     )
-    return dedup_keep_latest(ds)
+    return ds
 
 
 def run_extraction(
@@ -67,7 +173,7 @@ def run_extraction(
     cfg: ExtractConfig | None = None,
     resume: bool = True,
 ) -> dict:
-    """Run (or resume) the pipeline to partitioned parquet + manifests.
+    """Run (or resume) the pipeline to shard-partitioned parquet + manifests.
 
     Returns a job report: per-partition metrics totals and timing.
     """
@@ -83,37 +189,57 @@ def run_extraction(
         shutil.rmtree(out_dir, ignore_errors=True)
     wiped = mf.clean_incomplete(out_dir, done)
 
+    n_shards = len(list_shards(pages_path))
     skipped = len(done)
-    if len(done) < cfg.n_partitions:
+    if skipped < n_shards:
         ds = extraction_dataset(pages_path, cfg, skip_partitions=done)
         ds.write_parquet(out_dir, partition_cols=["partition_id"])
 
     # Metrics read-back: fingerprint what was actually written (the
     # reference's lesson — completion flags lie, fix_extraction_bug.py:26-46).
-    from ray.data.aggregate import Count, Max, Sum
+    # One raw Ray task per partition dir (pruned columns), merged on the
+    # driver — the manifests are driver-side files regardless. Raw tasks
+    # instead of a Dataset job: the per-job startup cost dwarfed this tiny
+    # read (SURVEY.md "drop to raw tasks where Dataset can't express it
+    # efficiently").
+    import glob as _glob
 
-    out_ds = ray.data.read_parquet(
-        out_dir,
-        columns=[
-            "partition_id",
-            "n_chars",
-            "is_ocr_fallback",
-            "is_parse_failure",
-            "text_crc",
-        ],
+    import pandas as pd
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def partition_metrics(pdir: str) -> dict:
+        import pyarrow.parquet as pq
+
+        pid = int(os.path.basename(pdir).split("=", 1)[1])
+        cols = ["n_chars", "is_ocr_fallback", "is_parse_failure", "text_crc"]
+        parts = []
+        for f in sorted(_glob.glob(os.path.join(pdir, "*.parquet"))):
+            parts.append(pq.read_table(f, columns=cols))
+        if not parts:
+            return {"partition_id": pid, "rows": 0, "chars": 0,
+                    "ocr_fallbacks": 0, "parse_failures": 0, "crc_sum": 0,
+                    "max_chars": 0}
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        t = _pa.concat_tables(parts)
+        return {
+            "partition_id": pid,
+            "rows": t.num_rows,
+            "chars": int(_pc.sum(t["n_chars"]).as_py() or 0),
+            "ocr_fallbacks": int(_pc.sum(_pc.cast(t["is_ocr_fallback"], _pa.int64())).as_py() or 0),
+            "parse_failures": int(_pc.sum(_pc.cast(t["is_parse_failure"], _pa.int64())).as_py() or 0),
+            "crc_sum": int(_pc.sum(t["text_crc"]).as_py() or 0),
+            "max_chars": int(_pc.max(t["n_chars"]).as_py() or 0),
+        }
+
+    pdirs = sorted(
+        d
+        for d in _glob.glob(os.path.join(out_dir, "partition_id=*"))
+        if os.path.isdir(d)
     )
-    stats = (
-        out_ds.groupby("partition_id")
-        .aggregate(
-            Count(alias_name="rows"),
-            Sum("n_chars", alias_name="chars"),
-            Sum("is_ocr_fallback", alias_name="ocr_fallbacks"),
-            Sum("is_parse_failure", alias_name="parse_failures"),
-            Sum("text_crc", alias_name="crc_sum"),
-            Max("n_chars", alias_name="max_chars"),
-        )
-        .to_pandas()
-    )
+    stats = pd.DataFrame(ray.get([partition_metrics.remote(d) for d in pdirs]))
     elapsed = time.monotonic() - t0
     totals = {
         "rows": int(stats["rows"].sum()),
@@ -125,10 +251,12 @@ def run_extraction(
         "partitions_wiped_incomplete": wiped,
         "wall_sec": elapsed,
     }
-    for rec in stats.to_dict("records"):
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_one(rec) -> None:
         pid = int(rec["partition_id"])
         if pid in done:
-            continue  # keep original lineage record for already-complete parts
+            return  # keep original lineage record for already-complete parts
         mf.write_manifest(
             out_dir,
             pid,
@@ -142,4 +270,8 @@ def run_extraction(
                 "input": pages_path,
             },
         )
+
+    # fsync-per-manifest is atomic but slow serially; parallelize the fan-out
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        list(pool.map(_write_one, stats.to_dict("records")))
     return totals

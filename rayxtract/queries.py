@@ -29,6 +29,9 @@ __all__ = ["QUERIES", "ORACLE_SQL", "flagship_entry"]
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data
 
+    from . import configure_context
+
+    configure_context()
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
@@ -44,7 +47,6 @@ def q_q1_pricing_summary(sf_dir: str):
     """TPC-H Q1 shape: filter -> per-batch partial aggregate (combiner) ->
     tiny global groupby. The shuffle moves one partial row per
     (flag,status,batch), never base rows."""
-    from ray.data.aggregate import Sum
 
     cutoff = np.datetime64("1998-09-02", "us")
 
@@ -78,6 +80,8 @@ def q_q1_pricing_summary(sf_dir: str):
             tmp.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
         )
 
+    from .agg import tree_aggregate
+
     ds = _read(
         sf_dir,
         "lineitem",
@@ -90,15 +94,16 @@ def q_q1_pricing_summary(sf_dir: str):
             "l_shipdate",
         ],
     )
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_base_cents", alias_name="sum_base_cents"),
-            Sum("sum_disc_cents", alias_name="sum_disc_cents"),
-            Sum("n_rows", alias_name="n_rows"),
-        )
+    # 6 result groups -> combiner tree, not a sort shuffle
+    return tree_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={
+            "sum_qty": ("sum_qty", "sum"),
+            "sum_base_cents": ("sum_base_cents", "sum"),
+            "sum_disc_cents": ("sum_disc_cents", "sum"),
+            "n_rows": ("n_rows", "sum"),
+        },
     )
 
 
@@ -137,7 +142,6 @@ def q_top_customers(sf_dir: str):
     """Broadcast join: customer (small side) shipped once via ray.put and
     looked up per batch — no shuffle join of the orders fact table."""
     import ray
-    from ray.data.aggregate import Sum
 
     cust = (
         _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
@@ -153,11 +157,15 @@ def q_top_customers(sf_dir: str):
         )
         return tmp.groupby("c_custkey", as_index=False).sum()
 
-    agg = (
-        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(partial, batch_format="pandas")
-        .groupby("c_custkey")
-        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    from .agg import tree_aggregate
+
+    # result bounded by |customer| -> combiner tree beats a sort shuffle
+    agg = tree_aggregate(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        keys=["c_custkey"],
+        aggs={"revenue_cents": ("revenue_cents", "sum")},
     )
 
     def attach_name(batch: pd.DataFrame) -> pd.DataFrame:
@@ -207,7 +215,6 @@ def q_events_windowed(sf_dir: str):
     """Tumbling 1h event-time windows as groupby(user, window) — the
     batch-engine expression of a windowed aggregate (no watermarks: input is
     a complete log, SURVEY.md §2.8)."""
-    from ray.data.aggregate import Sum
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         ts_us = batch["ts"].astype("int64")
@@ -221,14 +228,15 @@ def q_events_windowed(sf_dir: str):
         )
         return tmp.groupby(["user_id", "window_id"], as_index=False).sum()
 
-    return (
-        _read(sf_dir, "events", ["user_id", "ts", "value"])
-        .map_batches(partial, batch_format="pandas")
-        .groupby(["user_id", "window_id"])
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("value_cents", alias_name="value_cents"),
-        )
+    from .agg import tree_aggregate
+
+    # result bounded by users x active windows (<< events) -> combiner tree
+    return tree_aggregate(
+        _read(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        keys=["user_id", "window_id"],
+        aggs={"n_events": ("n_events", "sum"), "value_cents": ("value_cents", "sum")},
     )
 
 
@@ -263,7 +271,6 @@ def q_events_sessionize(sf_dir: str):
 
 
 def q_events_type_counts(sf_dir: str):
-    from ray.data.aggregate import Sum
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         tmp = pd.DataFrame(
@@ -275,14 +282,14 @@ def q_events_type_counts(sf_dir: str):
         )
         return tmp.groupby("event_type", as_index=False).sum()
 
-    return (
-        _read(sf_dir, "events", ["event_type", "value"])
-        .map_batches(partial, batch_format="pandas")
-        .groupby("event_type")
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("value_cents", alias_name="value_cents"),
-        )
+    from .agg import tree_aggregate
+
+    return tree_aggregate(
+        _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        keys=["event_type"],
+        aggs={"n_events": ("n_events", "sum"), "value_cents": ("value_cents", "sum")},
     )
 
 
@@ -291,14 +298,12 @@ def q_events_type_counts(sf_dir: str):
 
 
 def q_doc_stats_by_lang(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    from .agg import tree_aggregate
 
-    return (
-        _read(sf_dir, "documents", ["lang", "n_chars"])
-        .groupby("lang")
-        .aggregate(
-            Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
-        )
+    return tree_aggregate(
+        _read(sf_dir, "documents", ["lang", "n_chars"]),
+        keys=["lang"],
+        aggs={"n_docs": ("lang", "count"), "total_chars": ("n_chars", "sum")},
     )
 
 
@@ -414,6 +419,44 @@ def q_doc_format_fields(sf_dir: str):
     )
 
 
+
+
+_PROMPT_Q = "What is the total value?"
+_PROMPT_TEMPLATE = '[{"value": ""}]'
+
+
+def q_doc_build_prompts(sf_dir: str):
+    """Deterministic prompt assembly (reference utils.py:239-271 template
+    semantics) — a pure string projection, oracle-checked byte-for-byte."""
+    from .extract_fields import PromptBatch
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(
+            PromptBatch,
+            fn_constructor_kwargs={
+                "prompt": _PROMPT_Q,
+                "template": _PROMPT_TEMPLATE,
+            },
+            batch_format="pandas",
+            concurrency=(1, 8),
+        )
+        .drop_columns(["text"])
+    )
+
+
+def _prompt_oracle_sql() -> str:
+    from .extract_fields import build_prompt
+
+    full = build_prompt("\x00", _PROMPT_Q, _PROMPT_TEMPLATE)
+    prefix, suffix = full.split("\x00")
+    esc = lambda s: s.replace("'", "''")
+    return (
+        f"SELECT doc_id, '{esc(prefix)}' || text || '{esc(suffix)}' AS full_prompt "
+        "FROM documents"
+    )
+
+
 # ---------------------------------------------------------------------------
 # embeddings: ANN + near-dup
 
@@ -450,12 +493,12 @@ def q_emb_knn_ivf(sf_dir: str):
 
 
 def q_emb_label_counts(sf_dir: str):
-    from ray.data.aggregate import Count
+    from .agg import tree_aggregate
 
-    return (
-        _read(sf_dir, "embeddings", ["label"]).groupby("label").aggregate(
-            Count(alias_name="n_vecs")
-        )
+    return tree_aggregate(
+        _read(sf_dir, "embeddings", ["label"]),
+        keys=["label"],
+        aggs={"n_vecs": ("label", "count")},
     )
 
 
@@ -547,6 +590,7 @@ QUERIES = {
     "doc_simhash": q_doc_simhash,
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "doc_format_fields": q_doc_format_fields,
+    "doc_build_prompts": q_doc_build_prompts,
     "emb_knn_brute": q_emb_knn_brute,
     "emb_knn_ivf": q_emb_knn_ivf,
     "emb_label_counts": q_emb_label_counts,
@@ -653,6 +697,7 @@ ORACLE_SQL = {
     "doc_distinct_langs": """
         SELECT DISTINCT lang FROM documents
     """,
+    "doc_build_prompts": _prompt_oracle_sql(),
     "doc_union_sources": """
         SELECT doc_id, source FROM documents WHERE source = 'src0'
         UNION ALL

@@ -1,0 +1,287 @@
+"""Unit tests for text analysis, dedup, ANN, field extraction, multimodal."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rayxtract.extract_fields import extract_value_from_text, format_response
+from rayxtract.ops import detect_type, partition_of
+from rayxtract.textops import LangIdBatch, add_fingerprints, add_quality_counts, add_token_counts
+
+
+# --- textops ---------------------------------------------------------------
+
+
+def test_token_counts():
+    df = pd.DataFrame({"text": ["one two  three", "", "a-b c.d", "  x  "]})
+    out = add_token_counts(df.copy())
+    assert out["n_tokens"].tolist() == [3, 0, 2, 1]
+    # BPE-ish: words / numbers / single symbols
+    assert out["n_pieces"].tolist() == [3, 0, 6, 1]
+
+
+def test_quality_counts():
+    df = pd.DataFrame({"text": ["Ab1, c! 22"]})
+    out = add_quality_counts(df.copy())
+    assert out["n_chars_q"].tolist() == [10]
+    assert out["n_digits"].tolist() == [3]
+    assert out["n_punct"].tolist() == [2]
+    assert out["n_tokens"].tolist() == [3]
+
+
+def test_fingerprints_match_hashlib():
+    df = pd.DataFrame({"text": ["hello", "wörld"]})
+    out = add_fingerprints(df.copy())
+    assert out["fp"][0] == hashlib.md5(b"hello").hexdigest()
+    assert out["fp"][1] == hashlib.md5("wörld".encode()).hexdigest()
+    assert out["fp_fnv"].dtype == np.int64
+
+
+def test_langid():
+    li = LangIdBatch()
+    assert li.predict_one("the cat is on the mat and it is happy there") == "en"
+    assert li.predict_one("o gato está em cima do tapete e ele é feliz") == "pt"
+    assert li.predict_one("der hund ist in dem haus und er ist nicht allein") == "de"
+    assert li.predict_one("") == "und"
+    assert li.predict_one("zzzz qqqq") == "und"
+
+
+# --- extract_fields (reference utils.py:321-474 semantics) -----------------
+
+
+def test_format_whole_json():
+    assert format_response(' {"a": 1} ') == '{"a": 1}'
+
+
+def test_format_embedded_json_array_nongreedy():
+    r = 'Here you go: [{"CNPJ": "12.345.678/0001-99"}] hope it helps [1,2]'
+    out = format_response(r, template='[{"CNPJ": ""}]')
+    assert out == '[{"CNPJ": "12.345.678/0001-99"}]'
+
+
+def test_format_embedded_object_when_template_is_object():
+    r = "prefix {\"k\": \"v\"} suffix"
+    assert format_response(r, template='{"k": ""}') == '{"k": "v"}'
+
+
+def test_format_template_key_extraction():
+    # reference semantics: key pattern captures to end-of-clause ([^\n,}]+),
+    # trailing [,;.] stripped (utils.py:445,468-470)
+    r = "O valor do CNPJ: 12.345.678/0001-99 consta no documento."
+    out = format_response(r, template='[{"CNPJ": ""}]')
+    assert out == '[{"CNPJ": "12.345.678/0001-99 consta no documento"}]'
+
+
+def test_format_template_key_extraction_bare_value():
+    r = "CNPJ encontrado 12.345.678/0001-99 no registro"
+    out = format_response(r, template='[{"CNPJ": ""}]')
+    assert out == '[{"CNPJ": "12.345.678/0001-99"}]'
+
+
+def test_format_no_template_skips_embedded_json():
+    # reference only scans for embedded JSON when a template dictates the
+    # shape (utils.py:346-372); without one, fall through to the original
+    r = 'text with [1, 2] inside'
+    assert format_response(r) == r
+
+
+def test_format_fallback_stripped_original():
+    assert format_response("  plain answer  ") == "plain answer"
+
+
+def test_format_non_ascii_preserved():
+    out = format_response('{"nome": "João"}')
+    assert out == '{"nome": "João"}'  # ensure_ascii=False contract
+
+
+def test_extract_value_cascade_order():
+    # [^\n,}]+ stops at the comma — reference capture class (utils.py:446)
+    assert extract_value_from_text("total: 42,50; other 7", "total") == "42"
+    assert extract_value_from_text("x = 99", "x") == "99"
+    assert extract_value_from_text("due 12/05/2024 ok", "due") == "12/05/2024"
+    assert extract_value_from_text("id 12345678000199 x", "id") == "12345678000199"
+    assert extract_value_from_text("v 3.14.", "v") == "3.14"
+    assert extract_value_from_text("nothing here", "k") == ""
+
+
+# --- ops helpers -----------------------------------------------------------
+
+
+def test_detect_type():
+    assert detect_type(b"PDFL\x00\x00") == "pdfl"
+    assert detect_type(b"  <!doctype html><html>") == "html"
+    assert detect_type(b"<p>x</p>") == "html"
+    assert detect_type(b"\xff\xfegarbage") == "garbage"
+    assert detect_type(b"") == "garbage"
+
+
+def test_partition_of_stable():
+    # crc32-based: must be stable across runs/processes (checkpoint identity)
+    assert partition_of("https://a.example/x", 64) == partition_of(
+        "https://a.example/x", 64
+    )
+    assert partition_of("https://a.example/x", 64) < 64
+    vals = {partition_of(f"u{i}", 16) for i in range(200)}
+    assert len(vals) == 16  # spreads
+
+
+# --- neardup (Ray-backed) --------------------------------------------------
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside "
+    "every morning before the sun rises fully over the quiet hills"
+)
+NEAR = BASE.replace("quick", "fast").replace("garden", "park")
+OTHER = (
+    "completely different text about database engines shuffle partitions "
+    "and vectorized execution with arrow batches streaming through actors "
+    "under backpressure while manifests checkpoint completed partitions"
+)
+
+
+@pytest.fixture()
+def docs_ds(ray_session):
+    import ray.data
+
+    return ray.data.from_items(
+        [
+            {"doc_id": 1, "text": BASE},
+            {"doc_id": 2, "text": NEAR},
+            {"doc_id": 3, "text": OTHER},
+            {"doc_id": 4, "text": BASE},  # exact dup of 1
+        ]
+    )
+
+
+def test_exact_dedup(docs_ds):
+    from rayxtract.neardup import exact_dedup
+
+    out = exact_dedup(docs_ds).to_pandas()
+    assert len(out) == 3  # BASE, NEAR, OTHER distinct
+    assert set(out["doc_id"]) == {1, 2, 3}  # min id survives
+
+
+def test_minhash_finds_planted_neardups(docs_ds):
+    from rayxtract.neardup import minhash_candidate_pairs
+
+    pairs = minhash_candidate_pairs(docs_ds, jaccard_threshold=0.5).to_pandas()
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (1, 2) in got and (1, 4) in got and (2, 4) in got
+    assert not any(3 in p for p in got)  # unrelated doc never pairs
+
+
+def test_simhash_pairs(docs_ds):
+    from rayxtract.neardup import simhash_candidate_pairs
+
+    pairs = simhash_candidate_pairs(docs_ds, max_hamming=6).to_pandas()
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (1, 4) in got  # identical text -> hamming 0
+    assert not any(3 in p for p in got)
+
+
+def test_union_find():
+    from rayxtract.neardup import union_find_clusters
+
+    c = union_find_clusters([(1, 2), (2, 4), (7, 9)])
+    assert c[1] == c[2] == c[4] == 1
+    assert c[7] == c[9] == 7
+
+
+# --- ann -------------------------------------------------------------------
+
+
+@pytest.fixture()
+def emb_ds(ray_session):
+    import ray.data
+
+    rng = np.random.RandomState(3)
+    centers = rng.randn(4, 16) * 3
+    rows = []
+    for i in range(200):
+        c = i % 4
+        rows.append(
+            {"vec_id": i, "embedding": (centers[c] + rng.randn(16) * 0.3).tolist()}
+        )
+    return ray.data.from_items(rows), centers
+
+
+def test_knn_bruteforce_exact(emb_ds):
+    from rayxtract.ann import knn_bruteforce
+
+    ds, centers = emb_ds
+    out = knn_bruteforce(ds, centers[:2], k=5).to_pandas()
+    assert len(out) == 10
+    # exact check vs numpy
+    mat = np.stack([r["embedding"] for r in ds.take_all()])
+    ids = np.array([r["vec_id"] for r in ds.take_all()])
+    u = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    q = centers[:2] / np.linalg.norm(centers[:2], axis=1, keepdims=True)
+    for qi in range(2):
+        sims = u @ q[qi]
+        expect = ids[np.lexsort((ids, -sims))[:5]]
+        got = out[out["query_id"] == qi].sort_values(
+            ["cosine", "vec_id"], ascending=[False, True]
+        )["vec_id"].to_numpy()
+        assert list(got) == list(expect)
+
+
+def test_knn_ivf_recall(emb_ds):
+    from rayxtract.ann import knn_bruteforce, knn_ivf
+
+    ds, centers = emb_ds
+    exact = knn_bruteforce(ds, centers[:2], k=10).to_pandas()
+    approx = knn_ivf(ds, centers[:2], k=10, n_centroids=8, nprobe=3).to_pandas()
+    for qi in range(2):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        assert len(e & a) / len(e) >= 0.7  # clustered data: probing should recall
+
+
+def test_embedding_neardup(emb_ds, ray_session):
+    from rayxtract.neardup import embedding_neardup_pairs
+
+    ds, _ = emb_ds
+    pairs = embedding_neardup_pairs(ds, threshold=0.98, n_planes=4, n_tables=12)
+    df = pairs if isinstance(pairs, pd.DataFrame) else pairs.to_pandas()
+    if len(df):
+        assert (df["cosine"] >= 0.98).all()
+        assert (df["vec_a"] < df["vec_b"]).all()
+
+
+# --- multimodal ------------------------------------------------------------
+
+
+def test_multimodal_decode_stub(ray_session):
+    import ray.data
+
+    from rayxtract.multimodal import DecodeImageBatch, FrameSampleBatch
+
+    rows = [
+        {"media_id": i, "payload": bytes([i]) * (100 + i), "n_frames": 30}
+        for i in range(5)
+    ]
+    ds = ray.data.from_items(rows)
+    out = ds.map_batches(
+        DecodeImageBatch, batch_format="pandas", batch_size=2, concurrency=2
+    ).to_pandas()
+    assert len(out) == 5
+    assert all(len(f) == 8 for f in out["features"])
+    # deterministic across runs
+    out2 = ds.map_batches(
+        DecodeImageBatch, batch_format="pandas", concurrency=2
+    ).to_pandas()
+    a = out.sort_values("media_id").reset_index(drop=True)
+    b = out2.sort_values("media_id").reset_index(drop=True)
+    assert (a["crc"] == b["crc"]).all()
+    assert [list(x) for x in a["features"]] == [list(x) for x in b["features"]]
+
+    frames = ds.map_batches(
+        FrameSampleBatch, batch_format="pandas", concurrency=2
+    ).to_pandas()
+    assert len(frames) == 5 * 3  # stride 10 over 30 frames
+
+    with pytest.raises(NotImplementedError):
+        DecodeImageBatch(real=True)

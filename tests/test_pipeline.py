@@ -23,7 +23,7 @@ def _load_sorted(df: pd.DataFrame) -> pd.DataFrame:
 def extracted(small_corpus, tmp_path_factory):
     pages_dir, golden_dir = small_corpus
     out = str(tmp_path_factory.mktemp("xout") / "extracted")
-    cfg = ExtractConfig(n_partitions=16, batch_size=64, concurrency=(1, 4))
+    cfg = ExtractConfig(n_partitions=16, batch_size=64, layout_concurrency=(1, 4))
     report = run_extraction(pages_dir, out, cfg, resume=False)
     return pages_dir, golden_dir, out, report
 
@@ -108,7 +108,7 @@ def test_manifests_fingerprint_output(extracted):
 def test_resume_skips_completed_partitions(small_corpus, tmp_path):
     pages_dir, golden_dir, = small_corpus
     out = str(tmp_path / "resume_out")
-    cfg = ExtractConfig(n_partitions=8, batch_size=64, concurrency=(1, 2))
+    cfg = ExtractConfig(n_partitions=8, batch_size=64, layout_concurrency=(1, 2))
     run_extraction(pages_dir, out, cfg, resume=False)
     full = _load_sorted(_read_output(out))
 
@@ -134,11 +134,11 @@ def test_output_independent_of_parallelism(small_corpus, tmp_path):
     a = str(tmp_path / "a")
     b = str(tmp_path / "b")
     run_extraction(
-        pages_dir, a, ExtractConfig(n_partitions=4, batch_size=32, concurrency=1),
+        pages_dir, a, ExtractConfig(n_partitions=4, batch_size=32, layout_concurrency=1),
         resume=False,
     )
     run_extraction(
-        pages_dir, b, ExtractConfig(n_partitions=16, batch_size=256, concurrency=(1, 4)),
+        pages_dir, b, ExtractConfig(n_partitions=16, batch_size=256, layout_concurrency=(1, 4)),
         resume=False,
     )
     da = _load_sorted(_read_output(a))[["url", "text"]]
@@ -149,7 +149,7 @@ def test_output_independent_of_parallelism(small_corpus, tmp_path):
 def test_lazy_dataset_streams(small_corpus):
     """extraction_dataset is lazy and consumable without full materialize."""
     pages_dir, _ = small_corpus
-    ds = extraction_dataset(pages_dir, ExtractConfig(n_partitions=8, concurrency=(1, 2)))
+    ds = extraction_dataset(pages_dir, ExtractConfig(n_partitions=8, layout_concurrency=(1, 2)))
     n = 0
     for batch in ds.iter_batches(batch_size=256, batch_format="pyarrow"):
         n += batch.num_rows
