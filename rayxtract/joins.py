@@ -1,0 +1,199 @@
+"""Distributed joins: native hash join, explicit bucketed join, as-of join.
+
+The reference has NO relational joins (only point lookups by primary key,
+reference: main.py:410-418, workers.py:45) — these are engine-first
+operators for the training-data workloads this engine targets.
+
+Three strategies, chosen by shape:
+
+  * broadcast (small side): ``ray.put`` the small table once, dict-lookup
+    per batch — no shuffle (see queries.q_top_customers).
+  * ``hash_join`` — Ray's native ``Dataset.join`` (hash-partitioned both
+    sides). Right default for two large tables.
+  * ``bucketed_join`` — the explicit, portable pattern: tag sides, add a
+    ``bucket = hash(key) % B`` column, one groupby(bucket), per-bucket
+    pandas merge. Use when you need control over B / skew salting, or as
+    the documented fallback where Dataset.join is unavailable.
+  * ``asof_join`` — per-key sort + ``pd.merge_asof`` inside groups: the
+    latest right row with ``r.ts <= l.ts`` per left row.
+
+Skew note: a hot key floods one bucket; salt it (split the hot key into
+``key#0..key#s`` on the build side, replicate the probe side) — bucket
+count and salting are explicit here, which is the point of the pattern.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["hash_join", "bucketed_join", "asof_join"]
+
+
+def hash_join(
+    left, right, on: str, right_on: str, num_partitions: int | None = None
+):
+    """Native hash-shuffled inner join (Dataset.join).
+
+    num_partitions defaults to ~2x cluster CPUs: the 2.49 hash-shuffle
+    operator stalls when partition count far exceeds the placeable
+    aggregator actors on small clusters (measured hang at 32 partitions on
+    4 CPUs)."""
+    if num_partitions is None:
+        import ray
+
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_partitions = max(2, min(64, cpus * 2))
+    return left.join(
+        right,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=(right_on,),
+    )
+
+
+def _bucket_of_int(v: np.ndarray, n_buckets: int) -> np.ndarray:
+    # splitmix-style int mix — stable across processes
+    z = v.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    z ^= z >> np.uint64(31)
+    return (z % np.uint64(n_buckets)).astype(np.int64)
+
+
+def _pandas_dtype_of(arrow_type) -> str:
+    if pa.types.is_integer(arrow_type):
+        return "Int64"  # nullable: missing-side columns carry NA
+    if pa.types.is_floating(arrow_type):
+        return "float64"
+    if pa.types.is_timestamp(arrow_type):
+        return "datetime64[us]"
+    return "object"
+
+
+def _null_for(dtype: str):
+    if dtype == "float64":
+        return np.nan
+    if dtype == "datetime64[us]":
+        return pd.NaT
+    return pd.NA  # Int64 / object
+
+
+def _dtype_map(*datasets) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for ds in datasets:
+        schema = ds.schema()
+        for name, typ in zip(schema.names, schema.types):
+            out.setdefault(name, _pandas_dtype_of(typ))
+    return out
+
+
+def bucketed_join(
+    left,
+    right,
+    left_key: str,
+    right_key: str,
+    n_buckets: int = 32,
+):
+    """Explicit partitioned hash join: tag + union + groupby(bucket) +
+    per-bucket pandas merge. Inner join; integer keys. Missing-side columns
+    travel as typed nulls (nullable Int64 etc.) so the union's block
+    schemas agree."""
+    left_cols = [c for c in left.schema().names]
+    right_cols = [c for c in right.schema().names]
+    out_cols = left_cols + [c for c in right_cols if c != right_key]
+    dtypes = _dtype_map(left, right)
+    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+
+    def prep(side: int, key: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch.copy()
+            for c in all_cols:
+                if c not in b.columns:
+                    b[c] = pd.Series(
+                        _null_for(dtypes[c]), index=b.index, dtype=dtypes[c]
+                    )
+                else:
+                    b[c] = b[c].astype(dtypes[c])
+            b["__bucket"] = _bucket_of_int(
+                batch[key].to_numpy().astype(np.int64), n_buckets
+            )
+            b["__side"] = np.int8(side)
+            return b[all_cols + ["__bucket", "__side"]]
+
+        return fn
+
+    both = left.map_batches(prep(0, left_key), batch_format="pandas").union(
+        right.map_batches(prep(1, right_key), batch_format="pandas")
+    )
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["__side"] == 0][left_cols]
+        r = group[group["__side"] == 1][right_cols]
+        j = l.merge(r, left_on=left_key, right_on=right_key, how="inner")
+        return j[out_cols]
+
+    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
+def asof_join(
+    left,
+    right,
+    key: str,
+    ts_col: str,
+    right_value_cols: list[str],
+    suffix: str = "_r",
+):
+    """Per-key as-of join: for each left row, the latest right row with
+    ``right.ts <= left.ts`` (exact matches allowed). Both inputs must carry
+    ``key`` and ``ts_col``; right contributes ``right_value_cols`` renamed
+    with ``suffix``. Implementation: tag + union + groupby(key) +
+    sorted ``pd.merge_asof`` per group — the partitioned-log pattern for
+    streaming-shaped data (events are complete, no watermarks)."""
+    l_cols = [c for c in left.schema().names]
+    dtypes = _dtype_map(left, right)
+    all_cols = l_cols + [c for c in right_value_cols if c not in l_cols]
+    out_value_cols = [c + suffix for c in right_value_cols]
+
+    def prep(side: int):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch.copy()
+            for c in all_cols:
+                if c not in b.columns:
+                    b[c] = pd.Series(
+                        _null_for(dtypes[c]), index=b.index, dtype=dtypes[c]
+                    )
+                else:
+                    b[c] = b[c].astype(dtypes[c])
+            b["__side"] = np.int8(side)
+            return b[all_cols + ["__side"]]
+
+        return fn
+
+    both = left.map_batches(prep(0), batch_format="pandas").union(
+        right.map_batches(prep(1), batch_format="pandas")
+    )
+
+    def merge_group(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["__side"] == 0][l_cols].sort_values(ts_col, kind="mergesort")
+        r = (
+            group[group["__side"] == 1][[key, ts_col] + right_value_cols]
+            .rename(columns={c: c + suffix for c in right_value_cols})
+            .sort_values(ts_col, kind="mergesort")
+        )
+        if not len(l):
+            out = l.copy()
+            for c, rc in zip(right_value_cols, out_value_cols):
+                out[rc] = pd.Series(dtype=dtypes[c])
+            return out
+        if not len(r):
+            out = l.copy()
+            for c, rc in zip(right_value_cols, out_value_cols):
+                out[rc] = pd.Series(_null_for(dtypes[c]), index=out.index, dtype=dtypes[c])
+            return out
+        return pd.merge_asof(l, r, on=ts_col, by=key, direction="backward")
+
+    return both.groupby(key).map_groups(merge_group, batch_format="pandas")

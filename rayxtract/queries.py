@@ -293,6 +293,41 @@ def q_events_type_counts(sf_dir: str):
     )
 
 
+
+
+def q_join_orders_customer(sf_dir: str):
+    """Native hash-shuffled join (Dataset.join) of two large-ish tables."""
+    from .joins import hash_join
+
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    c = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    # Dataset.join does not retain the right key column
+    return hash_join(o, c, on="o_custkey", right_on="c_custkey")
+
+
+def q_join_supplier_nation(sf_dir: str):
+    """Explicit bucketed hash join (tag + union + groupby(bucket) +
+    per-bucket merge) — the portable pattern with controllable B/salting."""
+    from .joins import bucketed_join
+
+    s = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+    n = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    return bucketed_join(s, n, "s_nationkey", "n_nationkey", n_buckets=8)
+
+
+def q_asof_purchase_click(sf_dir: str):
+    """As-of join: for each purchase event, the latest click by the same
+    user at or before the purchase (partitioned-log pattern)."""
+    from .joins import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
+    clicks_ds = _read(sf_dir, "events", ["user_id", "ts", "value", "event_type"])
+    clicks = clicks_ds.filter(expr="event_type == 'click'").drop_columns(["event_type"])
+    return asof_join(purchases, clicks, key="user_id", ts_col="ts",
+                     right_value_cols=["value"])
+
+
 # ---------------------------------------------------------------------------
 # documents: text analysis + dedup
 
@@ -577,6 +612,9 @@ QUERIES = {
     "events_windowed": q_events_windowed,
     "events_sessionize": q_events_sessionize,
     "events_type_counts": q_events_type_counts,
+    "join_orders_customer": q_join_orders_customer,
+    "join_supplier_nation": q_join_supplier_nation,
+    "asof_purchase_click": q_asof_purchase_click,
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_filter_long": q_doc_filter_long,
     "doc_token_counts": q_doc_token_counts,
@@ -654,6 +692,20 @@ ORACLE_SQL = {
         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                COUNT(*) AS n_events, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
         FROM sess GROUP BY user_id, session_id
+    """,
+    "join_orders_customer": """
+        SELECT o.o_orderkey, o.o_custkey, c.c_name
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    "join_supplier_nation": """
+        SELECT s.s_suppkey, s.s_name, s.s_nationkey, n.n_name
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+    "asof_purchase_click": """
+        SELECT l.event_id, l.user_id, l.ts, r.value AS value_r
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+        ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
     """,
     "events_type_counts": """
         SELECT event_type, COUNT(*) AS n_events,
