@@ -34,8 +34,10 @@ from .schema import (
     DOC_TYPE_GARBAGE,
     DOC_TYPE_HTML,
     DOC_TYPE_PDFL,
+    DOC_TYPE_XLSL,
     SPAN_TYPE,
 )
+from .table import XLSL_MAGIC, parse_xlsl
 from .synth import sentinel_error
 
 __all__ = [
@@ -73,6 +75,8 @@ def detect_type(payload: bytes) -> str:
     extension, main.py:269; content sniffing is the columnar equivalent)."""
     if payload[:4] == PDFL_MAGIC:
         return DOC_TYPE_PDFL
+    if payload[:4] == XLSL_MAGIC:
+        return DOC_TYPE_XLSL
     head = payload[:256].lstrip()
     if head[:1] == b"<":
         return DOC_TYPE_HTML
@@ -223,6 +227,12 @@ def _extract_one(url: str, payload, cfg: ExtractConfig, parse_pdfl_inline: bool 
         except (ValueError, UnicodeDecodeError, struct_error) as e:
             return DOC_TYPE_GARBAGE, sentinel_error(url), [], False, True, str(e)[:200], None
     try:
+        if doc_type == DOC_TYPE_XLSL:
+            # table payload: reference Excel join rules (utils.py:164-206)
+            text, spans = parse_xlsl(payload)
+            if not text:
+                return doc_type, sentinel_error(url), [], False, False, "empty extraction", None
+            return doc_type, text, spans, False, False, "", None
         if doc_type == DOC_TYPE_HTML:
             text, spans = extract_main_content(payload.decode("utf-8"), cfg.dom)
             if not text:
@@ -230,7 +240,7 @@ def _extract_one(url: str, payload, cfg: ExtractConfig, parse_pdfl_inline: bool 
                 return doc_type, sentinel_error(url), [], False, False, "empty extraction", None
             return doc_type, text, spans, False, False, "", None
         raise ValueError("unrecognized payload")
-    except (ValueError, UnicodeDecodeError) as e:
+    except (ValueError, UnicodeDecodeError, struct_error) as e:
         return DOC_TYPE_GARBAGE, sentinel_error(url), [], False, True, str(e)[:200], None
 
 

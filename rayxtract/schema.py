@@ -65,4 +65,5 @@ GOLDEN_SCHEMA = pa.schema(
 
 DOC_TYPE_HTML = "html"
 DOC_TYPE_PDFL = "pdfl"
+DOC_TYPE_XLSL = "xlsl"
 DOC_TYPE_GARBAGE = "garbage"

@@ -74,6 +74,9 @@ def _stable_hash(idx: int, seed: int) -> int:
     return z ^ (z >> 31)
 
 
+GEN_VERSION = 2  # bump when page content rules change (cache key component)
+
+
 def _kind(idx: int, seed: int) -> str:
     h = _stable_hash(idx, seed) % 1000
     if h < 20:
@@ -84,6 +87,8 @@ def _kind(idx: int, seed: int) -> str:
         return "boilerplate_only"
     if h < 70:
         return "malformed"
+    if h < 85:
+        return "xlsl"
     return "normal"
 
 
@@ -206,6 +211,36 @@ def _build_html_page(
     return html_doc.encode("utf-8"), wet_text, golden_text, spans
 
 
+def _build_xlsl_page(
+    rng: random.Random, idx: int
+) -> tuple[bytes, str, str, list[dict]]:
+    from .table import encode_xlsl, table_text_spans
+
+    words = _words_for(idx)
+    sheets = []
+    for s in range(rng.randint(1, 3)):
+        name = f"{rng.choice(words)}{s}"
+        rows = []
+        for _ in range(rng.randint(2, 25)):
+            if rng.random() < 0.08:
+                rows.append([None] * rng.randint(1, 4))  # blank row -> skipped
+                continue
+            row = []
+            for _ in range(rng.randint(2, 8)):
+                r = rng.random()
+                if r < 0.15:
+                    row.append(None)
+                elif r < 0.5:
+                    row.append(str(rng.randint(0, 99999)))
+                else:
+                    row.append(rng.choice(words))
+            rows.append(row)
+        sheets.append((name, rows))
+    data = encode_xlsl(sheets)
+    text, spans = table_text_spans(sheets)
+    return data, " ".join(text.split()), text, spans
+
+
 def _build_pdfl_page(
     rng: random.Random, idx: int
 ) -> tuple[bytes, str, str, list[dict]]:
@@ -234,6 +269,8 @@ def build_page(idx: int, crawl: int, seed: int = DEFAULT_SEED) -> dict:
     url = _url(idx)
     if kind == "pdfl":
         payload, wet, _, _ = _build_pdfl_page(rng, idx)
+    elif kind == "xlsl":
+        payload, wet, _, _ = _build_xlsl_page(rng, idx)
     elif kind == "garbage":
         payload = b"\xff\xfe\x00" + bytes(rng.randrange(256) for _ in range(40))
         wet = ""
@@ -263,6 +300,9 @@ def build_golden(idx: int, seed: int = DEFAULT_SEED) -> dict:
     if kind == "pdfl":
         _, _, golden, spans = _build_pdfl_page(rng, idx)
         ocr, fail = True, False
+    elif kind == "xlsl":
+        _, _, golden, spans = _build_xlsl_page(rng, idx)
+        ocr, fail = False, False
     elif kind == "garbage":
         golden, spans, ocr, fail = sentinel_error(url), [], False, True
     else:
@@ -323,7 +363,7 @@ def ensure_corpus(n_pages: int, seed: int = DEFAULT_SEED) -> tuple[str, str]:
     """
     import ray.data
 
-    root = os.path.join(_CACHE_ROOT, f"n{n_pages}_s{seed}")
+    root = os.path.join(_CACHE_ROOT, f"n{n_pages}_s{seed}_v{GEN_VERSION}")
     pages_dir = os.path.join(root, "pages")
     golden_dir = os.path.join(root, "golden")
     marker = os.path.join(root, "_COMPLETE")
