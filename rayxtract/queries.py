@@ -602,6 +602,56 @@ def q_pages_media_features(sf_dir: str):
     )
 
 
+
+
+def q_pages_langid(sf_dir: str):
+    """Language-ID actor stage over extracted page text; returns per
+    (lang, lang_pred) counts — accuracy vs the corpus lang labels is
+    asserted in tests/test_pages_analysis.py."""
+    from .agg import tree_aggregate
+    from .ops import ExtractConfig
+    from .pipeline import extraction_dataset
+    from .textops import LangIdBatch
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    ds = extraction_dataset(pages_dir, ExtractConfig())
+    ds = ds.map_batches(
+        LangIdBatch, batch_format="pandas", batch_size=512, concurrency=(1, 8)
+    )
+    return tree_aggregate(
+        ds, keys=["lang", "lang_pred"], aggs={"n": ("lang", "count")}
+    )
+
+
+def q_pages_status(sf_dir: str):
+    """Newest-first crawl listing (reference queue-status shape,
+    main.py:350-354): sort by warc_ts desc, limit 50."""
+    from .ops import ExtractConfig
+    from .pipeline import extraction_dataset
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    ds = extraction_dataset(pages_dir, ExtractConfig())
+    return (
+        ds.select_columns(["url", "warc_ts", "doc_type", "n_chars"])
+        .sort(["warc_ts", "url"], descending=[True, False])
+        .limit(50)
+    )
+
+
+def q_pages_quality(sf_dir: str):
+    """Quality counts over extracted page text (training-data filtering
+    signals at the extraction boundary)."""
+    from .ops import ExtractConfig
+    from .pipeline import extraction_dataset
+    from .textops import add_quality_counts
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    ds = extraction_dataset(pages_dir, ExtractConfig())
+    return ds.map_batches(
+        add_quality_counts, batch_format="pandas"
+    ).select_columns(["url", "n_chars_q", "n_tokens", "n_digits", "n_punct"])
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -634,6 +684,9 @@ QUERIES = {
     "emb_label_counts": q_emb_label_counts,
     "emb_neardup": q_emb_neardup,
     "pages_extract": q_pages_extract,
+    "pages_langid": q_pages_langid,
+    "pages_status": q_pages_status,
+    "pages_quality": q_pages_quality,
     "pages_media_features": q_pages_media_features,
 }
 
