@@ -652,6 +652,31 @@ def q_pages_quality(sf_dir: str):
     ).select_columns(["url", "n_chars_q", "n_tokens", "n_digits", "n_punct"])
 
 
+
+
+def q_pages_neardup_pairs(sf_dir: str):
+    """MinHash+LSH near-dup pairs over extracted page text (the corpus
+    plants perturbed-copy pages; recall asserted in tests)."""
+    import pandas as pd
+
+    from .neardup import minhash_candidate_pairs
+    from .ops import ExtractConfig
+    from .pipeline import extraction_dataset
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    ds = extraction_dataset(pages_dir, ExtractConfig()).filter(expr="error == ''")
+    docs = ds.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "doc_id": b["url"].str.slice(-8).astype("int64"),
+                "text": b["text"],
+            }
+        ),
+        batch_format="pandas",
+    )
+    return minhash_candidate_pairs(docs, jaccard_threshold=0.45)
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -687,6 +712,7 @@ QUERIES = {
     "pages_langid": q_pages_langid,
     "pages_status": q_pages_status,
     "pages_quality": q_pages_quality,
+    "pages_neardup_pairs": q_pages_neardup_pairs,
     "pages_media_features": q_pages_media_features,
 }
 

@@ -74,7 +74,7 @@ def _stable_hash(idx: int, seed: int) -> int:
     return z ^ (z >> 31)
 
 
-GEN_VERSION = 2  # bump when page content rules change (cache key component)
+GEN_VERSION = 3  # bump when page content rules change (cache key component)
 
 
 def _kind(idx: int, seed: int) -> str:
@@ -89,7 +89,20 @@ def _kind(idx: int, seed: int) -> str:
         return "malformed"
     if h < 85:
         return "xlsl"
+    if h < 105:
+        return "neardup"  # perturbed copy of a neighbor page (dedup target)
     return "normal"
+
+
+def neardup_source(idx: int, seed: int = DEFAULT_SEED) -> int | None:
+    """For a 'neardup' page: the index it plagiarizes, or None when the
+    neighbor isn't a plain-content page (then it renders as normal)."""
+    if _kind(idx, seed) != "neardup":
+        return None
+    src = idx - 1 - (_stable_hash(idx ^ 0xD1CE, seed) % 5)
+    if src < 0 or _kind(src, seed) not in ("normal", "malformed"):
+        return None
+    return src
 
 
 def _rng(seed: int, idx: int, crawl: int) -> random.Random:
@@ -147,9 +160,15 @@ def _link_farm(rng: random.Random, n: int) -> tuple[str, str]:
 
 
 def _build_html_page(
-    rng: random.Random, idx: int, malformed: bool, boilerplate_only: bool
+    rng: random.Random,
+    idx: int,
+    malformed: bool,
+    boilerplate_only: bool,
+    paras: list[tuple[str, str]] | None = None,
 ) -> tuple[bytes, str, str, list[dict]]:
-    """Return (html_bytes, wet_text, golden_text, golden_spans)."""
+    """Return (html_bytes, wet_text, golden_text, golden_spans).
+
+    ``paras`` overrides content generation (used by near-dup pages)."""
     words = _words_for(idx)
     title = " ".join(rng.choice(words) for _ in range(4))
     nav_vis, nav_html = _link_farm(rng, rng.randint(4, 10))
@@ -164,11 +183,12 @@ def _build_html_page(
         comment_plains.append(p)
         comment_htmls.append(f"<p>{h}</p>")
 
-    paras: list[tuple[str, str]] = []
-    if not boilerplate_only:
-        heavy = rng.random() < 0.01
-        n_paras = rng.randint(1000, 4000) if heavy else rng.randint(3, 10)
-        paras = [_make_paragraph(rng, words) for _ in range(n_paras)]
+    if paras is None:
+        paras = []
+        if not boilerplate_only:
+            heavy = rng.random() < 0.01
+            n_paras = rng.randint(1000, 4000) if heavy else rng.randint(3, 10)
+            paras = [_make_paragraph(rng, words) for _ in range(n_paras)]
 
     parts = [
         "<!DOCTYPE html><html><head>",
@@ -241,6 +261,32 @@ def _build_xlsl_page(
     return data, " ".join(text.split()), text, spans
 
 
+def _source_paragraphs(src: int, seed: int) -> list[str]:
+    """The plain content paragraphs of page ``src`` (latest crawl)."""
+    rng = _rng(seed, src, n_crawls(src))
+    _, _, golden, _ = _build_html_page(
+        rng, src, _kind(src, seed) == "malformed", False
+    )
+    return golden.split("\n") if golden else []
+
+
+def _build_neardup_page(
+    rng: random.Random, idx: int, src: int, seed: int
+) -> tuple[bytes, str, str, list[dict]]:
+    """~8% word-substituted copy of src's content in fresh boilerplate —
+    the planted target for MinHash/SimHash near-dup detection."""
+    words = _words_for(idx)
+    paras: list[tuple[str, str]] = []
+    for p in _source_paragraphs(src, seed):
+        toks = p.split(" ")
+        toks = [
+            rng.choice(words) if rng.random() < 0.08 else t for t in toks
+        ]
+        plain = " ".join(toks)
+        paras.append((plain, " ".join(_html.escape(t) for t in toks)))
+    return _build_html_page(rng, idx, False, False, paras=paras)
+
+
 def _build_pdfl_page(
     rng: random.Random, idx: int
 ) -> tuple[bytes, str, str, list[dict]]:
@@ -274,6 +320,8 @@ def build_page(idx: int, crawl: int, seed: int = DEFAULT_SEED) -> dict:
     elif kind == "garbage":
         payload = b"\xff\xfe\x00" + bytes(rng.randrange(256) for _ in range(40))
         wet = ""
+    elif kind == "neardup" and (src := neardup_source(idx, seed)) is not None:
+        payload, wet, _, _ = _build_neardup_page(rng, idx, src, seed)
     else:
         payload, wet, _, _ = _build_html_page(
             rng, idx, kind == "malformed", kind == "boilerplate_only"
@@ -306,9 +354,12 @@ def build_golden(idx: int, seed: int = DEFAULT_SEED) -> dict:
     elif kind == "garbage":
         golden, spans, ocr, fail = sentinel_error(url), [], False, True
     else:
-        _, _, golden, spans = _build_html_page(
-            rng, idx, kind == "malformed", kind == "boilerplate_only"
-        )
+        if kind == "neardup" and (src := neardup_source(idx, seed)) is not None:
+            _, _, golden, spans = _build_neardup_page(rng, idx, src, seed)
+        else:
+            _, _, golden, spans = _build_html_page(
+                rng, idx, kind == "malformed", kind == "boilerplate_only"
+            )
         ocr, fail = False, False
         if not golden:
             golden, spans = sentinel_error(url), []

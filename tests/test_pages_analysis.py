@@ -20,3 +20,45 @@ def test_pages_langid_accuracy(small_corpus):
     ok = df[(~df["is_parse_failure"]) & (df["error"] == "")]
     acc = (ok["lang"] == ok["lang_pred"]).mean()
     assert acc >= 0.8, f"langid accuracy {acc:.3f}"
+
+
+def test_minhash_finds_planted_page_neardups(small_corpus):
+    """MinHash+LSH over extracted page text recovers the corpus's planted
+    near-duplicates (perturbed-copy pages) with high recall and finds no
+    pairs among unrelated pages."""
+    import pandas as pd
+
+    from rayxtract.neardup import minhash_candidate_pairs
+    from rayxtract.ops import ExtractConfig
+    from rayxtract.pipeline import extraction_dataset
+    from rayxtract.synth import _kind, _url, neardup_source
+
+    pages_dir, _ = small_corpus
+    ds = extraction_dataset(pages_dir, ExtractConfig())
+    # exclude sentinel rows ([ERRO: ...] texts are near-identical by design)
+    ds = ds.filter(expr="error == ''")
+    docs = ds.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                # minhash op wants (doc_id, text); derive doc_id from url idx
+                "doc_id": b["url"].str.slice(-8).astype("int64"),
+                "text": b["text"],
+            }
+        ),
+        batch_format="pandas",
+    )
+    pairs = minhash_candidate_pairs(docs, jaccard_threshold=0.45).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+
+    planted = set()
+    for idx in range(1000):
+        src = neardup_source(idx)
+        if src is not None and _kind(idx, 42) == "neardup":
+            planted.add((min(src, idx), max(src, idx)))
+    assert planted, "corpus should contain planted near-dups"
+    recall = len(planted & found) / len(planted)
+    assert recall >= 0.75, f"recall {recall:.2f} over {len(planted)} planted"
+    # precision: no pairs outside the planted set (word-soup pages are
+    # pairwise dissimilar at this threshold)
+    extras = found - planted
+    assert len(extras) <= max(1, len(found) // 20), extras
