@@ -5,7 +5,7 @@ for a 100k-row two-column aggregate at 32 CPUs). For BOUNDED-CARDINALITY
 aggregates — result rows << input rows — the scale-correct pattern is:
 
     map_batches(partial pandas groupby)      # one partial row per key/batch
-    -> repartition(num_merge_blocks)         # tiny: only partials move
+    -> repartition(1)                        # tiny: only partials move
     -> map_batches(merge, whole block)       # final rows per key
 
 This is the classic combiner tree. Use Ray's groupby instead when the
@@ -26,13 +26,14 @@ def tree_aggregate(
     ds,
     keys: list[str],
     aggs: dict[str, tuple[str, str]],
-    num_merge_blocks: int = 1,
 ):
-    """Grouped aggregate via partial combine + merge.
+    """Grouped aggregate via partial combine + single-block merge.
 
     ``aggs``: {out_col: (in_col, fn)} with fn in sum|min|max|count.
-    Result cardinality must be small enough that result/num_merge_blocks
-    fits one block (the caller's contract — document per use).
+    The final merge runs in ONE block by design: a plain repartition(N>1)
+    splits rows arbitrarily (not by key) and would emit duplicate key rows.
+    The caller's contract is that the RESULT fits one block; the partial
+    stage has already shrunk the data to <= keys x input-blocks rows.
     """
     for out, (col, fn) in aggs.items():
         if fn not in _AGG_FUNCS:
@@ -60,6 +61,6 @@ def tree_aggregate(
 
     return (
         ds.map_batches(partial, batch_format="pandas")
-        .repartition(num_merge_blocks)
+        .repartition(1)
         .map_batches(merge, batch_format="pandas", batch_size=None)
     )

@@ -27,10 +27,15 @@ def _keep_latest_table(t: pa.Table) -> pa.Table:
     """One winner row per url within ``t`` (deterministic)."""
     if t.num_rows <= 1:
         return t
-    # sort: url asc, warc_ts desc, text_crc asc, text asc -> first row per url wins
+    # sort: url asc, warc_ts desc, then every remaining sortable column asc
+    # — ties (equal url+ts) resolve identically regardless of block layout
     keys = [("url", "ascending"), ("warc_ts", "descending")]
-    if "text_crc" in t.column_names:
-        keys.append(("text_crc", "ascending"))
+    keyed = {"url", "warc_ts"}
+    for name, typ in zip(t.column_names, t.schema.types):
+        if name not in keyed and (
+            pa.types.is_primitive(typ) or pa.types.is_string(typ)
+        ):
+            keys.append((name, "ascending"))
     idx = pc.sort_indices(t, sort_keys=keys)
     t = t.take(idx)
     import numpy as np

@@ -56,11 +56,15 @@ PRUNE_TAGS = frozenset(
     }
 )
 
-# class/id substrings marking unlikely-content subtrees (readability's
-# "unlikely candidates" idea, re-derived from scratch).
+# class/id tokens marking unlikely-content subtrees (readability's
+# "unlikely candidates" idea, re-derived from scratch). Short ambiguous
+# tokens (ad, ads, nav, menu) require token boundaries so 'heading',
+# 'shadow', 'gradient', 'navigate-content' etc. don't prune real content;
+# long distinctive stems match as substrings.
 PENALTY_RE = re.compile(
-    r"(?:ad|ads|advert|promo|banner|sidebar|side-bar|comment|share|social"
-    r"|sponsor|related|widget|menu|breadcrumb|cookie|popup|subscribe)",
+    r"(?:^|[\s_-])(?:ad|ads|nav(?:bar|igation)?|menu)(?=$|[\s_-])"
+    r"|advert|promo|banner|side-?bar|comment|share|social"
+    r"|sponsor|related|widget|breadcrumb|cookie|popup|subscribe",
     re.IGNORECASE,
 )
 
@@ -161,26 +165,9 @@ class _TreeBuilder(HTMLParser):
 _TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(/?)>", re.DOTALL)
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
 _DECL_RE = re.compile(r"<![^>]*>", re.DOTALL)
-_ATTR_RE = re.compile(
-    r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))"
-)
 _RAWTEXT = {"script", "style", "textarea"}
-_AMP_RE = re.compile(r"&")
-
-
-def _parse_attrs(raw: str):
-    if "=" not in raw:
-        return ()
-    out = []
-    for m in _ATTR_RE.finditer(raw):
-        v = m.group(2) if m.group(2) is not None else (
-            m.group(3) if m.group(3) is not None else m.group(4)
-        )
-        if v and "&" in v:
-            v = _html_unescape(v)
-        out.append((m.group(1).lower(), v))
-    return tuple(out)
-
+# case-insensitive close-tag scanners for rawtext content
+_RAWTEXT_CLOSE = {t: re.compile(f"</{t}", re.IGNORECASE) for t in _RAWTEXT}
 
 from html import unescape as _html_unescape  # noqa: E402
 
@@ -192,7 +179,6 @@ def _build_tree_fast(html: str) -> "_Node":
     cur = root
     pos = 0
     n = len(html)
-    append_text = None  # micro-opt: bound method cache per node
     while pos < n:
         lt = html.find("<", pos)
         if lt == -1:
@@ -250,10 +236,8 @@ def _build_tree_fast(html: str) -> "_Node":
         cur.children.append(child)
         cur = child
         if name in _RAWTEXT:
-            close = html.find(f"</{name}", pos)
-            if close == -1:
-                cm = re.search(f"</{name}", html[pos:], re.IGNORECASE)
-                close = pos + cm.start() if cm else n
+            cm = _RAWTEXT_CLOSE[name].search(html, pos)
+            close = cm.start() if cm else n
             if close > pos:
                 child.children.append(html[pos:close])
             # skip past the closing tag

@@ -82,11 +82,17 @@ def layout_text(pages: list[list[tuple[int, int, str]]]) -> tuple[str, list[dict
         " ".join(run for _, _, run in sorted(runs, key=lambda r: (r[1], r[0])))
         for runs in pages
     ]
-    text = "\n".join(page_texts).strip()
+    full = "\n".join(page_texts)
+    text = full.strip()
+    # spans are computed on the unstripped join, then shifted/clamped so
+    # empty leading/trailing pages (n_runs=0) can't misalign offsets
+    lead = len(full) - len(full.lstrip())
     spans: list[dict] = []
     pos = 0
     for pt in page_texts:
-        spans.append({"start": pos, "end": pos + len(pt), "kind": "page"})
+        start = max(0, min(pos - lead, len(text)))
+        end = max(0, min(pos + len(pt) - lead, len(text)))
+        spans.append({"start": start, "end": end, "kind": "page"})
         pos += len(pt) + 1
     return text, spans
 

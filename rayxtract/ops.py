@@ -77,8 +77,10 @@ def detect_type(payload: bytes) -> str:
         return DOC_TYPE_PDFL
     if payload[:4] == XLSL_MAGIC:
         return DOC_TYPE_XLSL
-    head = payload[:256].lstrip()
-    if head[:1] == b"<":
+    head = payload[:256]
+    if head[:3] == b"\xef\xbb\xbf":  # UTF-8 BOM (common in crawl data)
+        head = head[3:]
+    if head.lstrip()[:1] == b"<":
         return DOC_TYPE_HTML
     return DOC_TYPE_GARBAGE
 
@@ -234,7 +236,10 @@ def _extract_one(url: str, payload, cfg: ExtractConfig, parse_pdfl_inline: bool 
                 return doc_type, sentinel_error(url), [], False, False, "empty extraction", None
             return doc_type, text, spans, False, False, "", None
         if doc_type == DOC_TYPE_HTML:
-            text, spans = extract_main_content(payload.decode("utf-8"), cfg.dom)
+            # utf-8-sig: identical to utf-8 but strips a leading BOM
+            text, spans = extract_main_content(
+                payload.decode("utf-8-sig"), cfg.dom
+            )
             if not text:
                 # reference's empty-extraction sentinel, workers.py:70-75
                 return doc_type, sentinel_error(url), [], False, False, "empty extraction", None
@@ -267,6 +272,7 @@ class LayoutParse:
         payloads = batch["payload"].to_pylist()
         texts = batch["text"].to_pylist()
         spans = batch["spans"].to_pylist()
+        ocrs = batch["is_ocr_fallback"].to_pylist()
         fails = batch["is_parse_failure"].to_pylist()
         errors = batch["error"].to_pylist()
         dts = list(doc_types)
@@ -279,6 +285,7 @@ class LayoutParse:
             except (ValueError, UnicodeDecodeError, struct_error) as e:
                 texts[i] = sentinel_error(urls[i])
                 spans[i] = []
+                ocrs[i] = False  # same bytes out as the inline path
                 fails[i] = True
                 errors[i] = str(e)[:200]
                 dts[i] = DOC_TYPE_GARBAGE
@@ -293,7 +300,7 @@ class LayoutParse:
             "spans": spans,
             "lang": batch["lang"].to_pylist(),
             "n_chars": n_chars,
-            "is_ocr_fallback": batch["is_ocr_fallback"].to_pylist(),
+            "is_ocr_fallback": ocrs,
             "is_parse_failure": fails,
             "error": errors,
             "text_crc": crcs,

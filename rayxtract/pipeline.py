@@ -53,6 +53,7 @@ __all__ = [
 
 def list_shards(pages_path: str) -> list[str]:
     """Stable (sorted) list of input parquet files; shard_id = list index."""
+    pages_path = os.path.abspath(pages_path)  # Ray reports absolute paths
     if os.path.isfile(pages_path):
         return [pages_path]
     files = sorted(
@@ -130,7 +131,7 @@ def extraction_dataset(
         urls = batch["url"].to_pylist()
         ts = batch["warc_ts"].cast(pa.int64()).to_pylist()
         keep = [u not in w or t == w[u] for u, t in zip(urls, ts)]
-        pids = [s[p] for p in batch["path"].to_pylist()]
+        pids = [s[os.path.abspath(p)] for p in batch["path"].to_pylist()]
         batch = batch.append_column(
             "partition_id", pa.array(pids, type=pa.int64())
         ).drop_columns(["path"])
@@ -239,7 +240,18 @@ def run_extraction(
         for d in _glob.glob(os.path.join(out_dir, "partition_id=*"))
         if os.path.isdir(d)
     )
-    stats = pd.DataFrame(ray.get([partition_metrics.remote(d) for d in pdirs]))
+    metric_cols = [
+        "partition_id", "rows", "chars", "ocr_fallbacks", "parse_failures",
+        "crc_sum", "max_chars",
+    ]
+    recs = ray.get([partition_metrics.remote(d) for d in pdirs])
+    # a shard whose rows were all loser-filtered writes no files — record a
+    # zero manifest so resume doesn't re-read it forever
+    seen = {r["partition_id"] for r in recs}
+    for pid in range(n_shards):
+        if pid not in seen and pid not in done:
+            recs.append({c: (pid if c == "partition_id" else 0) for c in metric_cols})
+    stats = pd.DataFrame(recs, columns=metric_cols)
     elapsed = time.monotonic() - t0
     totals = {
         "rows": int(stats["rows"].sum()),

@@ -122,3 +122,49 @@ def test_layout_text_spec():
     # spec: runs sorted (y, x), space-joined; pages "\n"-joined; strip
     text, _ = layout_text([[(100, 5, "b"), (1, 5, "a"), (1, 2, "top")]])
     assert text == "top a b"
+
+
+# --- regressions from code review ----------------------------------------
+
+
+def test_penalty_tokens_not_substrings():
+    # 'heading'/'shadow'/'download' must not be pruned; real penalty
+    # tokens still are
+    html = (
+        "<body><div class='reading-content'>"
+        "<p>Real content paragraph long enough to clear the minimum bar.</p>"
+        "</div><div class='ad'><p>advertisement text long enough to be a paragraph</p></div></body>"
+    )
+    text, _ = extract_main_content(html)
+    assert text == "Real content paragraph long enough to clear the minimum bar."
+
+
+def test_uppercase_rawtext_close():
+    html = (
+        "<body><script>x</SCRIPT><div><p>First paragraph content long enough to count.</p>"
+        "<script>y</script><p>Second paragraph content long enough as well.</p></div></body>"
+    )
+    fast = extract_main_content(html)
+    std = extract_main_content(html, _use_stdlib_parser=True)
+    assert fast == std
+    assert "First paragraph" in fast[0] and "Second paragraph" in fast[0]
+
+
+def test_layout_spans_with_empty_pages():
+    text, spans = layout_text([[], [(0, 0, "hello")], []])
+    assert text == "hello"
+    for s in spans:
+        assert 0 <= s["start"] <= s["end"] <= len(text)
+
+
+def test_bom_prefixed_html():
+    from rayxtract.ops import ExtractConfig, _extract_one, detect_type
+
+    payload = "﻿<body><div><p>BOM page content paragraph long enough to extract.</p></div></body>".encode(
+        "utf-8"
+    )
+    assert payload[:3] == b"\xef\xbb\xbf"
+    assert detect_type(payload) == "html"
+    _, text, _, _, fail, _, _ = _extract_one("u", payload, ExtractConfig())
+    assert not fail
+    assert text == "BOM page content paragraph long enough to extract."
