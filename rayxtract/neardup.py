@@ -30,6 +30,7 @@ import pyarrow as pa
 
 __all__ = [
     "exact_dedup",
+    "ngram_jaccard_verify",
     "MinHashBatch",
     "minhash_candidate_pairs",
     "SimHashBatch",
@@ -212,6 +213,77 @@ def minhash_candidate_pairs(
         return batch[batch["jaccard_est"] >= jaccard_threshold]
 
     return pairs.map_batches(verify, batch_format="pandas")
+
+
+def ngram_jaccard_verify(
+    ds,
+    pairs,
+    k: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """EXACT word-k-gram Jaccard over candidate pairs.
+
+    ``pairs`` is a Dataset/DataFrame of (doc_a, doc_b) candidates (e.g. from
+    minhash_candidate_pairs or simhash banding). Only the texts of docs that
+    appear in a candidate pair are gathered and broadcast — bounded by the
+    candidate set, not the corpus. Returns (doc_a, doc_b, jaccard) with
+    jaccard >= threshold.
+    """
+    import pandas as pd
+    import ray
+
+    pdf = pairs if isinstance(pairs, pd.DataFrame) else pairs.to_pandas()
+    if not len(pdf):
+        return _empty_pairs(
+            {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
+        )
+    cand_ids = set(pdf["doc_a"].astype(int)) | set(pdf["doc_b"].astype(int))
+
+    def gather(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch[id_col].astype(int).isin(cand_ids)
+        return batch.loc[m, [id_col, text_col]]
+
+    texts = {
+        int(r[id_col]): r[text_col]
+        for b in ds.map_batches(gather, batch_format="pandas").iter_batches(
+            batch_size=4096, batch_format="pandas"
+        )
+        for r in b.to_dict("records")
+    }
+    texts_ref = ray.put((texts, k, threshold))
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        t, kk, thr = ray.get(texts_ref)
+
+        def grams(s: str) -> set:
+            w = s.split()
+            if len(w) < kk:
+                return {" ".join(w)} if w else set()
+            return {" ".join(w[i : i + kk]) for i in range(len(w) - kk + 1)}
+
+        out = {"doc_a": [], "doc_b": [], "jaccard": []}
+        for a, b in zip(batch["doc_a"].astype(int), batch["doc_b"].astype(int)):
+            ga, gb = grams(t.get(a, "")), grams(t.get(b, ""))
+            denom = len(ga | gb)
+            j = (len(ga & gb) / denom) if denom else 0.0
+            if j >= thr:
+                out["doc_a"].append(a)
+                out["doc_b"].append(b)
+                out["jaccard"].append(j)
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(out["doc_a"], dtype="int64"),
+                "doc_b": pd.Series(out["doc_b"], dtype="int64"),
+                "jaccard": pd.Series(out["jaccard"], dtype="float64"),
+            }
+        )
+
+    import ray.data
+
+    pairs_ds = ray.data.from_pandas(pdf[["doc_a", "doc_b"]])
+    return pairs_ds.map_batches(verify, batch_format="pandas", batch_size=1024)
 
 
 # ---------------------------------------------------------------------------

@@ -677,6 +677,33 @@ def q_pages_neardup_pairs(sf_dir: str):
     return minhash_candidate_pairs(docs, jaccard_threshold=0.45)
 
 
+
+
+def q_pages_neardup_exact(sf_dir: str):
+    """Near-dup pairs with EXACT word-3-gram Jaccard verification: MinHash
+    LSH proposes candidates, ngram_jaccard_verify confirms (the n-gram
+    Jaccard dedup family; signature estimate replaced by true Jaccard)."""
+    import pandas as pd
+
+    from .neardup import minhash_candidate_pairs, ngram_jaccard_verify
+    from .ops import ExtractConfig
+    from .pipeline import extraction_dataset
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    ds = extraction_dataset(pages_dir, ExtractConfig()).filter(expr="error == ''")
+    docs = ds.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "doc_id": b["url"].str.slice(-8).astype("int64"),
+                "text": b["text"],
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()  # reused: candidate generation + exact verify gather
+    cands = minhash_candidate_pairs(docs, jaccard_threshold=0.35)
+    return ngram_jaccard_verify(docs, cands, k=3, threshold=0.5)
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -713,6 +740,7 @@ QUERIES = {
     "pages_status": q_pages_status,
     "pages_quality": q_pages_quality,
     "pages_neardup_pairs": q_pages_neardup_pairs,
+    "pages_neardup_exact": q_pages_neardup_exact,
     "pages_media_features": q_pages_media_features,
 }
 

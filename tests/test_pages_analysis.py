@@ -62,3 +62,21 @@ def test_minhash_finds_planted_page_neardups(small_corpus):
     # pairwise dissimilar at this threshold)
     extras = found - planted
     assert len(extras) <= max(1, len(found) // 20), extras
+
+
+def test_exact_jaccard_verify(small_corpus):
+    """ngram_jaccard_verify confirms planted pairs with true Jaccard."""
+    from rayxtract.queries import q_pages_neardup_exact
+
+    pairs = q_pages_neardup_exact("/root/testdata/sf0.001").to_pandas()
+    assert len(pairs) > 0
+    assert (pairs["jaccard"] >= 0.5).all()
+    from rayxtract.synth import _kind, neardup_source
+
+    planted = set()
+    for idx in range(1000):
+        src = neardup_source(idx)
+        if src is not None and _kind(idx, 42) == "neardup":
+            planted.add((min(src, idx), max(src, idx)))
+    found = {(int(a), int(b)) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert len(planted & found) / len(planted) >= 0.7
