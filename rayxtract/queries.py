@@ -704,6 +704,95 @@ def q_pages_neardup_exact(sf_dir: str):
     return ngram_jaccard_verify(docs, cands, k=3, threshold=0.5)
 
 
+
+
+def q_doc_ngram_jaccard(sf_dir: str):
+    """EXACT word-3-gram Jaccard for the deterministic pair set
+    (doc_id, doc_id+1) with doc_id % 50 == 0 — oracle-checked against
+    DuckDB list arithmetic. Integer (n_common, n_union) output keeps the
+    value-hash float-free."""
+    import pandas as pd
+
+    def grams(text: str) -> set:
+        w = [t for t in text.split() if t]
+        if len(w) < 3:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    def relevant(batch: pd.DataFrame) -> pd.DataFrame:
+        m = (batch["doc_id"] % 50).isin([0, 1])
+        b = batch[m].copy()
+        b["pair_id"] = (b["doc_id"] - (b["doc_id"] % 50)).astype("int64")
+        return b[["pair_id", "doc_id", "text"]]
+
+    def pair_jaccard(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("doc_id")
+        ids = g["doc_id"].astype(int).tolist()
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "n_common": pd.Series(dtype="int64"),
+                "n_union": pd.Series(dtype="int64"),
+            }
+        )
+        if len(ids) != 2 or ids[1] != ids[0] + 1:
+            return empty
+        ga, gb = grams(g["text"].iloc[0]), grams(g["text"].iloc[1])
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([ids[0]], dtype="int64"),
+                "doc_b": pd.Series([ids[1]], dtype="int64"),
+                "n_common": pd.Series([len(ga & gb)], dtype="int64"),
+                "n_union": pd.Series([len(ga | gb)], dtype="int64"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(relevant, batch_format="pandas")
+        .groupby("pair_id")
+        .map_groups(pair_jaccard, batch_format="pandas")
+    )
+
+
+def q_emb_neardup_exact(sf_dir: str):
+    """EXACT all-pairs cosine near-dup (threshold 0.3): the full unit
+    matrix is broadcast once; each batch does one matmul against it —
+    embarrassingly parallel, no shuffle. Ids-only output (oracle-exact)."""
+    import duckdb
+    import ray
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ref = ray.put((ids, mat))
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        all_ids, all_unit = ray.get(ref)
+        b_ids = batch["vec_id"].astype("int64").to_numpy()
+        vecs = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = vecs @ all_unit.T
+        ii, jj = np.where(sims >= 0.3)
+        keep = all_ids[jj] > b_ids[ii]
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series(b_ids[ii][keep], dtype="int64"),
+                "vec_b": pd.Series(all_ids[jj][keep], dtype="int64"),
+            }
+        )
+
+    return _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        pairs, batch_format="pandas"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -735,6 +824,8 @@ QUERIES = {
     "emb_knn_ivf": q_emb_knn_ivf,
     "emb_label_counts": q_emb_label_counts,
     "emb_neardup": q_emb_neardup,
+    "emb_neardup_exact": q_emb_neardup_exact,
+    "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "pages_extract": q_pages_extract,
     "pages_langid": q_pages_langid,
     "pages_status": q_pages_status,
@@ -857,6 +948,28 @@ ORACLE_SQL = {
         SELECT DISTINCT lang FROM documents
     """,
     "doc_build_prompts": _prompt_oracle_sql(),
+    "doc_ngram_jaccard": """
+        WITH w AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(ws) >= 3
+                   THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                   ELSE [array_to_string(ws, ' ')] END) AS gs
+          FROM w
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS n_common,
+               CAST(len(list_distinct(list_concat(a.gs, b.gs))) AS BIGINT) AS n_union
+        FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 50 = 0
+    """,
+    "emb_neardup_exact": """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.3
+    """,
     "doc_union_sources": """
         SELECT doc_id, source FROM documents WHERE source = 'src0'
         UNION ALL
