@@ -267,8 +267,12 @@ class DomConfig:
 _DEFAULT_CFG = DomConfig()
 
 
+# (?<![\w-]) anchors the attribute NAME start: plain \b would also match the
+# tail of data-id= / item-id= / data-class=, penalizing subtrees the
+# stdlib-parser path (exact key match on 'class'/'id') keeps.
 _CLASS_ID_RE = re.compile(
-    r"\b(?:class|id)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))", re.IGNORECASE
+    r"(?<![\w-])(?:class|id)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))",
+    re.IGNORECASE,
 )
 
 

@@ -423,7 +423,10 @@ def ensure_corpus(n_pages: int, seed: int = DEFAULT_SEED) -> tuple[str, str]:
 
     import shutil
 
-    tmp_root = root + ".tmp"
+    # concurrency-safe publish: per-process tmp dir (two processes — e.g.
+    # pytest and bench — may race on the same tier), marker written INSIDE
+    # tmp before the atomic rename, loser cleans up after itself
+    tmp_root = f"{root}.tmp.{os.getpid()}"
     shutil.rmtree(tmp_root, ignore_errors=True)
     os.makedirs(os.path.join(tmp_root, "pages"), exist_ok=True)
     os.makedirs(os.path.join(tmp_root, "golden"), exist_ok=True)
@@ -438,8 +441,17 @@ def ensure_corpus(n_pages: int, seed: int = DEFAULT_SEED) -> tuple[str, str]:
         .map_batches(lambda b: golden_batch(b, seed), batch_format="pyarrow")
         .write_parquet(os.path.join(tmp_root, "golden"))
     )
-    shutil.rmtree(root, ignore_errors=True)  # stale partial run
-    os.replace(tmp_root, root)
-    with open(marker, "w") as f:
+    with open(os.path.join(tmp_root, "_COMPLETE"), "w") as f:
         f.write("ok\n")
+    if os.path.exists(marker):  # another process published while we worked
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        return pages_dir, golden_dir
+    try:
+        os.rename(tmp_root, root)  # atomic; fails if root exists
+    except OSError:
+        if os.path.exists(marker):  # lost the race to a complete publish
+            shutil.rmtree(tmp_root, ignore_errors=True)
+            return pages_dir, golden_dir
+        shutil.rmtree(root, ignore_errors=True)  # stale partial (no marker)
+        os.rename(tmp_root, root)
     return pages_dir, golden_dir

@@ -168,3 +168,22 @@ def test_bom_prefixed_html():
     _, text, _, _, fail, _, _ = _extract_one("u", payload, ExtractConfig())
     assert not fail
     assert text == "BOM page content paragraph long enough to extract."
+
+
+def test_data_prefixed_attrs_not_penalized():
+    # data-id / data-class / item-id are NOT 'class'/'id': the fast
+    # tokenizer's lazy attr scan must agree with the stdlib path's exact
+    # key match (ADVICE r1: \b matched the tail of hyphenated attrs).
+    html = (
+        "<body><div data-id='nav' data-class='menu' item-id='ads'>"
+        "<p>Real article content that must survive attribute sniffing here.</p>"
+        "</div><div class='nav'>"
+        "<p>Penalized sidebar paragraph long enough to qualify as content.</p>"
+        "</div></body>"
+    )
+    fast = extract_main_content(html)
+    stdlib = extract_main_content(html, _use_stdlib_parser=True)
+    assert fast == stdlib
+    assert fast[0] == (
+        "Real article content that must survive attribute sniffing here."
+    )
