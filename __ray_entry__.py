@@ -35,4 +35,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from rayxtract.queries import ORACLE_SQL
 
+    # pages_* oracles read the deterministic synth corpus parquet directly;
+    # make sure the sf0.01-tier corpus exists before DuckDB needs it (no-op
+    # when cached; guarded so oracle listing works even without a Ray
+    # session — the corresponding queries would ensure it themselves).
+    try:
+        from rayxtract.synth import ensure_corpus
+
+        ensure_corpus(10_000)
+    except Exception:
+        pass
     return dict(ORACLE_SQL)

@@ -25,6 +25,7 @@ __all__ = [
     "write_manifest",
     "read_manifest",
     "completed_partitions",
+    "completed_partitions_for",
     "clean_incomplete",
     "MANIFEST_NAME",
 ]
@@ -73,6 +74,33 @@ def completed_partitions(out_dir: str) -> set[int]:
         except ValueError:
             continue
         if read_manifest(out_dir, pid) is not None:
+            done.add(pid)
+    return done
+
+
+def completed_partitions_for(
+    out_dir: str, input_path: str, shard_files: list[str]
+) -> set[int]:
+    """Partition ids whose manifest matches the CURRENT input.
+
+    A manifest is resumable only if it records the same input path AND the
+    same shard file for its pid — shard_id is the sorted-file-list index, so
+    reusing out_dir with a changed pages_path (file added/removed/renamed)
+    must invalidate every shifted partition rather than silently skipping
+    stale data (ADVICE r1, pipeline.py:186)."""
+    import os as _os
+
+    input_path = _os.path.abspath(input_path)
+    done: set[int] = set()
+    for pid in completed_partitions(out_dir):
+        if pid >= len(shard_files):
+            continue
+        m = read_manifest(out_dir, pid)
+        if (
+            m is not None
+            and m.get("input") == input_path
+            and m.get("shard_file") == _os.path.basename(shard_files[pid])
+        ):
             done.add(pid)
     return done
 

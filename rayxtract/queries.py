@@ -557,6 +557,34 @@ def _pages_corpus(sf_dir: str):
     return ensure_corpus(sf_dir_to_n_pages(sf_dir))
 
 
+def _oracle_corpus_root() -> str:
+    """Cache path of the sf0.01-tier synth corpus — the tier the driver's
+    correctness gate runs at. Derived from synth constants so GEN_VERSION
+    bumps keep the oracle strings and the corpus in lockstep."""
+    from .synth import _CACHE_ROOT, DEFAULT_SEED, GEN_VERSION
+
+    n = 10_000  # sf_dir_to_n_pages('/root/testdata/sf0.01')
+    return f"{_CACHE_ROOT}/n{n}_s{DEFAULT_SEED}_v{GEN_VERSION}"
+
+
+def q_pages_recrawl_winners(sf_dir: str):
+    """The flagship's pass A as a first-class oracle-checked query: the
+    distributed hash-bucketed winner reduce returns exactly the urls with
+    >1 crawl and their max warc_ts (VERDICT r1 top-next item)."""
+    from .pipeline import compute_recrawl_winners
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    winners, ties = compute_recrawl_winners(pages_dir)
+    allw = {**winners, **ties}
+    urls = sorted(allw)
+    return pd.DataFrame(
+        {
+            "url": pd.Series(urls, dtype="object"),
+            "max_ts_us": pd.Series([allw[u] for u in urls], dtype="int64"),
+        }
+    )
+
+
 def q_pages_extract(sf_dir: str):
     """Flagship: full extraction + dedup over the synth corpus sized to
     sf_dir's tier; returns per-url metrics columns (content identity is
@@ -826,6 +854,7 @@ QUERIES = {
     "emb_neardup": q_emb_neardup,
     "emb_neardup_exact": q_emb_neardup_exact,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
+    "pages_recrawl_winners": q_pages_recrawl_winners,
     "pages_extract": q_pages_extract,
     "pages_langid": q_pages_langid,
     "pages_status": q_pages_status,
@@ -993,6 +1022,11 @@ ORACLE_SQL = {
     """,
     "emb_label_counts": """
         SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label
+    """,
+    "pages_recrawl_winners": f"""
+        SELECT url, CAST(epoch_us(MAX(warc_ts)) AS BIGINT) AS max_ts_us
+        FROM read_parquet('{_oracle_corpus_root()}/pages/*.parquet')
+        GROUP BY url HAVING COUNT(*) > 1
     """,
 }
 

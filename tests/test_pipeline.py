@@ -154,3 +154,109 @@ def test_lazy_dataset_streams(small_corpus):
     for batch in ds.iter_batches(batch_size=256, batch_format="pyarrow"):
         n += batch.num_rows
     assert n == 1000  # unique urls
+
+
+def test_resume_rejects_stale_manifests_from_other_input(small_corpus, tmp_path):
+    """A manifest written for a DIFFERENT pages_path must not be trusted:
+    shard_id is a file-list index, so reusing out_dir across inputs would
+    silently skip partitions of stale data (ADVICE r1)."""
+    pages_dir, _ = small_corpus
+    out = str(tmp_path / "out")
+    cfg = ExtractConfig(n_partitions=8, batch_size=64)
+    run_extraction(pages_dir, out, cfg, resume=False)
+    first = _load_sorted(_read_output(out))
+
+    # same bytes, different input path -> every manifest is stale
+    other = str(tmp_path / "other_pages")
+    shutil.copytree(pages_dir, other)
+    report = run_extraction(other, out, cfg, resume=True)
+    assert report["partitions_skipped_on_resume"] == 0
+    assert len(report["partitions_wiped_incomplete"]) > 0
+    again = _load_sorted(_read_output(out))
+    pd.testing.assert_frame_equal(
+        first[["url", "text"]], again[["url", "text"]]
+    )
+
+
+def test_recrawl_winners_match_duckdb(small_corpus):
+    """Distributed bucketed winner reduce == SQL GROUP BY ... HAVING n>1."""
+    import duckdb
+
+    from rayxtract.pipeline import compute_recrawl_winners
+
+    pages_dir, _ = small_corpus
+    winners, ties = compute_recrawl_winners(pages_dir, n_buckets=5)
+    assert not ties  # WARC-style corpus: no exact (url, ts) ties
+    con = duckdb.connect()
+    exp = dict(
+        con.execute(
+            "SELECT url, CAST(epoch_us(MAX(warc_ts)) AS BIGINT) "
+            f"FROM read_parquet('{pages_dir}/*.parquet') "
+            "GROUP BY url HAVING COUNT(*) > 1"
+        ).fetchall()
+    )
+    con.close()
+    assert winners == exp
+    assert len(winners) > 0
+
+
+def test_exact_ts_ties_resolve_to_one_row(tmp_path):
+    """Exact (url, warc_ts) ties: exactly ONE deterministic winner row per
+    url survives — smallest crc32(payload) among the max-ts rows, identical
+    payload duplicates collapse to one (ADVICE r1, pipeline.py:133)."""
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rayxtract.schema import PAGES_SCHEMA
+
+    def page(url, ts, body):
+        html = f"<html><body><div><p>{body}</p></div></body></html>"
+        return {
+            "url": url,
+            "warc_ts": ts,
+            "html": html.encode(),
+            "text": body,
+            "lang": "en",
+        }
+
+    base = 1_700_000_000_000_000
+    body_a = "tie candidate payload alpha with enough characters to extract"
+    body_b = "tie candidate payload bravo with enough characters to extract"
+    rows_s0 = [
+        page("https://t.example/tie-diff", base, body_a),
+        page("https://t.example/tie-same", base, body_a),
+        page("https://t.example/plain", base, body_b),
+    ]
+    rows_s1 = [
+        page("https://t.example/tie-diff", base, body_b),  # same ts, diff payload
+        page("https://t.example/tie-same", base, body_a),  # fully identical row
+        page("https://t.example/recrawl", base, body_a),
+        page("https://t.example/recrawl", base + 5, body_b),  # normal recrawl
+    ]
+    pdir = tmp_path / "tie_pages"
+    pdir.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows_s0, schema=PAGES_SCHEMA), pdir / "s0.parquet")
+    pq.write_table(pa.Table.from_pylist(rows_s1, schema=PAGES_SCHEMA), pdir / "s1.parquet")
+
+    from rayxtract.pipeline import compute_recrawl_winners
+
+    winners, ties = compute_recrawl_winners(str(pdir), n_buckets=3)
+    assert set(ties) == {"https://t.example/tie-diff", "https://t.example/tie-same"}
+    assert winners == {"https://t.example/recrawl": base + 5}
+
+    out = str(tmp_path / "tie_out")
+    run_extraction(str(pdir), out, ExtractConfig(batch_size=8), resume=False)
+    got = _load_sorted(_read_output(out))
+    assert list(got["url"]) == sorted(
+        ["https://t.example/tie-diff", "https://t.example/tie-same",
+         "https://t.example/plain", "https://t.example/recrawl"]
+    )
+    # tie-diff winner: the payload with the smaller crc32
+    crc_a = zlib.crc32(rows_s0[0]["html"])
+    crc_b = zlib.crc32(rows_s1[0]["html"])
+    expect_body = body_a if crc_a < crc_b else body_b
+    tie_row = got[got["url"] == "https://t.example/tie-diff"].iloc[0]
+    assert tie_row["text"] == expect_body
+    assert got[got["url"] == "https://t.example/recrawl"].iloc[0]["text"] == body_b
