@@ -64,12 +64,22 @@ def _bucket_of_int(v: np.ndarray, n_buckets: int) -> np.ndarray:
     return (z % np.uint64(n_buckets)).astype(np.int64)
 
 
-def _pandas_dtype_of(arrow_type) -> str:
-    if pa.types.is_integer(arrow_type):
-        return "Int64"  # nullable: missing-side columns carry NA
-    if pa.types.is_floating(arrow_type):
+def _pandas_dtype_of(typ) -> str:
+    if isinstance(typ, pa.DataType):  # arrow-block dataset schema
+        if pa.types.is_integer(typ):
+            return "Int64"  # nullable: missing-side columns carry NA
+        if pa.types.is_floating(typ):
+            return "float64"
+        if pa.types.is_timestamp(typ):
+            return "datetime64[us]"
+        return "object"
+    # pandas-block dataset schema carries numpy/pandas dtypes instead
+    dt = pd.api.types.pandas_dtype(typ)
+    if pd.api.types.is_integer_dtype(dt):
+        return "Int64"
+    if pd.api.types.is_float_dtype(dt):
         return "float64"
-    if pa.types.is_timestamp(arrow_type):
+    if pd.api.types.is_datetime64_any_dtype(dt):
         return "datetime64[us]"
     return "object"
 

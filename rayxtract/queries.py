@@ -557,13 +557,15 @@ def _pages_corpus(sf_dir: str):
     return ensure_corpus(sf_dir_to_n_pages(sf_dir))
 
 
-def _oracle_corpus_root() -> str:
-    """Cache path of the sf0.01-tier synth corpus — the tier the driver's
-    correctness gate runs at. Derived from synth constants so GEN_VERSION
-    bumps keep the oracle strings and the corpus in lockstep."""
-    from .synth import _CACHE_ROOT, DEFAULT_SEED, GEN_VERSION
+def _oracle_corpus_root(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Cache path of the synth corpus for ``sf_dir``'s tier. The exported
+    ORACLE_SQL binds to sf0.01 — the tier the driver's correctness gate
+    runs at; tests rebind via ``oracle_sql_for``. Derived from synth
+    constants so GEN_VERSION bumps keep oracle strings and corpus in
+    lockstep."""
+    from .synth import _CACHE_ROOT, DEFAULT_SEED, GEN_VERSION, sf_dir_to_n_pages
 
-    n = 10_000  # sf_dir_to_n_pages('/root/testdata/sf0.01')
+    n = sf_dir_to_n_pages(sf_dir)
     return f"{_CACHE_ROOT}/n{n}_s{DEFAULT_SEED}_v{GEN_VERSION}"
 
 
@@ -1023,12 +1025,31 @@ ORACLE_SQL = {
     "emb_label_counts": """
         SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label
     """,
-    "pages_recrawl_winners": f"""
-        SELECT url, CAST(epoch_us(MAX(warc_ts)) AS BIGINT) AS max_ts_us
-        FROM read_parquet('{_oracle_corpus_root()}/pages/*.parquet')
-        GROUP BY url HAVING COUNT(*) > 1
-    """,
 }
+
+
+def _pages_oracles(sf_dir: str) -> dict[str, str]:
+    """Tier-dependent oracles over the deterministic synth corpus parquet
+    (the pages tables aren't driver-registered views, but their cache path
+    is a pure function of the tier)."""
+    root = _oracle_corpus_root(sf_dir)
+    return {
+        "pages_recrawl_winners": f"""
+            SELECT url, CAST(epoch_us(MAX(warc_ts)) AS BIGINT) AS max_ts_us
+            FROM read_parquet('{root}/pages/*.parquet')
+            GROUP BY url HAVING COUNT(*) > 1
+        """,
+    }
+
+
+def oracle_sql_for(sf_dir: str) -> dict[str, str]:
+    """ORACLE_SQL with the pages oracles rebound to ``sf_dir``'s tier."""
+    d = dict(ORACLE_SQL)
+    d.update(_pages_oracles(sf_dir))
+    return d
+
+
+ORACLE_SQL.update(_pages_oracles("/root/testdata/sf0.01"))
 
 
 def flagship_entry():

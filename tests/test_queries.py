@@ -65,8 +65,12 @@ def _query_names():
 def test_oracle_parity(name):
     import __ray_entry__ as e
 
+    from rayxtract.queries import oracle_sql_for
+
     got = _canon(_to_pandas(e.queries()[name](SF_DIR)))
-    exp = _canon(_duck(e.oracle_sql()[name]))
+    # pages_* oracles embed the corpus path for the driver's sf0.01 tier;
+    # rebind them to the test tier (the driver surface stays sf0.01)
+    exp = _canon(_duck(oracle_sql_for(SF_DIR)[name]))
     assert list(got.columns) == list(exp.columns), (
         f"{name}: columns {list(got.columns)} != {list(exp.columns)}"
     )
