@@ -285,3 +285,27 @@ def test_multimodal_decode_stub(ray_session):
 
     with pytest.raises(NotImplementedError):
         DecodeImageBatch(real=True)
+
+
+def test_simhash_vectorized_matches_reference():
+    """The batched bit-matrix kernel is bit-identical to the scalar
+    reference loop (golden equivalence for the r2 vectorization)."""
+    import numpy as np
+
+    from rayxtract.neardup import SimHashBatch, _simhash_reference
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",  # zero words
+        "one",
+        "repeated repeated repeated words words count as occurrences",
+        "unicode wörds ação símbolo língua conteúdo",
+        " ".join(f"w{i % 97}" for i in range(5000)),
+        # all-unique vocab forces the sparse reduceat path + batch fnv64
+        " ".join(f"uniq{i}" for i in range(3000)),
+    ]
+    got = SimHashBatch().signatures(texts)
+    exp = np.array(
+        [np.uint64(_simhash_reference(t)) for t in texts], dtype=np.uint64
+    ).view(np.int64)
+    assert list(got) == list(exp)
