@@ -41,3 +41,10 @@ def configure_context() -> None:
     except Exception:
         n_cpus = 8
     ctx.max_hash_shuffle_aggregators = max(2, min(64, n_cpus // 2))
+    # Skew: cap per-task payload. Map-stage fusion makes the read task's
+    # dynamic output splitting the unit of extraction work, so the default
+    # 128-MiB target lets one task accumulate ~128 MiB of html while its
+    # peers idle at the stream tail. 32 MiB bounds the p99 task 4x tighter
+    # at negligible block-count overhead (heavy single rows above the
+    # target are isolated by ops.isolate_heavy; a row cannot be split).
+    ctx.target_max_block_size = 32 * 1024 * 1024

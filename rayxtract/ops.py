@@ -43,6 +43,7 @@ from .synth import sentinel_error
 __all__ = [
     "ExtractConfig",
     "extract_batch",
+    "isolate_heavy",
     "LayoutParse",
     "detect_type",
     "partition_of",
@@ -101,6 +102,7 @@ class ExtractConfig:
         "layout_batch_size",
         "layout_concurrency",
         "use_layout_actors",
+        "heavy_bytes",
         "dom",
     )
 
@@ -112,6 +114,7 @@ class ExtractConfig:
         layout_batch_size: int = 256,
         layout_concurrency: tuple[int, int] | int = (1, 8),
         use_layout_actors: bool = False,
+        heavy_bytes: int | None = 4 * 1024 * 1024,
         dom: DomConfig | None = None,
     ) -> None:
         self.n_partitions = n_partitions
@@ -119,6 +122,10 @@ class ExtractConfig:
         self.batch_size = batch_size
         self.layout_batch_size = layout_batch_size
         self.layout_concurrency = layout_concurrency
+        # payloads >= heavy_bytes are isolated into single-row batches by
+        # isolate_heavy (skew: a 50-MB blob must never share a 128-row
+        # batch with 127 peers). None disables the stage.
+        self.heavy_bytes = heavy_bytes
         # False (default): PDFL parse runs inline in the stateless task
         # stage — right when the parser is cheap CPU work (this synthetic
         # decoder). True: defer PDFL rows to the LayoutParse actor-pool
@@ -130,6 +137,34 @@ class ExtractConfig:
         # to ~1.2x over 8-CPU).
         self.use_layout_actors = use_layout_actors
         self.dom = dom or DomConfig()
+
+
+def isolate_heavy(batch: pa.Table, heavy_bytes: int):
+    """Explicit skew stage: yield light rows together, each heavy payload
+    (>= heavy_bytes) as its own single-row batch.
+
+    The north rule names skew handling for "giant HTML blobs" explicitly;
+    this is the in-stream half: downstream per-batch working sets are
+    bounded by ~(batch_size x typical_row + one heavy row) instead of
+    (batch_size x max_row). The per-task half is the 32-MiB
+    target_max_block_size set in configure_context — Ray's dynamic block
+    splitting then bounds p99 task payloads; a single row past the target
+    is exactly one task. Generator output keeps the stage streaming (no
+    buffering of the whole block)."""
+    import pyarrow.compute as pc
+
+    sizes = pc.binary_length(batch["html"])
+    heavy = pc.greater_equal(sizes, pa.scalar(heavy_bytes))
+    n_heavy = pc.sum(pc.cast(heavy, pa.int64())).as_py() or 0
+    if not n_heavy:
+        yield batch
+        return
+    light = batch.filter(pc.invert(heavy))
+    if light.num_rows:
+        yield light
+    hv = batch.filter(heavy)
+    for i in range(hv.num_rows):
+        yield hv.slice(i, 1)
 
 
 def add_partition_id(batch: pa.Table, n_partitions: int) -> pa.Table:

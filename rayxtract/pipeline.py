@@ -274,6 +274,15 @@ def extraction_dataset(
             tie_table = tie_table.filter(pa.array(m))
         if tie_table.num_rows:
             ds = ds.union(ray.data.from_arrow(tie_table))
+    if cfg.heavy_bytes:
+        from .ops import isolate_heavy
+
+        hb = cfg.heavy_bytes
+        ds = ds.map_batches(
+            lambda b: isolate_heavy(b, hb),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+        )
     if cfg.use_layout_actors:
         # stage 1: stateless DOM strip / sniff (PDFL rows deferred), then
         # stage 2: stateful layout/"OCR" parse on a warm actor pool. NOTE:

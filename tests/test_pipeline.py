@@ -260,3 +260,79 @@ def test_exact_ts_ties_resolve_to_one_row(tmp_path):
     tie_row = got[got["url"] == "https://t.example/tie-diff"].iloc[0]
     assert tie_row["text"] == expect_body
     assert got[got["url"] == "https://t.example/recrawl"].iloc[0]["text"] == body_b
+
+
+def test_isolate_heavy_singles_out_big_rows():
+    import pyarrow as pa
+
+    from rayxtract.ops import isolate_heavy
+
+    rows = [
+        {"url": "a", "html": b"x" * 10},
+        {"url": "b", "html": b"y" * 5000},
+        {"url": "c", "html": b"z" * 20},
+        {"url": "d", "html": b"w" * 6000},
+    ]
+    t = pa.Table.from_pylist(rows)
+    out = list(isolate_heavy(t, heavy_bytes=1000))
+    assert [b.num_rows for b in out] == [2, 1, 1]
+    assert sorted(out[0]["url"].to_pylist()) == ["a", "c"]
+    assert {out[1]["url"][0].as_py(), out[2]["url"][0].as_py()} == {"b", "d"}
+    # no-heavy batch passes through as one piece
+    out2 = list(isolate_heavy(t, heavy_bytes=10_000))
+    assert [b.num_rows for b in out2] == [4]
+
+
+def test_skew_planted_giant_pages(tmp_path):
+    """Planted multi-MB blobs: extraction stays correct and one-row-per-url
+    with the heavy-isolation stage on (the north rule's giant-HTML-blob
+    skew case)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rayxtract.ops import _extract_one
+    from rayxtract.schema import PAGES_SCHEMA
+    from rayxtract.synth import build_page
+
+    def giant(idx: int, n_paras: int) -> dict:
+        paras = "".join(
+            f"<p>giant content paragraph number {i} with plenty of words to "
+            f"score as main article content in document {idx}</p>"
+            for i in range(n_paras)
+        )
+        html = (
+            "<html><body><nav><a href='/'>home</a></nav>"
+            f"<div class='content-body'>{paras}</div></body></html>"
+        )
+        return {
+            "url": f"https://giant.example/p/{idx:08d}",
+            "warc_ts": 1_700_000_000_000_000 + idx,
+            "html": html.encode(),
+            "text": "",
+            "lang": "en",
+        }
+
+    normal = [build_page(i, 1) for i in range(400)]
+    giants = [giant(0, 40_000), giant(1, 40_000)]  # ~4.5 MB each
+    pdir = tmp_path / "skew_pages"
+    pdir.mkdir()
+    pq.write_table(
+        pa.Table.from_pylist(normal[:200] + giants[:1], schema=PAGES_SCHEMA),
+        pdir / "s0.parquet",
+    )
+    pq.write_table(
+        pa.Table.from_pylist(normal[200:] + giants[1:], schema=PAGES_SCHEMA),
+        pdir / "s1.parquet",
+    )
+
+    out = str(tmp_path / "skew_out")
+    cfg = ExtractConfig(batch_size=64, heavy_bytes=1024 * 1024)
+    report = run_extraction(str(pdir), out, cfg, resume=False)
+    got = _load_sorted(_read_output(out))
+    assert len(got) == len({r["url"] for r in normal + giants})
+    for g in giants:
+        _, exp_text, _, _, _, _, _ = _extract_one(g["url"], g["html"], cfg)
+        row = got[got["url"] == g["url"]].iloc[0]
+        assert row["text"] == exp_text
+        assert row["n_chars"] > 3_000_000
+    assert report["rows"] == len(got)
