@@ -36,6 +36,7 @@ __all__ = [
     "FormatBatch",
     "build_prompt",
     "PromptBatch",
+    "MockLlmBatch",
 ]
 
 _ARRAY_RE = re.compile(r"\[.*?\]", re.DOTALL)
@@ -208,6 +209,26 @@ class PromptBatch:
         batch[self.out_col] = [
             build_prompt(t, self.prompt, self.template, self.example)
             for t in batch[self.col]
+        ]
+        return batch
+
+
+class MockLlmBatch:
+    """Deterministic offline stand-in for the reference's model call
+    (stage 2 of the 3-stage chain, workers.py:165-320: prompt -> Ollama/
+    Gemini -> format). The response is a pure function of the input text
+    (``"The value is {len(text)}"``), so the full chain
+    PromptBatch -> MockLlmBatch -> FormatBatch is reproducible and
+    oracle-checkable end-to-end; a real deployment swaps this class for one
+    holding a warm model client (same actor-pool seam)."""
+
+    def __init__(self, col: str = "text", out_col: str = "response"):
+        self.col = col
+        self.out_col = out_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch[self.out_col] = [
+            f"The value is {len(t)}" for t in batch[self.col]
         ]
         return batch
 

@@ -28,9 +28,11 @@ from struct import error as struct_error
 
 import pyarrow as pa
 
+from .docl import DOCL_MAGIC, parse_docl
 from .dom import DomConfig, extract_main_content
 from .layout import PDFL_MAGIC, decode_pdfl, layout_text
 from .schema import (
+    DOC_TYPE_DOCL,
     DOC_TYPE_GARBAGE,
     DOC_TYPE_HTML,
     DOC_TYPE_PDFL,
@@ -78,6 +80,8 @@ def detect_type(payload: bytes) -> str:
         return DOC_TYPE_PDFL
     if payload[:4] == XLSL_MAGIC:
         return DOC_TYPE_XLSL
+    if payload[:4] == DOCL_MAGIC:
+        return DOC_TYPE_DOCL
     head = payload[:256]
     if head[:3] == b"\xef\xbb\xbf":  # UTF-8 BOM (common in crawl data)
         head = head[3:]
@@ -267,6 +271,13 @@ def _extract_one(url: str, payload, cfg: ExtractConfig, parse_pdfl_inline: bool 
         if doc_type == DOC_TYPE_XLSL:
             # table payload: reference Excel join rules (utils.py:164-206)
             text, spans = parse_xlsl(payload)
+            if not text:
+                return doc_type, sentinel_error(url), [], False, False, "empty extraction", None
+            return doc_type, text, spans, False, False, "", None
+        if doc_type == DOC_TYPE_DOCL:
+            # structured paragraph payload: reference DOCX join rules
+            # (utils.py:145-156)
+            text, spans = parse_docl(payload)
             if not text:
                 return doc_type, sentinel_error(url), [], False, False, "empty extraction", None
             return doc_type, text, spans, False, False, "", None

@@ -480,14 +480,19 @@ def q_doc_build_prompts(sf_dir: str):
     )
 
 
-def _prompt_oracle_sql() -> str:
+def _prompt_parts() -> tuple[str, str]:
+    """SQL-escaped (prefix, suffix) of the deterministic prompt template."""
     from .extract_fields import build_prompt
 
     full = build_prompt("\x00", _PROMPT_Q, _PROMPT_TEMPLATE)
     prefix, suffix = full.split("\x00")
-    esc = lambda s: s.replace("'", "''")
+    return prefix.replace("'", "''"), suffix.replace("'", "''")
+
+
+def _prompt_oracle_sql() -> str:
+    prefix, suffix = _prompt_parts()
     return (
-        f"SELECT doc_id, '{esc(prefix)}' || text || '{esc(suffix)}' AS full_prompt "
+        f"SELECT doc_id, '{prefix}' || text || '{suffix}' AS full_prompt "
         "FROM documents"
     )
 
@@ -589,15 +594,26 @@ def q_pages_recrawl_winners(sf_dir: str):
 
 def q_pages_extract(sf_dir: str):
     """Flagship: full extraction + dedup over the synth corpus sized to
-    sf_dir's tier; returns per-url metrics columns (content identity is
-    covered by text_crc; golden byte-equality is asserted in tests/)."""
+    sf_dir's tier. ORACLE-CHECKED content identity: text_md5 is compared
+    against md5(golden_text) from the golden parquet (the driver-level
+    twin of the byte-equality pytest suite)."""
+    import hashlib
+
     from .ops import ExtractConfig
     from .pipeline import extraction_dataset
 
     pages_dir, _ = _pages_corpus(sf_dir)
     ds = extraction_dataset(pages_dir, ExtractConfig())
-    return ds.select_columns(
-        ["url", "doc_type", "n_chars", "is_ocr_fallback", "is_parse_failure", "text_crc"]
+
+    def add_md5(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["text_md5"] = [
+            hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"]
+        ]
+        return batch
+
+    return ds.map_batches(add_md5, batch_format="pandas").select_columns(
+        ["url", "doc_type", "n_chars", "is_ocr_fallback", "is_parse_failure",
+         "text_md5"]
     )
 
 
@@ -682,6 +698,42 @@ def q_pages_quality(sf_dir: str):
     ).select_columns(["url", "n_chars_q", "n_tokens", "n_digits", "n_punct"])
 
 
+
+
+def q_pages_prompt_format(sf_dir: str):
+    """The reference's COMPLETE 3-stage chain over real extracted text
+    (workers.py:39-345: extract -> prompt -> model -> format), with the
+    model stage as the deterministic MockLlmBatch. Both the assembled
+    full_prompt and the formatted method-3 cascade output are
+    oracle-checked byte-for-byte against golden-derived SQL."""
+    from .extract_fields import FormatBatch, MockLlmBatch, PromptBatch
+    from .ops import ExtractConfig
+    from .pipeline import extraction_dataset
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    ds = extraction_dataset(pages_dir, ExtractConfig())
+    ds = ds.select_columns(["url", "text"])
+    ds = ds.map_batches(
+        PromptBatch,
+        fn_constructor_kwargs={
+            "prompt": _PROMPT_Q,
+            "template": _PROMPT_TEMPLATE,
+        },
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
+    ds = ds.map_batches(
+        MockLlmBatch,
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
+    ds = ds.map_batches(
+        FormatBatch,
+        fn_constructor_kwargs={"template": _PROMPT_TEMPLATE, "col": "response"},
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
+    return ds.select_columns(["url", "full_prompt", "formatted"])
 
 
 def q_pages_neardup_pairs(sf_dir: str):
@@ -858,6 +910,7 @@ QUERIES = {
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "pages_recrawl_winners": q_pages_recrawl_winners,
     "pages_extract": q_pages_extract,
+    "pages_prompt_format": q_pages_prompt_format,
     "pages_langid": q_pages_langid,
     "pages_status": q_pages_status,
     "pages_quality": q_pages_quality,
@@ -1033,11 +1086,50 @@ def _pages_oracles(sf_dir: str) -> dict[str, str]:
     (the pages tables aren't driver-registered views, but their cache path
     is a pure function of the tier)."""
     root = _oracle_corpus_root(sf_dir)
+    pages = f"{root}/pages/*.parquet"
+    golden = f"{root}/golden/*.parquet"
+    prefix, suffix = _prompt_parts()
     return {
         "pages_recrawl_winners": f"""
             SELECT url, CAST(epoch_us(MAX(warc_ts)) AS BIGINT) AS max_ts_us
-            FROM read_parquet('{root}/pages/*.parquet')
+            FROM read_parquet('{pages}')
             GROUP BY url HAVING COUNT(*) > 1
+        """,
+        # the flagship itself: extraction output vs the golden fixtures —
+        # md5(golden_text) makes the byte-identity contract a driver-level
+        # value-hash check, not just a pytest assertion
+        "pages_extract": f"""
+            SELECT url, doc_type,
+                   CAST(length(golden_text) AS BIGINT) AS n_chars,
+                   expect_ocr_fallback AS is_ocr_fallback,
+                   expect_parse_failure AS is_parse_failure,
+                   md5(golden_text) AS text_md5
+            FROM read_parquet('{golden}')
+        """,
+        "pages_status": f"""
+            WITH latest AS (
+              SELECT url, MAX(warc_ts) AS warc_ts
+              FROM read_parquet('{pages}') GROUP BY url
+            )
+            SELECT l.url, l.warc_ts, g.doc_type,
+                   CAST(length(g.golden_text) AS BIGINT) AS n_chars
+            FROM latest l JOIN read_parquet('{golden}') g ON l.url = g.url
+            ORDER BY l.warc_ts DESC, l.url ASC
+            LIMIT 50
+        """,
+        "pages_quality": rf"""
+            SELECT url,
+                   CAST(length(golden_text) AS BIGINT) AS n_chars_q,
+                   CAST(len(list_filter(regexp_split_to_array(golden_text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+                   CAST(length(golden_text) - length(regexp_replace(golden_text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+                   CAST(length(golden_text) - length(regexp_replace(golden_text, '[!-/:-@\[-`{{-~]', '', 'g')) AS BIGINT) AS n_punct
+            FROM read_parquet('{golden}')
+        """,
+        "pages_prompt_format": f"""
+            SELECT url,
+                   '{prefix}' || golden_text || '{suffix}' AS full_prompt,
+                   '[{{"value": "' || CAST(length(golden_text) AS VARCHAR) || '"}}]' AS formatted
+            FROM read_parquet('{golden}')
         """,
     }
 

@@ -58,6 +58,7 @@ GOLDEN_SCHEMA = pa.schema(
         ("url", pa.string()),
         ("golden_text", pa.string()),
         ("golden_spans", SPAN_TYPE),
+        ("doc_type", pa.string()),  # expected sniffed type (oracle column)
         ("expect_ocr_fallback", pa.bool_()),
         ("expect_parse_failure", pa.bool_()),
     ]
@@ -66,4 +67,5 @@ GOLDEN_SCHEMA = pa.schema(
 DOC_TYPE_HTML = "html"
 DOC_TYPE_PDFL = "pdfl"
 DOC_TYPE_XLSL = "xlsl"
+DOC_TYPE_DOCL = "docl"
 DOC_TYPE_GARBAGE = "garbage"

@@ -11,6 +11,9 @@ reproducible row-for-row.
 
 Page mix (per mille of indices, stable hash of idx):
   * 20 PDFL positioned-text binaries  -> layout-parse ("OCR fallback") route
+  * 15 XLSL table binaries            -> reference Excel join rules
+  * 20 DOCL paragraph-run binaries    -> reference DOCX join rules
+  * 20 near-dup perturbed copies      -> planted dedup targets
   * 10 garbage bytes                  -> parse-failure sentinel rows
   * 10 boilerplate-only HTML          -> empty-extraction sentinel rows
   * 30 malformed HTML (unclosed tags) -> still extractable
@@ -74,7 +77,7 @@ def _stable_hash(idx: int, seed: int) -> int:
     return z ^ (z >> 31)
 
 
-GEN_VERSION = 3  # bump when page content rules change (cache key component)
+GEN_VERSION = 4  # bump when page content rules change (cache key component)
 
 
 def _kind(idx: int, seed: int) -> str:
@@ -91,6 +94,8 @@ def _kind(idx: int, seed: int) -> str:
         return "xlsl"
     if h < 105:
         return "neardup"  # perturbed copy of a neighbor page (dedup target)
+    if h < 125:
+        return "docl"  # structured paragraph-run payload (M7 analogue)
     return "normal"
 
 
@@ -287,6 +292,28 @@ def _build_neardup_page(
     return _build_html_page(rng, idx, False, False, paras=paras)
 
 
+def _build_docl_page(
+    rng: random.Random, idx: int
+) -> tuple[bytes, str, str, list[dict]]:
+    from .docl import docl_text_spans, encode_docl
+
+    words = _words_for(idx)
+    paras: list[list[str]] = []
+    n_paras = rng.randint(3, 15)
+    for k in range(n_paras):
+        if 0 < k < n_paras - 1 and rng.random() < 0.15:
+            paras.append([])  # empty paragraph -> interior empty line
+            continue
+        runs = []
+        for r in range(rng.randint(1, 4)):
+            seg = " ".join(rng.choice(words) for _ in range(rng.randint(3, 12)))
+            runs.append((" " + seg) if r else seg)
+        paras.append(runs)
+    data = encode_docl(paras)
+    text, spans = docl_text_spans(paras)
+    return data, " ".join(text.split()), text, spans
+
+
 def _build_pdfl_page(
     rng: random.Random, idx: int
 ) -> tuple[bytes, str, str, list[dict]]:
@@ -317,6 +344,8 @@ def build_page(idx: int, crawl: int, seed: int = DEFAULT_SEED) -> dict:
         payload, wet, _, _ = _build_pdfl_page(rng, idx)
     elif kind == "xlsl":
         payload, wet, _, _ = _build_xlsl_page(rng, idx)
+    elif kind == "docl":
+        payload, wet, _, _ = _build_docl_page(rng, idx)
     elif kind == "garbage":
         payload = b"\xff\xfe\x00" + bytes(rng.randrange(256) for _ in range(40))
         wet = ""
@@ -347,12 +376,16 @@ def build_golden(idx: int, seed: int = DEFAULT_SEED) -> dict:
     url = _url(idx)
     if kind == "pdfl":
         _, _, golden, spans = _build_pdfl_page(rng, idx)
-        ocr, fail = True, False
+        ocr, fail, doc_type = True, False, "pdfl"
     elif kind == "xlsl":
         _, _, golden, spans = _build_xlsl_page(rng, idx)
-        ocr, fail = False, False
+        ocr, fail, doc_type = False, False, "xlsl"
+    elif kind == "docl":
+        _, _, golden, spans = _build_docl_page(rng, idx)
+        ocr, fail, doc_type = False, False, "docl"
     elif kind == "garbage":
         golden, spans, ocr, fail = sentinel_error(url), [], False, True
+        doc_type = "garbage"
     else:
         if kind == "neardup" and (src := neardup_source(idx, seed)) is not None:
             _, _, golden, spans = _build_neardup_page(rng, idx, src, seed)
@@ -360,13 +393,14 @@ def build_golden(idx: int, seed: int = DEFAULT_SEED) -> dict:
             _, _, golden, spans = _build_html_page(
                 rng, idx, kind == "malformed", kind == "boilerplate_only"
             )
-        ocr, fail = False, False
+        ocr, fail, doc_type = False, False, "html"
         if not golden:
             golden, spans = sentinel_error(url), []
     return {
         "url": url,
         "golden_text": golden,
         "golden_spans": spans,
+        "doc_type": doc_type,
         "expect_ocr_fallback": ocr,
         "expect_parse_failure": fail,
     }
