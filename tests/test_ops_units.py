@@ -309,3 +309,48 @@ def test_simhash_vectorized_matches_reference():
         [np.uint64(_simhash_reference(t)) for t in texts], dtype=np.uint64
     ).view(np.int64)
     assert list(got) == list(exp)
+
+
+def test_label_propagation_matches_union_find():
+    """Distributed min-label propagation == driver union-find on a graph
+    with a long chain (propagation needs multiple rounds), a star, and
+    singleton pairs."""
+    import pandas as pd
+
+    from rayxtract.neardup import (
+        label_propagation_clusters,
+        union_find_clusters,
+    )
+
+    edges = (
+        [(i, i + 1) for i in range(100, 110)]        # chain, diameter 10
+        + [(7, n) for n in (200, 201, 202, 203)]     # star
+        + [(500, 501), (900, 901)]                   # isolated pairs
+        + [(109, 100)]                               # cycle closure
+    )
+    pdf = pd.DataFrame(
+        {"doc_a": [a for a, _ in edges], "doc_b": [b for _, b in edges]}
+    )
+    got = label_propagation_clusters(pdf)
+    uf = union_find_clusters(edges)
+    exp = (
+        pd.DataFrame(
+            {"doc_id": list(uf), "cluster": [uf[k] for k in uf]}
+        )
+        .astype("int64")
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_cluster_pairs_picks_strategy():
+    import pandas as pd
+
+    from rayxtract.neardup import cluster_pairs
+
+    pdf = pd.DataFrame({"doc_a": [1, 2], "doc_b": [2, 3]})
+    small = cluster_pairs(pdf)                       # union-find path
+    big = cluster_pairs(pdf, driver_threshold=0)     # propagation path
+    pd.testing.assert_frame_equal(small, big)
+    assert list(small["cluster"]) == [1, 1, 1]
