@@ -85,3 +85,15 @@ def test_dedup_fallback_by_url(ray_session):
     assert len(out) == 2
     assert out.loc[0, "v"] == "d"  # latest ts, tie broken by smallest crc
     assert out.loc[1, "v"] == "c"
+
+
+def test_reextract_pushdown_reads_few_shards(extracted_small):
+    """The probe's payload read must touch only shards that contain the
+    url (predicate-pushdown two-step), not every shard."""
+    pages_dir, golden_dir, _ = extracted_small
+    import ray.data
+
+    g = ray.data.read_parquet(golden_dir).take(1)[0]
+    rec = reextract_url(pages_dir, g["url"])
+    assert rec["shards_total"] > 1
+    assert 1 <= rec["shards_payload_read"] <= 2  # hit shards only
