@@ -799,6 +799,16 @@ def q_pages_neardup_exact(sf_dir: str):
 
 
 
+def q_pages_dedup_clusters(sf_dir: str):
+    """Cluster formation over verified near-dup pairs: the full dedup
+    chain (MinHash LSH candidates -> exact n-gram Jaccard verify ->
+    cluster_pairs), returning (doc_id, cluster=min id of component)."""
+    from .neardup import cluster_pairs
+
+    pairs = q_pages_neardup_exact(sf_dir)
+    return cluster_pairs(pairs)
+
+
 def q_doc_ngram_jaccard(sf_dir: str):
     """EXACT word-3-gram Jaccard for the deterministic pair set
     (doc_id, doc_id+1) with doc_id % 50 == 0 — oracle-checked against
@@ -927,6 +937,7 @@ QUERIES = {
     "pages_quality": q_pages_quality,
     "pages_neardup_pairs": q_pages_neardup_pairs,
     "pages_neardup_exact": q_pages_neardup_exact,
+    "pages_dedup_clusters": q_pages_dedup_clusters,
     "pages_media_features": q_pages_media_features,
 }
 
