@@ -497,6 +497,77 @@ def _prompt_oracle_sql() -> str:
     )
 
 
+def q_doc_sample_hash(sf_dir: str):
+    """Deterministic content-hash sampling (the held-out-split pattern for
+    training-data pipelines): keep rows whose md5(text) starts with '0' or
+    '1' (~1/8 rate). Pure per-row filter — embarrassingly parallel, no
+    shuffle, and exactly reproducible across engines."""
+    import hashlib
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()[0] in ("0", "1")
+            for t in batch["text"]
+        ]
+        return batch.loc[keep, ["doc_id", "lang"]]
+
+    return _read(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+def q_doc_top_terms(sf_dir: str):
+    """Corpus vocabulary top-k: per-batch word counts (combiner) -> tiny
+    global merge -> top 20. The shuffle moves one row per (word, batch),
+    never word instances — the canonical pre-aggregated wordcount."""
+    from .agg import tree_aggregate
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch["text"]:
+            c.update(t.split())
+        return pd.DataFrame(
+            {
+                "word": list(c.keys()),
+                "n": pd.Series(list(c.values()), dtype="int64"),
+            }
+        )
+
+    agg = tree_aggregate(
+        _read(sf_dir, "documents", ["text"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        keys=["word"],
+        aggs={"n": ("n", "sum")},
+    )
+    return agg.sort(["n", "word"], descending=[True, False]).limit(20)
+
+
+def q_events_user_rank(sf_dir: str):
+    """Per-key window function (ROW_NUMBER over event time): hash-partition
+    by user, sort-within-group, cumcount — the batch expression of a
+    per-key running window (first 3 events per user)."""
+
+    def rank(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        out = pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64").values,
+                "user_id": g["user_id"].astype("int64").values,
+                "rn": pd.Series(range(1, len(g) + 1), dtype="int64"),
+            }
+        )
+        return out[out["rn"] <= 3]
+
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(rank, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # embeddings: ANN + near-dup
 
@@ -929,6 +1000,9 @@ QUERIES = {
     "emb_neardup": q_emb_neardup,
     "emb_neardup_exact": q_emb_neardup_exact,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
+    "doc_sample_hash": q_doc_sample_hash,
+    "doc_top_terms": q_doc_top_terms,
+    "events_user_rank": q_events_user_rank,
     "pages_recrawl_winners": q_pages_recrawl_winners,
     "pages_extract": q_pages_extract,
     "pages_prompt_format": q_pages_prompt_format,
@@ -1099,6 +1173,24 @@ ORACLE_SQL = {
     """,
     "emb_label_counts": """
         SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label
+    """,
+    "doc_sample_hash": """
+        SELECT doc_id, lang FROM documents
+        WHERE substr(md5(text), 1, 1) IN ('0', '1')
+    """,
+    "doc_top_terms": r"""
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+          SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word
+          FROM documents
+        ) GROUP BY word
+        ORDER BY n DESC, word ASC LIMIT 20
+    """,
+    "events_user_rank": """
+        SELECT event_id, user_id, rn FROM (
+          SELECT event_id, user_id,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events
+        ) WHERE rn <= 3
     """,
 }
 
