@@ -117,8 +117,9 @@ def run_scaling() -> dict:
     two-cluster-size criterion, evidenced per BASELINE.md protocol).
 
     Levels default to 4 and 16: this sandbox's 32 "CPUs" share a
-    virtualized memory subsystem, and per-task CPU time inflates ~1.5x when
-    all 32 are busy (432 vs ~296 cpu-s for the same work) — hypervisor
+    virtualized memory subsystem, and the identical job burns ~flat cpu-s
+    at 4/8/16-wide but +40-51% at 32-wide (291/307/314/440 cpu-s measured
+    via /proc/stat deltas, BASELINE.md round-2 table) — hypervisor
     contention a real 4x-node cluster would not see. 2 trials per level,
     best taken, to damp VM noise (±30% observed at full width).
     """

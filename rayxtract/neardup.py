@@ -72,22 +72,21 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
 # in uint64, so the permutation sweep is one vectorized numpy expression.
 _LSH_P = np.uint64(4294967311)
 
+# splitmix64-style mixing constants (wrapping uint64 arithmetic is exact
+# mod-2^64 in numpy — same semantics across processes)
+_MC1 = np.uint64(0x9E3779B97F4A7C15)
+_MC2 = np.uint64(0xBF58476D1CE4E5B9)
+_MC3 = np.uint64(0x94D049BB133111EB)
+_MFIN = np.uint64(0xFF51AFD7ED558CCD)
+_M32 = np.uint64(0xFFFFFFFF)
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """32-bit hashes of word k-grams (content-defined shingles)."""
-    words = text.split()
-    if len(words) < k:
-        grams = [" ".join(words)] if words else [""]
-    else:
-        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    return np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(g.encode(), digest_size=4).digest(), "little")
-            for g in grams
-        ),
-        dtype=np.uint64,
-        count=len(grams),
-    )
+
+def _finalize32(x: np.ndarray) -> np.ndarray:
+    """Avalanche + truncate to the 32-bit shingle domain."""
+    x = x ^ (x >> np.uint64(33))
+    x = x * _MFIN
+    x = x ^ (x >> np.uint64(29))
+    return x & _M32
 
 
 class MinHashBatch:
@@ -95,7 +94,11 @@ class MinHashBatch:
 
     Permutation parameters are seeded once per actor in ``__init__`` and are
     identical across actors (fixed seed) — signatures are deterministic and
-    parallelism-independent.
+    parallelism-independent. Batch kernel: words factorize once, unique
+    words hash via the vectorized padded-byte FNV, k-gram shingle hashes
+    are one flat vectorized 3-way mix over the word-hash array (no
+    per-gram string building / hashing), and only the per-doc permutation
+    sweep — a single fat (num_perm, m) numpy op — runs per row.
     """
 
     def __init__(self, num_perm: int = 64, k: int = 3, seed: int = 7):
@@ -104,15 +107,79 @@ class MinHashBatch:
         self.b = rng.randint(0, 1 << 31, size=num_perm).astype(np.uint64)
         self.num_perm = num_perm
         self.k = k
+        self.cache: dict[str, int] = {}
+
+    def _hash_unique(self, uniq: list[str]) -> np.ndarray:
+        cache = self.cache
+        out = np.empty(len(uniq), dtype=np.uint64)
+        miss_i: list[int] = []
+        miss_w: list[str] = []
+        for i, w in enumerate(uniq):
+            h = cache.get(w)
+            if h is None:
+                miss_i.append(i)
+                miss_w.append(w)
+            else:
+                out[i] = h
+        if miss_w:
+            hv = _fnv64_batch(miss_w)
+            out[miss_i] = hv
+            cache.update(zip(miss_w, hv.tolist()))
+        return out
+
+    def _doc_sig(self, grams: np.ndarray) -> np.ndarray:
+        # (num_perm, m): a*x+b < 2^63 — no overflow in uint64
+        return (
+            (self.a[:, None] * grams[None, :] + self.b[:, None]) % _LSH_P
+        ).min(axis=1)
 
     def signature(self, text: str) -> np.ndarray:
-        s = _shingle_hashes(text, self.k)  # (m,) uint64 < 2^32
-        # (num_perm, m): a*x+b < 2^63 — no overflow in uint64
-        sig = ((self.a[:, None] * s[None, :] + self.b[:, None]) % _LSH_P).min(axis=1)
-        return sig
+        return self.signatures([text])[0]
+
+    def signatures(self, texts: list[str]) -> list[np.ndarray]:
+        k = self.k
+        word_lists = [t.split() for t in texts]
+        counts = np.array([len(ws) for ws in word_lists], dtype=np.int64)
+        offsets = np.concatenate(([0], np.cumsum(counts)))
+        total = int(offsets[-1])
+        if total:
+            flat = np.array(
+                [w for ws in word_lists for w in ws], dtype=object
+            )
+            inv, uniq = pd.factorize(flat, sort=False)
+            h = self._hash_unique(uniq.tolist())[inv]
+        else:
+            h = np.empty(0, dtype=np.uint64)
+        # flat k-gram mix: g[j] = finalize(sum_t h[j+t] * C_t) — one
+        # vectorized pass over the whole batch's word-hash array (valid
+        # only where all k words belong to the same doc; the per-doc
+        # slicing below guarantees that)
+        if total >= k:
+            acc = np.zeros(total - k + 1, dtype=np.uint64)
+            c = int(_MC1)
+            for t in range(k):
+                acc = acc + h[t : total - k + 1 + t] * np.uint64(c)
+                c = (c * int(_MC3)) & 0xFFFFFFFFFFFFFFFF
+            g_flat = _finalize32(acc)
+        else:
+            g_flat = np.empty(0, dtype=np.uint64)
+        out: list[np.ndarray] = []
+        for i in range(len(texts)):
+            o0, o1 = int(offsets[i]), int(offsets[i + 1])
+            m = o1 - o0
+            if m >= k:
+                grams = g_flat[o0 : o1 - (k - 1)]
+            else:
+                # short doc: one shingle from the (possibly empty) word list
+                acc = int(_MC1)
+                for hv in h[o0:o1]:
+                    acc = ((acc ^ int(hv)) * int(_MC2)) & 0xFFFFFFFFFFFFFFFF
+                grams = _finalize32(np.array([acc], dtype=np.uint64))
+            out.append(self._doc_sig(grams))
+        return out
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = [self.signature(t) for t in batch["text"]]
+        sigs = self.signatures(list(batch["text"]))
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].astype("int64").values,
@@ -122,19 +189,35 @@ class MinHashBatch:
 
 
 def _explode_bands(batch: pd.DataFrame, n_bands: int) -> pd.DataFrame:
-    """(doc_id, sig) -> one row per (band, band_key, doc_id)."""
-    rows_band, rows_key, rows_doc = [], [], []
-    for doc_id, sig in zip(batch["doc_id"], batch["sig"]):
-        sig = np.asarray(sig, dtype=np.int64)
-        r = len(sig) // n_bands
-        for band in range(n_bands):
-            chunk = sig[band * r : (band + 1) * r]
-            key = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-            rows_band.append(band)
-            rows_key.append(int.from_bytes(key, "little", signed=True))
-            rows_doc.append(int(doc_id))
+    """(doc_id, sig) -> one row per (band, band_key, doc_id).
+
+    Band keys come from a vectorized sequential mix over each band's r
+    signature values — (n_docs, n_bands) in r wrapping-uint64 rounds, no
+    per-row hashing."""
+    n = len(batch)
+    if not n:
+        return pd.DataFrame(
+            {"band": pd.Series(dtype="int64"),
+             "band_key": pd.Series(dtype="int64"),
+             "doc_id": pd.Series(dtype="int64")}
+        )
+    sig_mat = np.stack(
+        [np.asarray(s, dtype=np.int64) for s in batch["sig"]]
+    ).astype(np.uint64)
+    r = sig_mat.shape[1] // n_bands
+    resh = sig_mat[:, : n_bands * r].reshape(n, n_bands, r)
+    acc = np.full((n, n_bands), _MC1, dtype=np.uint64)
+    for j in range(r):
+        acc = (acc ^ resh[:, :, j]) * _MC2
+    acc = acc ^ (acc >> np.uint64(33))
+    keys = acc.view(np.int64)
+    doc_ids = batch["doc_id"].astype("int64").to_numpy()
     return pd.DataFrame(
-        {"band": rows_band, "band_key": rows_key, "doc_id": rows_doc}
+        {
+            "band": np.tile(np.arange(n_bands, dtype=np.int64), n),
+            "band_key": keys.ravel(),
+            "doc_id": np.repeat(doc_ids, n_bands),
+        }
     )
 
 
