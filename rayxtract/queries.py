@@ -497,6 +497,59 @@ def _prompt_oracle_sql() -> str:
     )
 
 
+def q_cust_without_orders(sf_dir: str):
+    """Broadcast ANTI-join: customers with no order above 400k. The
+    qualifying custkey set is reduced in-stream from a pruned two-column
+    scan and ships once via ray.put; customers filter against it per
+    batch — no shuffle of either table."""
+    import ray
+
+    keys = set()
+    for b in _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        m = pc.greater(b["o_totalprice"], pa.scalar(400000.0))
+        keys.update(b.filter(m)["o_custkey"].to_pylist())
+    keys_ref = ray.put(keys)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        k = ray.get(keys_ref)
+        return batch[~batch["c_custkey"].astype("int64").isin(k)]
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+def q_doc_grouped_topk(sf_dir: str):
+    """Per-group top-k (2 longest docs per lang): per-batch local top-k
+    combiner shrinks the exchange to <= k rows per (lang, batch) before the
+    group sort — the grouped-top-k pattern."""
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.sort_values(
+                ["lang", "n_chars", "doc_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .groupby("lang", as_index=False)
+            .head(2)
+        )
+
+    def group_topk(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(2)[["lang", "doc_id", "n_chars"]]
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+        .map_batches(local_topk, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(group_topk, batch_format="pandas")
+    )
+
+
 def q_doc_sample_hash(sf_dir: str):
     """Deterministic content-hash sampling (the held-out-split pattern for
     training-data pipelines): keep rows whose md5(text) starts with '0' or
@@ -1001,6 +1054,8 @@ QUERIES = {
     "emb_neardup_exact": q_emb_neardup_exact,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_sample_hash": q_doc_sample_hash,
+    "cust_without_orders": q_cust_without_orders,
+    "doc_grouped_topk": q_doc_grouped_topk,
     "doc_top_terms": q_doc_top_terms,
     "events_user_rank": q_events_user_rank,
     "pages_recrawl_winners": q_pages_recrawl_winners,
@@ -1177,6 +1232,20 @@ ORACLE_SQL = {
     "doc_sample_hash": """
         SELECT doc_id, lang FROM documents
         WHERE substr(md5(text), 1, 1) IN ('0', '1')
+    """,
+    "cust_without_orders": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0
+        )
+    """,
+    "doc_grouped_topk": """
+        SELECT lang, doc_id, n_chars FROM (
+          SELECT lang, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn
+          FROM documents
+        ) WHERE rn <= 2
     """,
     "doc_top_terms": r"""
         SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
