@@ -21,7 +21,14 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["MEDIA_SCHEMA", "DecodeImageBatch", "FrameSampleBatch"]
+__all__ = [
+    "MEDIA_SCHEMA",
+    "synthetic_media_batch",
+    "DecodeImageBatch",
+    "FrameSampleBatch",
+    "ResizeImageBatch",
+    "AudioFeatureBatch",
+]
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -33,6 +40,35 @@ MEDIA_SCHEMA = pa.schema(
         ("n_frames", pa.int32()),
     ]
 )
+
+
+def synthetic_media_batch(batch: pa.Table, seed: int = 5) -> pa.Table:
+    """Deterministic media rows from an id column (map_batches over
+    ``ray.data.range``): even ids get an "audio" clip (int16 PCM,
+    seeded sine + noise), odd ids an "image" byte grid. Payload depends
+    only on (seed, id) — parallelism-independent, like synth pages."""
+    rows = []
+    for mid in batch["id"].to_pylist():
+        rng = np.random.RandomState(seed * 1_000_003 + mid)
+        if mid % 2 == 0:
+            n = int(rng.randint(2048, 16384))
+            t = np.arange(n, dtype=np.float64)
+            freq = rng.uniform(0.01, 0.2)
+            sig = 0.5 * np.sin(2 * np.pi * freq * t) + 0.1 * rng.randn(n)
+            pcm = np.clip(sig * 32767, -32768, 32767).astype("<i2")
+            rows.append(
+                {"media_id": mid, "kind": "audio", "payload": pcm.tobytes(),
+                 "width": 0, "height": 0, "n_frames": 0}
+            )
+        else:
+            w = int(rng.randint(16, 96))
+            h = int(rng.randint(16, 96))
+            grid = rng.randint(0, 256, size=h * w).astype(np.uint8)
+            rows.append(
+                {"media_id": mid, "kind": "image", "payload": grid.tobytes(),
+                 "width": w, "height": h, "n_frames": int(rng.randint(5, 40))}
+            )
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
 
 class DecodeImageBatch:
@@ -71,6 +107,98 @@ class DecodeImageBatch:
                     [zlib.crc32(p) for p in payloads], dtype="int64"
                 ),
                 "features": feats,  # list<double>[8]
+            }
+        )
+
+
+class ResizeImageBatch:
+    """Actor-pool resize stage over raw byte-grid "images".
+
+    The payload is interpreted as a row-major (height, width) uint8 grid
+    (truncated/zero-padded to fit) and resampled nearest-neighbor to
+    (target_h, target_w) — real vectorized array plumbing; only the
+    container-format decode (PNG/JPEG) is environment-stubbed. Idempotence
+    contract: resizing an already (target_h, target_w) grid is identity.
+    Output: resized payload + new dims (MEDIA_SCHEMA-compatible columns).
+    """
+
+    def __init__(self, target_w: int = 32, target_h: int = 32, real: bool = False):
+        if real:
+            raise NotImplementedError(
+                "no image codec library in this environment; raw byte-grid "
+                "resize (real=False) exercises the full Ray plumbing"
+            )
+        self.tw = int(target_w)
+        self.th = int(target_h)
+
+    def _resize_one(self, payload: bytes, w: int, h: int) -> bytes:
+        w = max(1, int(w))
+        h = max(1, int(h))
+        grid = np.zeros(h * w, dtype=np.uint8)
+        src = np.frombuffer(payload[: h * w], dtype=np.uint8)
+        grid[: len(src)] = src
+        grid = grid.reshape(h, w)
+        rows = (np.arange(self.th) * h) // self.th
+        cols = (np.arange(self.tw) * w) // self.tw
+        return grid[np.ix_(rows, cols)].tobytes()
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        resized = [
+            self._resize_one(p, w, h)
+            for p, w, h in zip(batch["payload"], batch["width"], batch["height"])
+        ]
+        return pd.DataFrame(
+            {
+                "media_id": batch["media_id"].astype("int64").values,
+                "payload": pd.Series(resized, dtype="object"),
+                "width": pd.Series([self.tw] * len(batch), dtype="int32"),
+                "height": pd.Series([self.th] * len(batch), dtype="int32"),
+            }
+        )
+
+
+class AudioFeatureBatch:
+    """Actor-pool audio feature extraction over RAW PCM payloads — real
+    DSP, not a stub: payloads are int16 little-endian mono PCM; per clip we
+    frame the signal (``frame_len`` samples, no overlap) and compute
+    per-frame RMS energy and zero-crossing rate, emitting clip-level
+    aggregates plus the per-frame energy vector. Only a compressed-codec
+    (mp3/ogg) decode would need an external library.
+    """
+
+    def __init__(self, frame_len: int = 512):
+        self.frame_len = int(frame_len)
+
+    def _features(self, payload: bytes) -> tuple[int, float, float, np.ndarray]:
+        x = np.frombuffer(payload[: len(payload) // 2 * 2], dtype="<i2")
+        n = len(x)
+        if not n:
+            return 0, 0.0, 0.0, np.zeros(0, dtype=np.float64)
+        xf = x.astype(np.float64) / 32768.0
+        L = self.frame_len
+        n_frames = max(1, n // L)
+        trimmed = xf[: n_frames * L].reshape(n_frames, L)
+        rms = np.sqrt((trimmed**2).mean(axis=1))
+        zc = (np.diff(np.signbit(trimmed), axis=1) != 0).mean(axis=1)
+        return n, float(rms.mean()), float(zc.mean()), rms
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"media_id": [], "n_samples": [], "rms_mean": [],
+               "zcr_mean": [], "frame_rms": []}
+        for mid, payload in zip(batch["media_id"], batch["payload"]):
+            n, rms_m, zcr_m, rms = self._features(payload)
+            out["media_id"].append(int(mid))
+            out["n_samples"].append(n)
+            out["rms_mean"].append(rms_m)
+            out["zcr_mean"].append(zcr_m)
+            out["frame_rms"].append(rms)
+        return pd.DataFrame(
+            {
+                "media_id": pd.Series(out["media_id"], dtype="int64"),
+                "n_samples": pd.Series(out["n_samples"], dtype="int64"),
+                "rms_mean": pd.Series(out["rms_mean"], dtype="float64"),
+                "zcr_mean": pd.Series(out["zcr_mean"], dtype="float64"),
+                "frame_rms": out["frame_rms"],  # list<double> per clip
             }
         )
 

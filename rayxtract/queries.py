@@ -774,6 +774,78 @@ def q_pages_media_features(sf_dir: str):
 
 
 
+def _media_dataset(sf_dir: str):
+    from .multimodal import synthetic_media_batch
+    from .synth import sf_dir_to_n_pages
+
+    import ray.data
+
+    n = max(100, sf_dir_to_n_pages(sf_dir) // 20)
+    return ray.data.range(n, override_num_blocks=max(4, n // 500)).map_batches(
+        synthetic_media_batch, batch_format="pyarrow"
+    )
+
+
+def q_media_audio_features(sf_dir: str):
+    """REAL DSP over raw-PCM audio payloads (actor pool, small batches for
+    big binaries): per-clip framed RMS energy + zero-crossing rate."""
+    from .multimodal import AudioFeatureBatch
+
+    ds = _media_dataset(sf_dir).filter(expr="kind == 'audio'")
+    return (
+        ds.map_batches(
+            AudioFeatureBatch, batch_format="pandas", batch_size=64,
+            concurrency=(1, 8),
+        )
+        .drop_columns(["frame_rms"])
+    )
+
+
+def q_media_resize(sf_dir: str):
+    """Byte-grid nearest-neighbor resize over image payloads; returns
+    per-image digests of the resized grid (deterministic)."""
+    import hashlib as _hl
+
+    from .multimodal import ResizeImageBatch
+
+    ds = _media_dataset(sf_dir).filter(expr="kind == 'image'")
+    out = ds.map_batches(
+        ResizeImageBatch,
+        fn_constructor_kwargs={"target_w": 32, "target_h": 32},
+        batch_format="pandas",
+        batch_size=64,
+        concurrency=(1, 8),
+    )
+
+    def digest(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "media_id": batch["media_id"].astype("int64").values,
+                "out_w": batch["width"].astype("int64").values,
+                "out_h": batch["height"].astype("int64").values,
+                "grid_md5": [
+                    _hl.md5(p).hexdigest() for p in batch["payload"]
+                ],
+            }
+        )
+
+    return out.map_batches(digest, batch_format="pandas")
+
+
+def q_media_frame_sample(sf_dir: str):
+    """Video frame-sampling expansion (one row per sampled frame)."""
+    from .multimodal import FrameSampleBatch
+
+    ds = _media_dataset(sf_dir).filter(expr="kind == 'image'")
+    return ds.map_batches(
+        FrameSampleBatch,
+        fn_constructor_kwargs={"stride": 10},
+        batch_format="pandas",
+        batch_size=64,
+        concurrency=(1, 8),
+    )
+
+
 def q_pages_langid(sf_dir: str):
     """Language-ID actor stage over extracted page text; returns per
     (lang, lang_pred) counts — accuracy vs the corpus lang labels is
@@ -1068,6 +1140,9 @@ QUERIES = {
     "pages_neardup_exact": q_pages_neardup_exact,
     "pages_dedup_clusters": q_pages_dedup_clusters,
     "pages_media_features": q_pages_media_features,
+    "media_audio_features": q_media_audio_features,
+    "media_resize": q_media_resize,
+    "media_frame_sample": q_media_frame_sample,
 }
 
 ORACLE_SQL = {

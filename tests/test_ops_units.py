@@ -354,3 +354,58 @@ def test_cluster_pairs_picks_strategy():
     big = cluster_pairs(pdf, driver_threshold=0)     # propagation path
     pd.testing.assert_frame_equal(small, big)
     assert list(small["cluster"]) == [1, 1, 1]
+
+
+# --- multimodal ------------------------------------------------------------
+
+
+def test_audio_features_real_dsp():
+    import numpy as np
+    import pandas as pd
+
+    from rayxtract.multimodal import AudioFeatureBatch
+
+    # pure sine at known amplitude: RMS ~ A/sqrt(2), ZCR ~ 2*freq
+    n, freq, amp = 8192, 0.05, 0.5
+    t = np.arange(n)
+    pcm = (amp * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+    silent = np.zeros(1024, dtype="<i2")
+    out = AudioFeatureBatch(frame_len=512)(
+        pd.DataFrame({"media_id": [1, 2], "payload": [pcm.tobytes(), silent.tobytes()]})
+    )
+    row = out[out["media_id"] == 1].iloc[0]
+    assert abs(row["rms_mean"] - amp / np.sqrt(2)) < 0.01
+    assert abs(row["zcr_mean"] - 2 * freq) < 0.01
+    assert out[out["media_id"] == 2].iloc[0]["rms_mean"] == 0.0
+
+
+def test_resize_idempotent_and_deterministic():
+    import numpy as np
+    import pandas as pd
+
+    from rayxtract.multimodal import ResizeImageBatch
+
+    rng = np.random.RandomState(0)
+    w, h = 50, 70
+    grid = rng.randint(0, 256, size=h * w).astype(np.uint8).tobytes()
+    rs = ResizeImageBatch(target_w=32, target_h=32)
+    once = rs(pd.DataFrame({"media_id": [1], "payload": [grid],
+                            "width": [w], "height": [h]}))
+    assert len(once.iloc[0]["payload"]) == 32 * 32
+    # resizing the already-resized grid is identity (nearest-neighbor)
+    again = rs(pd.DataFrame({"media_id": [1], "payload": [once.iloc[0]["payload"]],
+                             "width": [32], "height": [32]}))
+    assert again.iloc[0]["payload"] == once.iloc[0]["payload"]
+
+
+def test_media_generator_deterministic(ray_session):
+    from rayxtract.queries import q_media_audio_features
+
+    a = q_media_audio_features("/root/testdata/sf0.001").to_pandas()
+    b = q_media_audio_features("/root/testdata/sf0.001").to_pandas()
+    a = a.sort_values("media_id").reset_index(drop=True)
+    b = b.sort_values("media_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 50  # even ids of 100
