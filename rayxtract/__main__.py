@@ -1,0 +1,101 @@
+"""CLI for the engine's ops surface — the batch-job analogue of the
+reference's HTTP endpoints (reference: main.py:178-418):
+
+    python -m rayxtract extract   --pages DIR --out DIR [--no-resume]
+    python -m rayxtract status    --out DIR [--limit N]        # queue status
+    python -m rayxtract reextract --pages DIR --url URL        # debug probe
+    python -m rayxtract sweep     --out DIR --max-age-hours H  # retention
+    python -m rayxtract winners   --pages DIR                  # recrawl map
+
+Owns its Ray session (library code never calls ray.init; the driver
+contract in __ray_entry__.py stays session-free)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_up() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from . import configure_context
+
+    configure_context()
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="rayxtract")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    px = sub.add_parser("extract", help="run (or resume) the flagship pipeline")
+    px.add_argument("--pages", required=True)
+    px.add_argument("--out", required=True)
+    px.add_argument("--no-resume", action="store_true")
+    px.add_argument("--batch-size", type=int, default=128)
+    px.add_argument("--heavy-bytes", type=int, default=4 * 1024 * 1024)
+
+    ps = sub.add_parser("status", help="newest-first crawl listing")
+    ps.add_argument("--out", required=True)
+    ps.add_argument("--limit", type=int, default=50)
+
+    pr = sub.add_parser("reextract", help="re-extract one url from raw input")
+    pr.add_argument("--pages", required=True)
+    pr.add_argument("--url", required=True)
+
+    pw = sub.add_parser("sweep", help="retention sweep over output partitions")
+    pw.add_argument("--out", required=True)
+    pw.add_argument("--max-age-hours", type=float, required=True)
+
+    pv = sub.add_parser("winners", help="recrawl winner map (dup urls only)")
+    pv.add_argument("--pages", required=True)
+
+    args = p.parse_args(argv)
+    _ray_up()
+
+    if args.cmd == "extract":
+        from .ops import ExtractConfig
+        from .pipeline import run_extraction
+
+        report = run_extraction(
+            args.pages,
+            args.out,
+            ExtractConfig(batch_size=args.batch_size, heavy_bytes=args.heavy_bytes),
+            resume=not args.no_resume,
+        )
+        print(json.dumps(report))
+    elif args.cmd == "status":
+        from .tools import status_report
+
+        for row in status_report(args.out, limit=args.limit).take_all():
+            row["warc_ts"] = str(row["warc_ts"])
+            print(json.dumps(row))
+    elif args.cmd == "reextract":
+        from .tools import reextract_url
+
+        rec = reextract_url(args.pages, args.url)
+        rec["warc_ts"] = str(rec["warc_ts"])
+        rec.pop("spans", None)
+        print(json.dumps(rec, ensure_ascii=False))
+    elif args.cmd == "sweep":
+        from .tools import retention_sweep
+
+        print(json.dumps({"swept": retention_sweep(args.out, args.max_age_hours)}))
+    elif args.cmd == "winners":
+        from .pipeline import compute_recrawl_winners
+
+        winners, ties = compute_recrawl_winners(args.pages)
+        print(json.dumps({"winners": winners, "ties": ties}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
