@@ -270,6 +270,90 @@ def q_events_sessionize(sf_dir: str):
     )
 
 
+_HALF_HOUR_US = 1_800_000_000
+
+
+def q_events_hopping(sf_dir: str):
+    """HOPPING windows (1h size, 30min hop): each event lands in exactly
+    two windows — a per-batch flat expansion to (window_id x2) followed by
+    the combiner tree. The expansion happens inside map_batches, so the
+    shuffle still moves only per-(window, batch) partials."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        w0 = (batch["ts"].astype("int64") // _HALF_HOUR_US).to_numpy()
+        cents = _floor_cents(batch["value"].to_numpy())
+        tmp = pd.DataFrame(
+            {
+                "window_id": np.concatenate([w0, w0 - 1]),
+                "n_events": np.ones(2 * len(batch), dtype="int64"),
+                "value_cents": np.concatenate([cents, cents]),
+            }
+        )
+        return tmp.groupby("window_id", as_index=False).sum()
+
+    from .agg import tree_aggregate
+
+    return tree_aggregate(
+        _read(sf_dir, "events", ["ts", "value"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        keys=["window_id"],
+        aggs={"n_events": ("n_events", "sum"), "value_cents": ("value_cents", "sum")},
+    )
+
+
+def q_events_running_total(sf_dir: str):
+    """Per-key cumulative aggregate (running total of value_cents per user
+    in event-time order): hash-partition by user, sort-within-group,
+    cumsum — the stateful-per-key streaming pattern as a batch op."""
+
+    def running(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        cents = _floor_cents(g["value"].to_numpy())
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64").values,
+                "user_id": g["user_id"].astype("int64").values,
+                "running_cents": np.cumsum(cents).astype("int64"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        .groupby("user_id")
+        .map_groups(running, batch_format="pandas")
+    )
+
+
+def q_events_quantiles_by_type(sf_dir: str):
+    """EXACT grouped quantiles (p25/p50/p90 of integer cents per event
+    type): hash-partition by type, per-group sort + discrete pick
+    (sorted[ceil(q*n)-1], DuckDB quantile_disc semantics). Exact quantiles
+    need the group's values together — the honest shuffle; the scale path
+    for corpus-sized groups is a mergeable sketch (t-digest/KLL) in a
+    combiner tree, traded here for exactness + oracle-checkability."""
+    qs = (0.25, 0.5, 0.9)
+
+    def pick(group: pd.DataFrame) -> pd.DataFrame:
+        cents = np.sort(_floor_cents(group["value"].to_numpy()))
+        n = len(cents)
+        vals = [int(cents[max(0, int(np.ceil(q * n)) - 1)]) for q in qs]
+        return pd.DataFrame(
+            {
+                "event_type": [group["event_type"].iloc[0]],
+                "p25_cents": pd.Series([vals[0]], dtype="int64"),
+                "p50_cents": pd.Series([vals[1]], dtype="int64"),
+                "p90_cents": pd.Series([vals[2]], dtype="int64"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .groupby("event_type")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
 def q_events_type_counts(sf_dir: str):
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1102,6 +1186,9 @@ QUERIES = {
     "events_windowed": q_events_windowed,
     "events_sessionize": q_events_sessionize,
     "events_type_counts": q_events_type_counts,
+    "events_hopping": q_events_hopping,
+    "events_quantiles_by_type": q_events_quantiles_by_type,
+    "events_running_total": q_events_running_total,
     "join_orders_customer": q_join_orders_customer,
     "join_supplier_nation": q_join_supplier_nation,
     "asof_purchase_click": q_asof_purchase_click,
@@ -1219,6 +1306,30 @@ ORACLE_SQL = {
         SELECT event_type, COUNT(*) AS n_events,
                CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS value_cents
         FROM events GROUP BY event_type
+    """,
+    "events_hopping": """
+        SELECT window_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM (
+          SELECT unnest([epoch_us(ts) // 1800000000,
+                         epoch_us(ts) // 1800000000 - 1]) AS window_id,
+                 value
+          FROM events
+        ) GROUP BY window_id
+    """,
+    "events_quantiles_by_type": """
+        SELECT event_type,
+               quantile_disc(CAST(FLOOR(value * 100.0) AS BIGINT), 0.25) AS p25_cents,
+               quantile_disc(CAST(FLOOR(value * 100.0) AS BIGINT), 0.5)  AS p50_cents,
+               quantile_disc(CAST(FLOOR(value * 100.0) AS BIGINT), 0.9)  AS p90_cents
+        FROM events GROUP BY event_type
+    """,
+    "events_running_total": """
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+        FROM events
     """,
     "doc_stats_by_lang": """
         SELECT lang, COUNT(*) AS n_docs,
