@@ -15,9 +15,10 @@ the honest cost and no combiner can help.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
-__all__ = ["tree_aggregate"]
+__all__ = ["tree_aggregate", "bucketed_aggregate"]
 
 _AGG_FUNCS = {"sum", "min", "max", "count"}
 
@@ -63,4 +64,57 @@ def tree_aggregate(
         ds.map_batches(partial, batch_format="pandas")
         .repartition(1)
         .map_batches(merge, batch_format="pandas", batch_size=None)
+    )
+
+
+def bucketed_aggregate(
+    ds,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_buckets: int = 16,
+):
+    """Grouped aggregate for LARGE-cardinality keys: partial combine, then
+    a hash(key)-bucketed exchange with one merge per bucket — no single
+    block ever holds the whole result (the tree_aggregate contract breaks
+    when results are corpus-sized, e.g. a web-scale vocabulary count).
+    Only partial rows move through the exchange. Same ``aggs`` spec as
+    tree_aggregate."""
+    for out, (col, fn) in aggs.items():
+        if fn not in _AGG_FUNCS:
+            raise ValueError(f"unsupported agg fn {fn} for {out}")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cols = {k: batch[k].values for k in keys}
+        for out, (col, fn) in aggs.items():
+            cols[out] = 1 if fn == "count" else batch[col].values
+        tmp = pd.DataFrame(cols)
+        spec = {
+            out: (out, "sum" if fn == "count" else fn)
+            for out, (col, fn) in aggs.items()
+        }
+        p = tmp.groupby(keys, as_index=False).agg(**spec)
+        # stable cross-process bucket of the (stringified) key tuple
+        import zlib as _z
+
+        kcat = p[keys[0]].astype(str)
+        for k in keys[1:]:
+            kcat = kcat + "\x1f" + p[k].astype(str)
+        p["__bucket"] = np.fromiter(
+            (_z.crc32(s.encode()) % n_buckets for s in kcat),
+            dtype=np.int64,
+            count=len(p),
+        )
+        return p
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        spec = {
+            out: (out, "sum" if fn == "count" else fn)
+            for out, (col, fn) in aggs.items()
+        }
+        return group.groupby(keys, as_index=False).agg(**spec)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(merge, batch_format="pandas")
     )

@@ -245,6 +245,9 @@ def extract_batch(
     return _rows_to_stage_table(rows)
 
 
+GZIP_MAGIC = b"\x1f\x8b"
+
+
 def _extract_one(url: str, payload, cfg: ExtractConfig, parse_pdfl_inline: bool = True):
     """(doc_type, text|None, spans, is_ocr, is_fail, error, carried_payload)"""
     if payload is None or len(payload) > cfg.max_bytes:
@@ -257,6 +260,34 @@ def _extract_one(url: str, payload, cfg: ExtractConfig, parse_pdfl_inline: bool 
             "payload missing or exceeds max_bytes",
             None,
         )
+    if payload[:2] == GZIP_MAGIC:
+        # transparent member decompression (Common-Crawl WARC payloads are
+        # routinely gzipped); the inner bytes re-enter the normal sniff, so
+        # doc_type reports the CONTENT type, not the transport encoding
+        import gzip as _gzip
+
+        try:
+            payload = _gzip.decompress(payload)
+        except (OSError, EOFError, zlib.error) as e:
+            return (
+                DOC_TYPE_GARBAGE,
+                sentinel_error(url),
+                [],
+                False,
+                True,
+                f"gzip decompress failed: {str(e)[:150]}",
+                None,
+            )
+        if len(payload) > cfg.max_bytes:
+            return (
+                DOC_TYPE_GARBAGE,
+                sentinel_error(url),
+                [],
+                False,
+                True,
+                "decompressed payload exceeds max_bytes",
+                None,
+            )
     doc_type = detect_type(payload)
     if doc_type == DOC_TYPE_PDFL:
         if not parse_pdfl_inline:

@@ -654,10 +654,12 @@ def q_doc_sample_hash(sf_dir: str):
 
 
 def q_doc_top_terms(sf_dir: str):
-    """Corpus vocabulary top-k: per-batch word counts (combiner) -> tiny
-    global merge -> top 20. The shuffle moves one row per (word, batch),
-    never word instances — the canonical pre-aggregated wordcount."""
-    from .agg import tree_aggregate
+    """Corpus vocabulary top-k: per-batch word counts (combiner) ->
+    hash(word)-bucketed merge -> top 20. The shuffle moves one row per
+    (word, batch), never word instances, and no single block ever holds
+    the whole vocabulary (web-scale vocabularies are corpus-sized —
+    agg.bucketed_aggregate, not the single-block tree merge)."""
+    from .agg import bucketed_aggregate
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         from collections import Counter
@@ -672,12 +674,13 @@ def q_doc_top_terms(sf_dir: str):
             }
         )
 
-    agg = tree_aggregate(
+    agg = bucketed_aggregate(
         _read(sf_dir, "documents", ["text"]).map_batches(
             partial, batch_format="pandas"
         ),
         keys=["word"],
         aggs={"n": ("n", "sum")},
+        n_buckets=16,
     )
     return agg.sort(["n", "word"], descending=[True, False]).limit(20)
 

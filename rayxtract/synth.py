@@ -13,6 +13,7 @@ Page mix (per mille of indices, stable hash of idx):
   * 20 PDFL positioned-text binaries  -> layout-parse ("OCR fallback") route
   * 15 XLSL table binaries            -> reference Excel join rules
   * 20 DOCL paragraph-run binaries    -> reference DOCX join rules
+  * 15 gzip-wrapped HTML pages        -> transparent WARC transport decode
   * 20 near-dup perturbed copies      -> planted dedup targets
   * 10 garbage bytes                  -> parse-failure sentinel rows
   * 10 boilerplate-only HTML          -> empty-extraction sentinel rows
@@ -77,7 +78,7 @@ def _stable_hash(idx: int, seed: int) -> int:
     return z ^ (z >> 31)
 
 
-GEN_VERSION = 4  # bump when page content rules change (cache key component)
+GEN_VERSION = 5  # bump when page content rules change (cache key component)
 
 
 def _kind(idx: int, seed: int) -> str:
@@ -96,6 +97,8 @@ def _kind(idx: int, seed: int) -> str:
         return "neardup"  # perturbed copy of a neighbor page (dedup target)
     if h < 125:
         return "docl"  # structured paragraph-run payload (M7 analogue)
+    if h < 140:
+        return "gzip"  # gzip-wrapped html (WARC transport encoding)
     return "normal"
 
 
@@ -346,6 +349,11 @@ def build_page(idx: int, crawl: int, seed: int = DEFAULT_SEED) -> dict:
         payload, wet, _, _ = _build_xlsl_page(rng, idx)
     elif kind == "docl":
         payload, wet, _, _ = _build_docl_page(rng, idx)
+    elif kind == "gzip":
+        import gzip as _gzip
+
+        payload, wet, _, _ = _build_html_page(rng, idx, False, False)
+        payload = _gzip.compress(payload, compresslevel=6, mtime=0)
     elif kind == "garbage":
         payload = b"\xff\xfe\x00" + bytes(rng.randrange(256) for _ in range(40))
         wet = ""
@@ -383,6 +391,13 @@ def build_golden(idx: int, seed: int = DEFAULT_SEED) -> dict:
     elif kind == "docl":
         _, _, golden, spans = _build_docl_page(rng, idx)
         ocr, fail, doc_type = False, False, "docl"
+    elif kind == "gzip":
+        # golden is the INNER html page's extraction; doc_type reports the
+        # content type (transport gzip is transparent)
+        _, _, golden, spans = _build_html_page(rng, idx, False, False)
+        ocr, fail, doc_type = False, False, "html"
+        if not golden:
+            golden, spans = sentinel_error(url), []
     elif kind == "garbage":
         golden, spans, ocr, fail = sentinel_error(url), [], False, True
         doc_type = "garbage"

@@ -409,3 +409,33 @@ def test_media_generator_deterministic(ray_session):
 
     pd.testing.assert_frame_equal(a, b)
     assert len(a) == 50  # even ids of 100
+
+
+def test_gzip_transparent_decompression():
+    import gzip
+
+    from rayxtract.ops import ExtractConfig, _extract_one
+
+    html = (
+        b"<html><body><div><p>Gzipped page content long enough to extract "
+        b"as the main article body of this document.</p></div></body></html>"
+    )
+    gz = gzip.compress(html, mtime=0)
+    doc_type, text, _, _, fail, err, _ = _extract_one(
+        "https://x.example/gz", gz, ExtractConfig()
+    )
+    assert doc_type == "html" and not fail and err == ""
+    assert text.startswith("Gzipped page content")
+
+    # corrupt member -> parse-failure sentinel
+    doc_type, text, _, _, fail, err, _ = _extract_one(
+        "https://x.example/bad", gz[:10] + b"\x00\x01", ExtractConfig()
+    )
+    assert doc_type == "garbage" and fail and "gzip" in err
+
+    # decompression bomb guard: inner bytes above max_bytes -> sentinel
+    big = gzip.compress(b"<p>" + b"a" * 2000 + b"</p>", mtime=0)
+    doc_type, _, _, _, fail, err, _ = _extract_one(
+        "https://x.example/bomb", big, ExtractConfig(max_bytes=1000)
+    )
+    assert fail and "decompressed payload exceeds" in err
