@@ -18,7 +18,25 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["tree_aggregate", "bucketed_aggregate"]
+__all__ = ["tree_aggregate", "bucketed_aggregate", "topk"]
+
+
+def topk(ds, keys: list[str], descending: list[bool], k: int):
+    """Global top-k without a full sort: per-batch local top-k combiner
+    shrinks the exchange to <= k rows per batch, then the tiny global
+    sort+limit. Exact (top-k is a monotone filter: any global top-k row is
+    in its batch's top-k)."""
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            keys, ascending=[not d for d in descending], kind="mergesort"
+        ).head(k)
+
+    return (
+        ds.map_batches(local, batch_format="pandas")
+        .sort(keys, descending=descending)
+        .limit(k)
+    )
 
 _AGG_FUNCS = {"sum", "min", "max", "count"}
 

@@ -196,11 +196,14 @@ def q_orders_sort_limit(sf_dir: str):
             }
         )
 
-    return (
+    from .agg import topk
+
+    return topk(
         _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-        .map_batches(cents, batch_format="pyarrow")
-        .sort(["totalprice_cents", "o_orderkey"], descending=[True, False])
-        .limit(15)
+        .map_batches(cents, batch_format="pyarrow"),
+        ["totalprice_cents", "o_orderkey"],
+        descending=[True, False],
+        k=15,
     )
 
 
@@ -472,10 +475,13 @@ def q_doc_dedup_exact(sf_dir: str):
 
 
 def q_doc_top_longest(sf_dir: str):
-    return (
-        _read(sf_dir, "documents", ["doc_id", "n_chars"])
-        .sort(["n_chars", "doc_id"], descending=[True, False])
-        .limit(10)
+    from .agg import topk
+
+    return topk(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"]),
+        ["n_chars", "doc_id"],
+        descending=[True, False],
+        k=10,
     )
 
 
@@ -958,12 +964,15 @@ def q_pages_status(sf_dir: str):
     from .ops import ExtractConfig
     from .pipeline import extraction_dataset
 
+    from .agg import topk
+
     pages_dir, _ = _pages_corpus(sf_dir)
     ds = extraction_dataset(pages_dir, ExtractConfig())
-    return (
-        ds.select_columns(["url", "warc_ts", "doc_type", "n_chars"])
-        .sort(["warc_ts", "url"], descending=[True, False])
-        .limit(50)
+    return topk(
+        ds.select_columns(["url", "warc_ts", "doc_type", "n_chars"]),
+        ["warc_ts", "url"],
+        descending=[True, False],
+        k=50,
     )
 
 

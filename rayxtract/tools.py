@@ -97,10 +97,13 @@ def status_report(out_dir: str, limit: int = 50):
     status endpoint shape: ORDER BY created_at DESC, main.py:350-354)."""
     import ray.data
 
-    return (
+    from .agg import topk
+
+    return topk(
         ray.data.read_parquet(
             out_dir, columns=["url", "warc_ts", "doc_type", "n_chars", "error"]
-        )
-        .sort("warc_ts", descending=True)
-        .limit(limit)
+        ),
+        ["warc_ts"],
+        descending=[True],
+        k=limit,
     )
