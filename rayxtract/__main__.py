@@ -58,6 +58,10 @@ def main(argv: list[str] | None = None) -> int:
     pv = sub.add_parser("winners", help="recrawl winner map (dup urls only)")
     pv.add_argument("--pages", required=True)
 
+    pe = sub.add_parser("export", help="export output parquet to JSONL shards")
+    pe.add_argument("--out", required=True)
+    pe.add_argument("--dest", required=True)
+
     args = p.parse_args(argv)
     _ray_up()
 
@@ -94,6 +98,10 @@ def main(argv: list[str] | None = None) -> int:
 
         winners, ties = compute_recrawl_winners(args.pages)
         print(json.dumps({"winners": winners, "ties": ties}))
+    elif args.cmd == "export":
+        from .tools import export_jsonl
+
+        print(json.dumps({"rows": export_jsonl(args.out, args.dest)}))
     return 0
 
 

@@ -23,7 +23,23 @@ from . import manifest as mf
 from .ops import ExtractConfig, _extract_one
 from .pipeline import list_shards
 
-__all__ = ["reextract_url", "retention_sweep", "status_report"]
+__all__ = ["reextract_url", "retention_sweep", "status_report", "export_jsonl"]
+
+
+def export_jsonl(out_dir: str, dest_dir: str, columns: list[str] | None = None) -> int:
+    """Export extraction output to JSONL shards (the hand-off format for
+    labeling / downstream training-data tooling). Streams block-by-block
+    via write_json — never materializes; returns the exported row count.
+    ``columns`` prunes at the read (default: everything except spans)."""
+    import ray.data
+
+    cols = columns or [
+        "url", "warc_ts", "doc_type", "text", "lang", "n_chars",
+        "is_ocr_fallback", "is_parse_failure", "error",
+    ]
+    ds = ray.data.read_parquet(out_dir, columns=cols)
+    ds.write_json(dest_dir)
+    return ds.count()
 
 
 def reextract_url(

@@ -37,3 +37,27 @@ def test_cli_reextract_and_winners(cli_out, capsys):
     assert main(["reextract", "--pages", pages_dir, "--url", url]) == 0
     rec = json.loads(capsys.readouterr().out.strip())
     assert rec["url"] == url and rec["text"]
+
+
+def test_cli_export_jsonl(cli_out, capsys, tmp_path):
+    import json as _json
+
+    pages_dir, out = cli_out
+    main(["extract", "--pages", pages_dir, "--out", out])
+    capsys.readouterr()
+    dest = str(tmp_path / "jsonl")
+    assert main(["export", "--out", out, "--dest", dest]) == 0
+    n = _json.loads(capsys.readouterr().out.strip())["rows"]
+    assert n == 1000
+    import glob
+
+    files = glob.glob(dest + "/*.json")
+    assert files
+    rows = [
+        _json.loads(l)
+        for f in files
+        for l in open(f)
+        if l.strip()
+    ]
+    assert len(rows) == 1000
+    assert {"url", "text", "doc_type"} <= set(rows[0])
