@@ -37,12 +37,17 @@ def oracle_sql() -> dict[str, str]:
 
     # pages_* oracles read the deterministic synth corpus parquet directly;
     # make sure the sf0.01-tier corpus exists before DuckDB needs it (no-op
-    # when cached; guarded so oracle listing works even without a Ray
-    # session — the corresponding queries would ensure it themselves).
+    # when cached). ONLY when Ray is already initialized — generation is a
+    # Ray Data job and running it here would otherwise implicitly auto-init
+    # a local cluster, breaking this module's session-free contract. The
+    # corresponding queries() entries ensure the corpus themselves anyway.
     try:
-        from rayxtract.synth import ensure_corpus
+        import ray
 
-        ensure_corpus(10_000)
+        if ray.is_initialized():
+            from rayxtract.synth import ensure_corpus
+
+            ensure_corpus(10_000)
     except Exception:
         pass
     return dict(ORACLE_SQL)

@@ -81,6 +81,26 @@ _MFIN = np.uint64(0xFF51AFD7ED558CCD)
 _M32 = np.uint64(0xFFFFFFFF)
 
 
+def _hash_words_cached(cache: dict, uniq: list[str]) -> np.ndarray:
+    """Cache-aware vectorized fnv64 hashing of a batch's unique words
+    (shared by the MinHash and SimHash actor stages)."""
+    out = np.empty(len(uniq), dtype=np.uint64)
+    miss_i: list[int] = []
+    miss_w: list[str] = []
+    for i, w in enumerate(uniq):
+        h = cache.get(w)
+        if h is None:
+            miss_i.append(i)
+            miss_w.append(w)
+        else:
+            out[i] = h
+    if miss_w:
+        hv = _fnv64_batch(miss_w)
+        out[miss_i] = hv
+        cache.update(zip(miss_w, hv.tolist()))
+    return out
+
+
 def _finalize32(x: np.ndarray) -> np.ndarray:
     """Avalanche + truncate to the 32-bit shingle domain."""
     x = x ^ (x >> np.uint64(33))
@@ -110,22 +130,7 @@ class MinHashBatch:
         self.cache: dict[str, int] = {}
 
     def _hash_unique(self, uniq: list[str]) -> np.ndarray:
-        cache = self.cache
-        out = np.empty(len(uniq), dtype=np.uint64)
-        miss_i: list[int] = []
-        miss_w: list[str] = []
-        for i, w in enumerate(uniq):
-            h = cache.get(w)
-            if h is None:
-                miss_i.append(i)
-                miss_w.append(w)
-            else:
-                out[i] = h
-        if miss_w:
-            hv = _fnv64_batch(miss_w)
-            out[miss_i] = hv
-            cache.update(zip(miss_w, hv.tolist()))
-        return out
+        return _hash_words_cached(self.cache, uniq)
 
     def _doc_sig(self, grams: np.ndarray) -> np.ndarray:
         # (num_perm, m): a*x+b < 2^63 — no overflow in uint64
@@ -467,23 +472,7 @@ class SimHashBatch:
         return h
 
     def _hash_unique(self, uniq: list[str]) -> np.ndarray:
-        """Cache-aware vectorized hashing of a batch's unique words."""
-        cache = self.cache
-        out = np.empty(len(uniq), dtype=np.uint64)
-        miss_i: list[int] = []
-        miss_w: list[str] = []
-        for i, w in enumerate(uniq):
-            h = cache.get(w)
-            if h is None:
-                miss_i.append(i)
-                miss_w.append(w)
-            else:
-                out[i] = h
-        if miss_w:
-            hv = _fnv64_batch(miss_w)
-            out[miss_i] = hv
-            cache.update(zip(miss_w, hv.tolist()))
-        return out
+        return _hash_words_cached(self.cache, uniq)
 
     def signatures(self, texts: list[str]) -> np.ndarray:
         """Vectorized batch kernel -> int64 array of bit-cast simhashes.
@@ -698,39 +687,64 @@ def label_propagation_clusters(pairs, max_rounds: int = 64):
     iterative min-label propagation as Dataset rounds (the scale path the
     round-1 engine only documented, VERDICT r1 "What's missing" #5).
 
-    ``pairs``: Dataset or DataFrame with (doc_a, doc_b). Returns a pandas
-    DataFrame (doc_id, cluster) with cluster = min doc id of the component
-    — identical output contract to ``union_find_clusters``.
+    ``pairs``: Dataset or DataFrame with (doc_a, doc_b). Returns
+    (doc_id, cluster) with cluster = min doc id of the component —
+    identical output contract to ``union_find_clusters`` — as a Dataset
+    for Dataset input (nothing edge- or node-sized ever lands on the
+    driver) and a sorted pandas DataFrame for DataFrame input.
 
-    Per round: labels re-join onto directed edges (bucketed hash join, no
-    driver materialization of edges), each node takes the min over its
-    own label and all neighbor labels, convergence is detected from the
-    global label sum (a single tiny aggregate). Rounds needed = graph
-    diameter (near-dup components are shallow stars in practice)."""
+    Per round: labels re-join onto directed edges (bucketed hash join),
+    each node takes the min over its own label and all neighbor labels,
+    convergence is detected from the global label sum (a single tiny
+    aggregate). Rounds needed = graph diameter (near-dup components are
+    shallow stars in practice)."""
     import ray.data
     from ray.data.aggregate import Min
 
     from .joins import bucketed_join
 
-    pdf = pairs if isinstance(pairs, pd.DataFrame) else pairs.to_pandas()
-    if not len(pdf):
-        return pd.DataFrame(
+    as_dataset = not isinstance(pairs, pd.DataFrame)
+    if as_dataset:
+        pairs_ds = pairs
+        if pairs_ds.count() == 0:
+            pairs_ds = None
+    else:
+        pairs_ds = (
+            ray.data.from_pandas(
+                pairs[["doc_a", "doc_b"]].astype("int64")
+            )
+            if len(pairs)
+            else None
+        )
+    if pairs_ds is None:
+        empty = pd.DataFrame(
             {"doc_id": pd.Series(dtype="int64"),
              "cluster": pd.Series(dtype="int64")}
         )
-    a = pdf["doc_a"].astype("int64")
-    b = pdf["doc_b"].astype("int64")
-    edges_df = pd.DataFrame(
-        {
-            "src": pd.concat([a, b], ignore_index=True),
-            "dst": pd.concat([b, a], ignore_index=True),
-        }
+        return ray.data.from_pandas(empty) if as_dataset else empty
+
+    def both_dirs(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["doc_a"].astype("int64")
+        b = batch["doc_b"].astype("int64")
+        return pd.DataFrame(
+            {
+                "src": pd.concat([a, b], ignore_index=True),
+                "dst": pd.concat([b, a], ignore_index=True),
+            }
+        )
+
+    edges = pairs_ds.map_batches(both_dirs, batch_format="pandas").materialize()
+
+    def init_labels(batch: pd.DataFrame) -> pd.DataFrame:
+        u = pd.Series(batch["src"].unique(), dtype="int64")
+        return pd.DataFrame({"node": u, "label": u})
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pandas")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
     )
-    edges = ray.data.from_pandas(edges_df).materialize()
-    nodes = pd.DataFrame({"node": pd.unique(edges_df["src"])})
-    labels = ray.data.from_pandas(
-        nodes.assign(label=nodes["node"]).astype("int64")
-    ).materialize()
     prev_sum = None
     for _ in range(max_rounds):
         prop = bucketed_join(edges, labels, "src", "node", n_buckets=8)
@@ -754,23 +768,36 @@ def label_propagation_clusters(pairs, max_rounds: int = 64):
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    out = labels.to_pandas()
-    return pd.DataFrame(
-        {
-            "doc_id": out["node"].astype("int64"),
-            "cluster": out["label"].astype("int64"),
-        }
-    ).sort_values("doc_id").reset_index(drop=True)
+
+    def rename(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["node"].astype("int64").values,
+                "cluster": batch["label"].astype("int64").values,
+            }
+        )
+
+    result = labels.map_batches(rename, batch_format="pandas")
+    if as_dataset:
+        return result
+    return result.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
-def cluster_pairs(pairs, driver_threshold: int = 1_000_000) -> pd.DataFrame:
+def cluster_pairs(pairs, driver_threshold: int = 1_000_000):
     """Cluster verified pairs: driver union-find below ``driver_threshold``
     edges (cheapest), distributed min-label propagation above it. Both
-    return (doc_id, cluster=min id of component)."""
-    pdf = pairs if isinstance(pairs, pd.DataFrame) else pairs.to_pandas()
-    if len(pdf) <= driver_threshold:
+    produce (doc_id, cluster=min id of component); a Dataset input above
+    the threshold is never pulled to the driver (the edge count comes from
+    ``count()``, the result stays a Dataset)."""
+    if isinstance(pairs, pd.DataFrame):
+        n = len(pairs)
+        small = pairs if n <= driver_threshold else None
+    else:
+        n = pairs.count()
+        small = pairs.to_pandas() if n <= driver_threshold else None
+    if small is not None:
         mapping = union_find_clusters(
-            list(zip(pdf["doc_a"].astype(int), pdf["doc_b"].astype(int)))
+            list(zip(small["doc_a"].astype(int), small["doc_b"].astype(int)))
         )
         return (
             pd.DataFrame(
@@ -784,7 +811,7 @@ def cluster_pairs(pairs, driver_threshold: int = 1_000_000) -> pd.DataFrame:
             .sort_values("doc_id")
             .reset_index(drop=True)
         )
-    return label_propagation_clusters(pdf)
+    return label_propagation_clusters(pairs)
 
 
 def union_find_clusters(pairs: list[tuple[int, int]]) -> dict[int, int]:

@@ -157,7 +157,11 @@ def isolate_heavy(batch: pa.Table, heavy_bytes: int):
     buffering of the whole block)."""
     import pyarrow.compute as pc
 
-    sizes = pc.binary_length(batch["html"])
+    # null payloads count as size 0 (LIGHT): a null mask entry would be
+    # dropped by BOTH filters below (Arrow null_selection_behavior='drop'),
+    # silently losing the row whose 'payload missing' sentinel
+    # _extract_one must emit
+    sizes = pc.fill_null(pc.binary_length(batch["html"]), 0)
     heavy = pc.greater_equal(sizes, pa.scalar(heavy_bytes))
     n_heavy = pc.sum(pc.cast(heavy, pa.int64())).as_py() or 0
     if not n_heavy:

@@ -1063,7 +1063,7 @@ def q_pages_neardup_exact(sf_dir: str):
     from .ops import ExtractConfig
     from .pipeline import extraction_dataset
 
-    import tempfile
+    import os as _os
 
     import ray.data
 
@@ -1081,10 +1081,27 @@ def q_pages_neardup_exact(sf_dir: str):
     # the extracted corpus is reused twice (candidate generation + exact
     # verify); SPILL it to parquet and re-read instead of materialize() —
     # pinning a corpus-sized intermediate in the object store is the thing
-    # that breaks first at scale (VERDICT r1 "What's wrong" #4)
-    scratch = tempfile.mkdtemp(prefix="rayxtract_neardup_", dir="/tmp")
-    docs.write_parquet(scratch)
-    docs = ray.data.read_parquet(scratch)
+    # that breaks first at scale (VERDICT r1 "What's wrong" #4). The spill
+    # path is deterministic per (tier, GEN_VERSION) and cached behind a
+    # marker, so repeated gate/bench sweeps reuse one copy instead of
+    # leaking a fresh corpus-sized dir per call.
+    scratch = f"{_oracle_corpus_root(sf_dir)}.neardup_spill"
+    marker = _os.path.join(scratch, "_SPILL_COMPLETE")
+    if not _os.path.exists(marker):
+        tmp = f"{scratch}.tmp.{_os.getpid()}"
+        import shutil as _shutil
+
+        _shutil.rmtree(tmp, ignore_errors=True)
+        docs.write_parquet(tmp)
+        with open(_os.path.join(tmp, "_SPILL_COMPLETE"), "w") as f:
+            f.write("ok\n")
+        try:
+            _os.rename(tmp, scratch)
+        except OSError:  # lost a publish race
+            _shutil.rmtree(tmp, ignore_errors=True)
+    docs = ray.data.read_parquet(
+        scratch, file_extensions=["parquet"]
+    )
     cands = minhash_candidate_pairs(docs, jaccard_threshold=0.35)
     return ngram_jaccard_verify(docs, cands, k=3, threshold=0.5)
 

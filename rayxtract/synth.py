@@ -492,15 +492,34 @@ def ensure_corpus(n_pages: int, seed: int = DEFAULT_SEED) -> tuple[str, str]:
     )
     with open(os.path.join(tmp_root, "_COMPLETE"), "w") as f:
         f.write("ok\n")
-    if os.path.exists(marker):  # another process published while we worked
-        shutil.rmtree(tmp_root, ignore_errors=True)
-        return pages_dir, golden_dir
-    try:
-        os.rename(tmp_root, root)  # atomic; fails if root exists
-    except OSError:
-        if os.path.exists(marker):  # lost the race to a complete publish
+    # Publish loop. A stale (marker-less) root is never rmtree'd in place:
+    # it is first CLAIMED via atomic rename, so a competitor's
+    # just-published complete corpus can't be deleted out from under a
+    # reader — a claimed dir that turns out complete is renamed back.
+    for _ in range(3):
+        if os.path.exists(marker):  # someone published a complete corpus
             shutil.rmtree(tmp_root, ignore_errors=True)
             return pages_dir, golden_dir
-        shutil.rmtree(root, ignore_errors=True)  # stale partial (no marker)
-        os.rename(tmp_root, root)
+        try:
+            os.rename(tmp_root, root)  # atomic; fails if root exists
+            return pages_dir, golden_dir
+        except OSError:
+            pass
+        claimed = f"{root}.claim.{os.getpid()}"
+        try:
+            os.rename(root, claimed)  # atomic claim of whatever root is
+        except OSError:
+            continue  # lost the claim race; re-check the marker
+        if os.path.exists(os.path.join(claimed, "_COMPLETE")):
+            try:
+                os.rename(claimed, root)  # complete — put it back
+            except OSError:  # a third process republished meanwhile
+                shutil.rmtree(claimed, ignore_errors=True)
+            shutil.rmtree(tmp_root, ignore_errors=True)
+            return pages_dir, golden_dir
+        shutil.rmtree(claimed, ignore_errors=True)  # genuinely stale partial
+    if os.path.exists(marker):
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        return pages_dir, golden_dir
+    os.rename(tmp_root, root)  # pathological contention exhausted retries
     return pages_dir, golden_dir

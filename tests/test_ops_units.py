@@ -439,3 +439,20 @@ def test_gzip_transparent_decompression():
         "https://x.example/bomb", big, ExtractConfig(max_bytes=1000)
     )
     assert fail and "decompressed payload exceeds" in err
+
+
+def test_cluster_pairs_dataset_input_no_driver_pull(ray_session):
+    """Dataset input above the driver threshold routes through label
+    propagation and returns a Dataset (nothing edge-sized on the driver)."""
+    import pandas as pd
+    import ray.data
+
+    pdf = pd.DataFrame({"doc_a": [1, 2, 10], "doc_b": [2, 3, 11]})
+    ds = ray.data.from_pandas(pdf)
+    from rayxtract.neardup import cluster_pairs
+
+    out = cluster_pairs(ds, driver_threshold=0)
+    assert isinstance(out, ray.data.Dataset)
+    got = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    exp = cluster_pairs(pdf)  # union-find path
+    pd.testing.assert_frame_equal(got, exp)

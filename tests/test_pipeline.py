@@ -336,3 +336,23 @@ def test_skew_planted_giant_pages(tmp_path):
         assert row["text"] == exp_text
         assert row["n_chars"] > 3_000_000
     assert report["rows"] == len(got)
+
+
+def test_isolate_heavy_keeps_null_payload_rows():
+    """Null html + a heavy row in the same batch: the null row must survive
+    (as a light row) — a null size mask would be dropped by BOTH filters."""
+    import pyarrow as pa
+
+    from rayxtract.ops import isolate_heavy
+
+    t = pa.table(
+        {
+            "url": ["a", "b", "c"],
+            "html": pa.array([b"x" * 10, None, b"y" * 5000], type=pa.binary()),
+        }
+    )
+    out = list(isolate_heavy(t, heavy_bytes=1000))
+    total = sum(b.num_rows for b in out)
+    assert total == 3
+    light = out[0]["url"].to_pylist()
+    assert "b" in light  # null-payload row stays with the light rows
