@@ -31,8 +31,10 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "events_windowed",
     "events_sessionize",
+    "events_hopping",
     "doc_dedup_exact",
     "doc_token_counts",
+    "doc_simhash",
     "top_customers",
     "emb_knn_brute",
 ]
