@@ -468,6 +468,18 @@ def q_doc_fingerprint(sf_dir: str):
     return out.drop_columns(["text", "fp_fnv"])
 
 
+def q_doc_winnow(sf_dir: str):
+    """Winnowing fingerprints (rolling char-k-gram hash + window-min
+    selection, Schleimer et al. SIGMOD'03) per document — the classic
+    plagiarism/near-dup fingerprint; rows-only (set selection is not
+    SQL-expressible), determinism + overlap guarantees unit-tested."""
+    from .textops import WinnowBatch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        WinnowBatch, batch_format="pandas", concurrency=(1, 8)
+    )
+
+
 def q_doc_dedup_exact(sf_dir: str):
     from .neardup import exact_dedup
 
@@ -1226,6 +1238,7 @@ QUERIES = {
     "doc_token_counts": q_doc_token_counts,
     "doc_quality": q_doc_quality,
     "doc_fingerprint": q_doc_fingerprint,
+    "doc_winnow": q_doc_winnow,
     "doc_dedup_exact": q_doc_dedup_exact,
     "doc_top_longest": q_doc_top_longest,
     "doc_distinct_langs": q_doc_distinct_langs,

@@ -23,6 +23,8 @@ __all__ = [
     "add_token_counts",
     "add_quality_counts",
     "add_fingerprints",
+    "winnow_fingerprints",
+    "WinnowBatch",
     "LangIdBatch",
     "STOPWORDS",
 ]
@@ -70,6 +72,79 @@ def add_fingerprints(batch: pd.DataFrame, col: str = "text") -> pd.DataFrame:
         [_fnv1a_64_fast(t.encode("utf-8")) for t in texts], dtype=np.uint64
     ).astype("int64")  # two's-complement view keeps parquet/duckdb happy
     return batch
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03) — the
+# rolling-hash document fingerprint used by plagiarism/near-dup systems:
+# guarantees any shared substring of length >= w + k - 1 yields at least
+# one shared selected fingerprint.
+
+
+def winnow_fingerprints(text: str, k: int = 5, w: int = 4) -> np.ndarray:
+    """Selected k-gram hashes by winnowing: in each window of ``w``
+    consecutive char-k-gram hashes keep the minimum (rightmost on ties),
+    deduplicated by (hash, position) selection; returns the sorted unique
+    selected hashes (uint64->int64 bit view). Fully vectorized:
+    byte-matrix polynomial rolling hash + sliding-window argmin."""
+    data = text.encode("utf-8")
+    n = len(data) - k + 1
+    if n <= 0:
+        h = np.frombuffer(
+            hashlib.blake2b(data, digest_size=8).digest(), dtype=np.uint64
+        )
+        return h.view(np.int64)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    # polynomial rolling hash over each k-byte window, vectorized as a sum
+    # of shifted byte columns (k small): h[i] = sum_j b[i+j] * P^(k-1-j)
+    P = np.uint64(1099511628211)
+    hashes = np.zeros(n, dtype=np.uint64)
+    c = np.uint64(1)
+    for j in range(k - 1, -1, -1):
+        hashes = hashes + buf[j : j + n].astype(np.uint64) * c
+        c = c * P
+    # avalanche so adjacent windows decorrelate
+    hashes = hashes ^ (hashes >> np.uint64(33))
+    hashes = hashes * np.uint64(0xFF51AFD7ED558CCD)
+    hashes = hashes ^ (hashes >> np.uint64(29))
+    if n <= w:
+        # fewer grams than one window: keep the single rightmost minimum
+        idx = n - 1 - int(np.argmin(hashes[::-1]))
+        return hashes[idx : idx + 1].copy().view(np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(hashes, w)
+    # rightmost minimum per window: argmin over the reversed axis
+    rev_arg = np.argmin(win[:, ::-1], axis=1)
+    pos = np.arange(len(win)) + (w - 1 - rev_arg)
+    sel = hashes[np.unique(pos)]
+    return np.unique(sel).view(np.int64)
+
+
+class WinnowBatch:
+    """map_batches stage: per-doc winnowing fingerprint set + an md5
+    digest over the sorted selected hashes (a stable whole-set identity
+    for exact overlap joins)."""
+
+    def __init__(self, k: int = 5, w: int = 4, col: str = "text"):
+        self.k = k
+        self.w = w
+        self.col = col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        fps = [
+            winnow_fingerprints(t, self.k, self.w) for t in batch[self.col]
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64").values,
+                "n_fingerprints": pd.Series(
+                    [len(f) for f in fps], dtype="int64"
+                ),
+                "winnow_md5": [
+                    hashlib.md5(np.ascontiguousarray(f).tobytes()).hexdigest()
+                    for f in fps
+                ],
+            }
+        )
 
 
 # ---------------------------------------------------------------------------

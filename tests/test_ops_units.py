@@ -456,3 +456,60 @@ def test_cluster_pairs_dataset_input_no_driver_pull(ray_session):
     got = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
     exp = cluster_pairs(pdf)  # union-find path
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_winnow_fingerprints_guarantee():
+    """Winnowing guarantee: docs sharing a substring of length >= w+k-1
+    share at least one fingerprint; identical docs share all; unrelated
+    word-soups share (almost) none. Deterministic across calls."""
+    import numpy as np
+
+    from rayxtract.textops import winnow_fingerprints
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while birds sing in "
+        "the quiet garden every morning before sunrise over the hills"
+    )
+    shared = "this exact shared passage is long enough to survive winnowing"
+    a = winnow_fingerprints("AAA " + shared + " xyz tail one")
+    b = winnow_fingerprints("BBB prefix " + shared + " other ending")
+    assert len(set(a.tolist()) & set(b.tolist())) >= 1
+
+    t1 = winnow_fingerprints(base)
+    t2 = winnow_fingerprints(base)
+    assert t1.tolist() == t2.tolist()
+    other = winnow_fingerprints(
+        "completely different database engine shuffle partition vector "
+        "arrow batch stream actor backpressure manifest checkpoint rows"
+    )
+    overlap = len(set(t1.tolist()) & set(other.tolist()))
+    assert overlap <= max(1, len(t1) // 10)
+
+    # edge cases: empty and shorter-than-k texts still fingerprint
+    assert len(winnow_fingerprints("")) == 1
+    assert len(winnow_fingerprints("ab")) == 1
+    short = winnow_fingerprints("abcdefg")  # n_grams <= w branch
+    assert len(short) == 1
+
+
+def test_winnow_batch(ray_session):
+    import ray.data
+
+    from rayxtract.textops import WinnowBatch
+
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "some document text for winnow batching"},
+            {"doc_id": 2, "text": "some document text for winnow batching"},
+            {"doc_id": 3, "text": "a wholly different third document body"},
+        ]
+    )
+    out = (
+        ds.map_batches(WinnowBatch, batch_format="pandas", concurrency=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["winnow_md5"][0] == out["winnow_md5"][1]
+    assert out["winnow_md5"][0] != out["winnow_md5"][2]
+    assert (out["n_fingerprints"] > 0).all()
