@@ -101,12 +101,18 @@ def _hash_words_cached(cache: dict, uniq: list[str]) -> np.ndarray:
     return out
 
 
-def _finalize32(x: np.ndarray) -> np.ndarray:
-    """Avalanche + truncate to the 32-bit shingle domain."""
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """Murmur3-style 64-bit avalanche (shared by shingle and winnowing
+    kernels — keep the constants in ONE place)."""
     x = x ^ (x >> np.uint64(33))
     x = x * _MFIN
     x = x ^ (x >> np.uint64(29))
-    return x & _M32
+    return x
+
+
+def _finalize32(x: np.ndarray) -> np.ndarray:
+    """Avalanche + truncate to the 32-bit shingle domain."""
+    return _mix64(x) & _M32
 
 
 class MinHashBatch:

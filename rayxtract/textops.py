@@ -96,17 +96,20 @@ def winnow_fingerprints(text: str, k: int = 5, w: int = 4) -> np.ndarray:
         return h.view(np.int64)
     buf = np.frombuffer(data, dtype=np.uint8)
     # polynomial rolling hash over each k-byte window, vectorized as a sum
-    # of shifted byte columns (k small): h[i] = sum_j b[i+j] * P^(k-1-j)
-    P = np.uint64(1099511628211)
+    # of shifted byte columns (k small): h[i] = sum_j b[i+j] * P^(k-1-j).
+    # Coefficients come from Python-int arithmetic masked to 64 bits —
+    # numpy SCALAR uint64 multiplies warn on wrap (array ops don't).
+    P = 1099511628211
+    coeffs = [1] * k
+    for j in range(k - 2, -1, -1):
+        coeffs[j] = (coeffs[j + 1] * P) & 0xFFFFFFFFFFFFFFFF
     hashes = np.zeros(n, dtype=np.uint64)
-    c = np.uint64(1)
-    for j in range(k - 1, -1, -1):
-        hashes = hashes + buf[j : j + n].astype(np.uint64) * c
-        c = c * P
+    for j in range(k):
+        hashes = hashes + buf[j : j + n].astype(np.uint64) * np.uint64(coeffs[j])
     # avalanche so adjacent windows decorrelate
-    hashes = hashes ^ (hashes >> np.uint64(33))
-    hashes = hashes * np.uint64(0xFF51AFD7ED558CCD)
-    hashes = hashes ^ (hashes >> np.uint64(29))
+    from .neardup import _mix64
+
+    hashes = _mix64(hashes)
     if n <= w:
         # fewer grams than one window: keep the single rightmost minimum
         idx = n - 1 - int(np.argmin(hashes[::-1]))
@@ -115,8 +118,7 @@ def winnow_fingerprints(text: str, k: int = 5, w: int = 4) -> np.ndarray:
     # rightmost minimum per window: argmin over the reversed axis
     rev_arg = np.argmin(win[:, ::-1], axis=1)
     pos = np.arange(len(win)) + (w - 1 - rev_arg)
-    sel = hashes[np.unique(pos)]
-    return np.unique(sel).view(np.int64)
+    return np.unique(hashes[pos]).view(np.int64)
 
 
 class WinnowBatch:
