@@ -347,6 +347,14 @@ def run_extraction(
     if skipped < n_shards:
         ds = extraction_dataset(pages_path, cfg, skip_partitions=done)
         ds.write_parquet(out_dir, partition_cols=["partition_id"])
+        # persist the executed plan's per-stage breakdown next to the
+        # manifests — the run-level half of the lineage story (the
+        # per-partition half is the _manifest.json fingerprints)
+        try:
+            with open(os.path.join(out_dir, "_stats.txt"), "w") as f:
+                f.write(ds.stats())
+        except Exception:
+            pass  # stats are diagnostics; never fail the job over them
 
     # Metrics read-back: fingerprint what was actually written (the
     # reference's lesson — completion flags lie, fix_extraction_bug.py:26-46).

@@ -356,3 +356,11 @@ def test_isolate_heavy_keeps_null_payload_rows():
     assert total == 3
     light = out[0]["url"].to_pylist()
     assert "b" in light  # null-payload row stays with the light rows
+
+
+def test_run_writes_stage_stats(small_corpus, tmp_path):
+    pages_dir, _ = small_corpus
+    out = str(tmp_path / "stats_out")
+    run_extraction(pages_dir, out, ExtractConfig(), resume=False)
+    stats = open(os.path.join(out, "_stats.txt")).read()
+    assert "ReadParquet" in stats or "Operator" in stats
