@@ -25,7 +25,12 @@ def topk(ds, keys: list[str], descending: list[bool], k: int):
     """Global top-k without a full sort: per-batch local top-k combiner
     shrinks the exchange to <= k rows per batch, then the tiny global
     sort+limit. Exact (top-k is a monotone filter: any global top-k row is
-    in its batch's top-k)."""
+    in its batch's top-k).
+
+    CONTRACT: ``keys`` must be a TOTAL order over rows (include a unique
+    tiebreak column). With ties at the k-th value, the per-batch head(k)
+    prune legitimately drops rows tied with the boundary, so WHICH tied
+    rows survive would vary with batching (ADVICE r2, agg.py:24)."""
 
     def local(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.sort_values(

@@ -32,14 +32,17 @@ __all__ = ["hash_join", "bucketed_join", "asof_join"]
 
 
 def hash_join(
-    left, right, on: str, right_on: str, num_partitions: int | None = None
+    left, right, on: str, right_on: str, num_partitions: int | None = None,
+    how: str = "inner",
 ):
-    """Native hash-shuffled inner join (Dataset.join).
+    """Native hash-shuffled join (Dataset.join); ``how`` in inner|left.
 
     num_partitions defaults to ~2x cluster CPUs: the 2.49 hash-shuffle
     operator stalls when partition count far exceeds the placeable
     aggregator actors on small clusters (measured hang at 32 partitions on
     4 CPUs)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported join type {how!r}")
     if num_partitions is None:
         import ray
 
@@ -50,7 +53,7 @@ def hash_join(
         num_partitions = max(2, min(64, cpus * 2))
     return left.join(
         right,
-        join_type="inner",
+        join_type="left_outer" if how == "left" else "inner",
         num_partitions=num_partitions,
         on=(on,),
         right_on=(right_on,),
@@ -107,11 +110,15 @@ def bucketed_join(
     left_key: str,
     right_key: str,
     n_buckets: int = 32,
+    how: str = "inner",
 ):
     """Explicit partitioned hash join: tag + union + groupby(bucket) +
-    per-bucket pandas merge. Inner join; integer keys. Missing-side columns
-    travel as typed nulls (nullable Int64 etc.) so the union's block
-    schemas agree."""
+    per-bucket pandas merge. ``how`` in inner|left (left preserves every
+    left row, right-side columns as typed nulls); integer keys.
+    Missing-side columns travel as typed nulls (nullable Int64 etc.) so
+    the union's block schemas agree."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported join type {how!r}")
     left_cols = [c for c in left.schema().names]
     right_cols = [c for c in right.schema().names]
     out_cols = left_cols + [c for c in right_cols if c != right_key]
@@ -143,7 +150,13 @@ def bucketed_join(
     def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
         l = group[group["__side"] == 0][left_cols]
         r = group[group["__side"] == 1][right_cols]
-        j = l.merge(r, left_on=left_key, right_on=right_key, how="inner")
+        j = l.merge(r, left_on=left_key, right_on=right_key, how=how)
+        if how == "left":
+            # unmatched right columns must keep their declared nullable
+            # dtypes (a bucket with zero right rows can degrade them)
+            for c in right_cols:
+                if c != right_key:
+                    j[c] = j[c].astype(dtypes[c])
         return j[out_cols]
 
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")

@@ -417,23 +417,63 @@ def _fnv64(data: bytes) -> int:
     return h
 
 
+# one unbroken token (minified JS, base64, data-URIs — routine in crawl
+# HTML) must never widen the whole padded hash matrix: words longer than
+# this fall back to the scalar loop (ADVICE r2, neardup.py:427)
+_FNV_VEC_MAX_WORD = 256
+# cap the padded buffer at ~32 MB per vectorized chunk regardless of
+# vocabulary size — memory stays bounded even for huge unique-word batches
+_FNV_VEC_MAX_BUF = 32 * 1024 * 1024
+
+
 def _fnv64_batch(words: list[str]) -> np.ndarray:
-    """Vectorized FNV-1a over many words: one masked V-wide round per byte
-    position of a padded byte matrix — bit-identical to ``_fnv64`` (uint64
-    arithmetic wraps mod 2^64 exactly like the scalar loop)."""
+    """Vectorized FNV-1a over many words — bit-identical to ``_fnv64``
+    (uint64 arithmetic wraps mod 2^64 exactly like the scalar loop).
+
+    Memory discipline: words above ``_FNV_VEC_MAX_WORD`` bytes hash via the
+    scalar loop (they are rare; one pathological token must not inflate the
+    padded matrix), and the vectorized remainder is chunked so the padded
+    byte buffer never exceeds ``_FNV_VEC_MAX_BUF``."""
     enc = [w.encode("utf-8") for w in words]
     lens = np.fromiter(map(len, enc), dtype=np.int64, count=len(enc))
-    maxlen = int(lens.max()) if len(lens) else 0
-    buf = np.zeros((len(enc), maxlen), dtype=np.uint8)
-    concat = np.frombuffer(b"".join(enc), dtype=np.uint8)
-    # row-major boolean fill consumes `concat` in concatenation order
-    buf[np.arange(maxlen)[None, :] < lens[:, None]] = concat
-    h = np.full(len(enc), 0xCBF29CE484222325, dtype=np.uint64)
+    out = np.empty(len(enc), dtype=np.uint64)
+    long_idx = np.nonzero(lens > _FNV_VEC_MAX_WORD)[0]
+    if len(long_idx):
+        for i in long_idx:
+            out[i] = _fnv64(enc[i])
+        short_idx = np.nonzero(lens <= _FNV_VEC_MAX_WORD)[0]
+        if len(short_idx):
+            out[short_idx] = _fnv64_batch_vec(
+                [enc[i] for i in short_idx], lens[short_idx]
+            )
+        return out
+    out[:] = _fnv64_batch_vec(enc, lens)
+    return out
+
+
+def _fnv64_batch_vec(enc: list[bytes], lens: np.ndarray) -> np.ndarray:
+    """Padded-matrix FNV-1a over pre-encoded words (all <= the length cap),
+    chunked along the word axis to bound the buffer."""
+    n = len(enc)
+    out = np.empty(n, dtype=np.uint64)
+    maxlen_all = int(lens.max()) if n else 0
+    chunk = max(1, _FNV_VEC_MAX_BUF // max(1, maxlen_all))
     prime = np.uint64(0x100000001B3)
-    for j in range(maxlen):
-        m = lens > j
-        h[m] = (h[m] ^ buf[m, j].astype(np.uint64)) * prime
-    return h
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        sub = enc[lo:hi]
+        sublens = lens[lo:hi]
+        maxlen = int(sublens.max())
+        buf = np.zeros((len(sub), maxlen), dtype=np.uint8)
+        concat = np.frombuffer(b"".join(sub), dtype=np.uint8)
+        # row-major boolean fill consumes `concat` in concatenation order
+        buf[np.arange(maxlen)[None, :] < sublens[:, None]] = concat
+        h = np.full(len(sub), 0xCBF29CE484222325, dtype=np.uint64)
+        for j in range(maxlen):
+            m = sublens > j
+            h[m] = (h[m] ^ buf[m, j].astype(np.uint64)) * prime
+        out[lo:hi] = h
+    return out
 
 
 def _simhash_reference(text: str, cache: dict | None = None) -> int:
@@ -799,6 +839,9 @@ def cluster_pairs(pairs, driver_threshold: int = 1_000_000):
         n = len(pairs)
         small = pairs if n <= driver_threshold else None
     else:
+        # the lazy input is consumed twice (count + cluster path) — pin it
+        # once so the upstream LSH/verify chain executes once (ADVICE r2)
+        pairs = pairs.materialize()
         n = pairs.count()
         small = pairs.to_pandas() if n <= driver_threshold else None
     if small is not None:

@@ -454,6 +454,28 @@ def sf_dir_to_n_pages(sf_dir: str) -> int:
     return max(100, int(round(sf * 1_000_000)))
 
 
+def _sweep_stale_scratch(max_age_sec: float = 3600.0) -> None:
+    """Remove orphaned per-pid scratch dirs (``.tmp.<pid>`` / ``.claim.<pid>``
+    from crashed generators, plus neardup-spill tmp dirs) older than
+    ``max_age_sec`` — age-gated so a live competitor's in-flight dir is
+    never touched (ADVICE r2, synth.py:524)."""
+    import shutil
+    import time
+
+    if not os.path.isdir(_CACHE_ROOT):
+        return
+    cutoff = time.time() - max_age_sec
+    for name in os.listdir(_CACHE_ROOT):
+        if ".tmp." not in name and ".claim." not in name:
+            continue
+        path = os.path.join(_CACHE_ROOT, name)
+        try:
+            if os.path.getmtime(path) < cutoff:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            pass  # raced with its owner — leave it
+
+
 def ensure_corpus(n_pages: int, seed: int = DEFAULT_SEED) -> tuple[str, str]:
     """Generate (once, cached) the pages + golden parquet dirs for n_pages.
 
@@ -463,6 +485,7 @@ def ensure_corpus(n_pages: int, seed: int = DEFAULT_SEED) -> tuple[str, str]:
     """
     import ray.data
 
+    _sweep_stale_scratch()
     root = os.path.join(_CACHE_ROOT, f"n{n_pages}_s{seed}_v{GEN_VERSION}")
     pages_dir = os.path.join(root, "pages")
     golden_dir = os.path.join(root, "golden")
@@ -521,5 +544,14 @@ def ensure_corpus(n_pages: int, seed: int = DEFAULT_SEED) -> tuple[str, str]:
     if os.path.exists(marker):
         shutil.rmtree(tmp_root, ignore_errors=True)
         return pages_dir, golden_dir
-    os.rename(tmp_root, root)  # pathological contention exhausted retries
+    try:
+        os.rename(tmp_root, root)  # pathological contention exhausted retries
+    except OSError:
+        # never leak the per-pid tmp dir: clean up, then trust a competitor's
+        # published corpus if one appeared — otherwise surface the contention
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise RuntimeError(
+                f"corpus publish contention unresolved for {root}"
+            ) from None
     return pages_dir, golden_dir

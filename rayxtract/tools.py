@@ -115,11 +115,12 @@ def status_report(out_dir: str, limit: int = 50):
 
     from .agg import topk
 
+    # url is the unique tiebreak — topk requires a total order over keys
     return topk(
         ray.data.read_parquet(
             out_dir, columns=["url", "warc_ts", "doc_type", "n_chars", "error"]
         ),
-        ["warc_ts"],
-        descending=[True],
+        ["warc_ts", "url"],
+        descending=[True, False],
         k=limit,
     )

@@ -94,3 +94,32 @@ def test_entry_smoke():
     df = _to_pandas(e.entry())
     assert len(df) == 1000  # unique urls at the sf0.001 tier
     assert {"url", "n_chars", "doc_type"} <= set(df.columns)
+
+
+def test_left_join_typed_nulls():
+    """bucketed_join(how='left') preserves every left row and carries
+    unmatched right columns as typed nulls (not dropped, not zero-filled)."""
+    from rayxtract.joins import bucketed_join
+    import ray.data
+
+    c = ray.data.read_parquet(
+        f"{SF_DIR}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    o = ray.data.read_parquet(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    j = bucketed_join(c, o, "c_custkey", "o_custkey", n_buckets=8, how="left")
+    df = j.to_pandas()
+    n_cust = c.count()
+    cust_with_orders = set(o.to_pandas()["o_custkey"].astype("int64"))
+    expected_null_rows = n_cust - len(
+        set(c.to_pandas()["c_custkey"].astype("int64")) & cust_with_orders
+    )
+    null_rows = int(df["o_orderkey"].isna().sum())
+    assert null_rows == expected_null_rows
+    assert set(df["c_custkey"].astype("int64")) == set(
+        c.to_pandas()["c_custkey"].astype("int64")
+    )
+    # matched half agrees with the inner join
+    inner = bucketed_join(c, o, "c_custkey", "o_custkey", n_buckets=8).to_pandas()
+    assert len(df) == len(inner) + null_rows
