@@ -1,0 +1,129 @@
+"""Hot-bucket guard tests (VERDICT r2 top-next #1): a degenerate LSH band
+key — thousands of boilerplate-identical docs sharing one signature, the
+real shape of web corpora — must produce BOUNDED pair output (star pairs to
+a representative, not O(n^2) all-pairs) in bounded wall-time, in all three
+candidate generators. Plus an output-equivalence proof that the guarded
+path is identical to the unguarded one whenever no identical-signature
+collapse happens and the rep cap is not hit."""
+
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _docs_with_identical_block(n_identical: int, n_distinct: int) -> pd.DataFrame:
+    boiler = (
+        "terms and conditions apply please read this boilerplate notice "
+        "carefully before proceeding all rights reserved contact support"
+    )
+    texts = [boiler] * n_identical + [
+        " ".join(f"tok{i}w{j}" for j in range(30)) for i in range(n_distinct)
+    ]
+    return pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype="int64"), "text": texts}
+    )
+
+
+def test_minhash_hot_bucket_bounded(ray_session):
+    import ray.data
+
+    from rayxtract.neardup import cluster_pairs, minhash_candidate_pairs
+
+    n_ident = 5000
+    df = _docs_with_identical_block(n_ident, 12)
+    ds = ray.data.from_pandas(df)
+    t0 = time.monotonic()
+    pairs = minhash_candidate_pairs(ds, jaccard_threshold=0.5).to_pandas()
+    elapsed = time.monotonic() - t0
+    # unguarded: 16 bands x C(5000,2) ~ 2e8 pairs in one task; guarded:
+    # one star pair per identical member (+ nothing for the distinct docs)
+    assert len(pairs) < 3 * n_ident, f"pair explosion: {len(pairs)}"
+    assert elapsed < 240, f"hot bucket stalled the pair stage: {elapsed:.0f}s"
+    # connectivity is preserved: all identical docs form ONE cluster
+    clusters = cluster_pairs(pairs)
+    ident_clusters = clusters[clusters["doc_id"] < n_ident]["cluster"].unique()
+    assert len(ident_clusters) == 1
+    assert len(clusters[clusters["doc_id"] < n_ident]) == n_ident
+
+
+def test_simhash_hot_bucket_bounded(ray_session):
+    import ray.data
+
+    from rayxtract.neardup import simhash_candidate_pairs
+
+    n_ident = 5000
+    df = _docs_with_identical_block(n_ident, 12)
+    t0 = time.monotonic()
+    pairs = simhash_candidate_pairs(ray.data.from_pandas(df)).to_pandas()
+    elapsed = time.monotonic() - t0
+    assert len(pairs) < 3 * n_ident, f"pair explosion: {len(pairs)}"
+    assert elapsed < 240, f"hot bucket stalled the pair stage: {elapsed:.0f}s"
+    # identical docs connect via hamming-0 star pairs
+    ident = pairs[(pairs["doc_a"] < n_ident) & (pairs["doc_b"] < n_ident)]
+    touched = set(ident["doc_a"]) | set(ident["doc_b"])
+    assert len(touched) == n_ident
+    assert (ident["hamming"] == 0).all()
+
+
+def test_embedding_hot_bucket_bounded(ray_session):
+    import ray.data
+
+    from rayxtract.neardup import embedding_neardup_pairs
+
+    n_ident = 3000
+    rng = np.random.RandomState(3)
+    base = np.zeros(16)
+    base[0] = 1.0
+    vecs = [base.copy() for _ in range(n_ident)] + [
+        rng.randn(16) for _ in range(50)
+    ]
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(vecs), dtype="int64"),
+            "embedding": [v.astype(np.float64) for v in vecs],
+        }
+    )
+    t0 = time.monotonic()
+    pairs = embedding_neardup_pairs(
+        ray.data.from_pandas(df), threshold=0.9
+    ).to_pandas()
+    elapsed = time.monotonic() - t0
+    assert len(pairs) < 2 * n_ident, f"pair explosion: {len(pairs)}"
+    assert elapsed < 240, f"hot bucket stalled the pair stage: {elapsed:.0f}s"
+    ident = pairs[(pairs["vec_a"] < n_ident) & (pairs["vec_b"] < n_ident)]
+    touched = set(ident["vec_a"]) | set(ident["vec_b"])
+    assert len(touched) == n_ident
+    assert (ident["cosine"] >= 0.999).all()
+
+
+def _pair_set(df: pd.DataFrame, cols=("doc_a", "doc_b")) -> set:
+    return set(zip(df[cols[0]].astype(int), df[cols[1]].astype(int)))
+
+
+def test_guarded_path_equivalent_on_distinct_sigs(ray_session):
+    """With no identical signatures and fewer reps than the cap, the
+    guarded path (size_cap=0 forces it for every bucket) must emit exactly
+    the unguarded pair set — the guard changes nothing on normal corpora."""
+    import ray.data
+
+    from rayxtract.neardup import MinHashBatch, minhash_candidate_pairs
+
+    # stride-5 sliding windows: adjacent jaccard ~0.78 — high enough for
+    # candidate pairs, low enough that no two docs share a full 64-perm
+    # signature (identical sigs WOULD legitimately change the pair set)
+    words = [f"w{i}" for i in range(200)]
+    texts = [" ".join(words[5 * i : 5 * i + 40]) for i in range(33)]
+    sigs = MinHashBatch().signatures(texts)
+    assert len({tuple(s.tolist()) for s in sigs}) == len(texts)  # precondition
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype="int64"), "text": texts}
+    )
+    ds = ray.data.from_pandas(df)
+    normal = minhash_candidate_pairs(ds, jaccard_threshold=0.3).to_pandas()
+    guarded = minhash_candidate_pairs(
+        ds, jaccard_threshold=0.3, bucket_size_cap=0
+    ).to_pandas()
+    assert _pair_set(normal) == _pair_set(guarded)
+    assert len(normal) > 0  # the sliding windows do overlap
