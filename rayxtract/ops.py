@@ -108,6 +108,8 @@ class ExtractConfig:
         "use_layout_actors",
         "heavy_bytes",
         "dom",
+        "loser_filter",
+        "winner_broadcast_limit",
     )
 
     def __init__(
@@ -120,6 +122,8 @@ class ExtractConfig:
         use_layout_actors: bool = False,
         heavy_bytes: int | None = 4 * 1024 * 1024,
         dom: DomConfig | None = None,
+        loser_filter: str = "auto",
+        winner_broadcast_limit: int = 5_000_000,
     ) -> None:
         self.n_partitions = n_partitions
         self.max_bytes = max_bytes
@@ -141,6 +145,17 @@ class ExtractConfig:
         # to ~1.2x over 8-CPU).
         self.use_layout_actors = use_layout_actors
         self.dom = dom or DomConfig()
+        # recrawl-loser filter strategy: "broadcast" ships the O(dup-url)
+        # winner map once via ray.put and probes it vectorized per batch
+        # (zero payload movement — right up to ~10^9 dup urls);
+        # "antijoin" hash(url)-buckets the page stream against the
+        # DISTRIBUTED winner table (one payload exchange, nothing
+        # winner-sized on the driver — the 10^12-doc path). "auto" picks
+        # broadcast iff dup urls <= winner_broadcast_limit.
+        if loser_filter not in ("auto", "broadcast", "antijoin"):
+            raise ValueError(f"unknown loser_filter {loser_filter!r}")
+        self.loser_filter = loser_filter
+        self.winner_broadcast_limit = winner_broadcast_limit
 
 
 def isolate_heavy(batch: pa.Table, heavy_bytes: int):
