@@ -45,9 +45,11 @@ def oracle_sql() -> dict[str, str]:
         import ray
 
         if ray.is_initialized():
+            from rayxtract.multimodal import ensure_media_corpus
             from rayxtract.synth import ensure_corpus
 
             ensure_corpus(10_000)
+            ensure_media_corpus(500)  # sf0.01 tier: 10_000 // 20
     except Exception:
         pass
     return dict(ORACLE_SQL)

@@ -15,6 +15,7 @@ batch x concurrency stays inside worker heap (SURVEY.md §7.4 item 6).
 from __future__ import annotations
 
 import hashlib
+import os
 import zlib
 
 import numpy as np
@@ -23,12 +24,17 @@ import pyarrow as pa
 
 __all__ = [
     "MEDIA_SCHEMA",
+    "MEDIA_GEN_VERSION",
     "synthetic_media_batch",
+    "ensure_media_corpus",
     "DecodeImageBatch",
     "FrameSampleBatch",
     "ResizeImageBatch",
     "AudioFeatureBatch",
 ]
+
+# bump when synthetic_media_batch output changes — the parquet cache key
+MEDIA_GEN_VERSION = 1
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -71,44 +77,99 @@ def synthetic_media_batch(batch: pa.Table, seed: int = 5) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
 
+def ensure_media_corpus(n_media: int, seed: int = 5) -> str:
+    """Generate (once, cached) the deterministic media parquet dir — the
+    SHARED input for the engine's media queries AND their DuckDB oracles
+    (VERDICT r2 "What's missing" #4: oracle-able media plumbing needs both
+    sides reading the same persisted table). Same tmp+marker+rename
+    publish discipline as synth.ensure_corpus."""
+    import shutil
+
+    import ray.data
+
+    from .synth import _CACHE_ROOT
+
+    root = os.path.join(
+        _CACHE_ROOT, f"media_n{n_media}_s{seed}_v{MEDIA_GEN_VERSION}"
+    )
+    marker = os.path.join(root, "_COMPLETE")
+    if os.path.exists(marker):
+        return root
+    tmp = f"{root}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        ray.data.range(n_media, override_num_blocks=max(4, n_media // 500))
+        .map_batches(
+            lambda b: synthetic_media_batch(b, seed), batch_format="pyarrow"
+        )
+        .write_parquet(tmp)
+    )
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+        f.write("ok\n")
+    try:
+        os.rename(tmp, root)
+    except OSError:  # lost a publish race — trust the winner
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise RuntimeError(f"media corpus publish failed for {root}") from None
+    return root
+
+
+def sql_parity_md5(payload: bytes) -> str:
+    """Digest computable on BOTH sides of the oracle: DuckDB lacks
+    md5(BLOB), but ``md5(hex(blob))`` exists — mirror it exactly
+    (uppercase hex, then md5)."""
+    return hashlib.md5(payload.hex().upper().encode("ascii")).hexdigest()
+
+
 class DecodeImageBatch:
     """Actor-pool decode/feature stage over binary image payloads.
 
     ``real=False`` (default): deterministic fake decode — 8 stable
-    pseudo-features per payload derived from a blake2b digest, plus byte
-    length and crc32. ``real=True``: raises NotImplementedError until a
-    codec library exists in the environment.
+    pseudo-features per payload derived from an md5 digest (md5 so the
+    oracle side can recompute: DuckDB md5(hex(blob)) — VERDICT r2 next
+    #5), plus byte length, crc32 and the SQL-parity md5 hex digest.
+    ``real=True``: raises NotImplementedError until a codec library exists
+    in the environment. ``id_col`` lets callers key by url instead of a
+    synthetic media_id.
     """
 
-    def __init__(self, real: bool = False):
+    def __init__(self, real: bool = False, id_col: str = "media_id"):
         if real:
             raise NotImplementedError(
                 "no image codec library in this environment; "
                 "fake decode (real=False) exercises the full Ray plumbing"
             )
         self.real = real
+        self.id_col = id_col
 
     @staticmethod
     def _fake_features(payload: bytes) -> np.ndarray:
-        d = hashlib.blake2b(payload, digest_size=32).digest()
+        d = hashlib.md5(payload.hex().upper().encode("ascii")).digest()
         return (
-            np.frombuffer(d, dtype=np.uint32).astype(np.float64)
-            / np.float64(2**32)
+            np.frombuffer(d, dtype=np.uint16).astype(np.float64)
+            / np.float64(2**16)
         )
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         payloads = batch["payload"].tolist()
         feats = [self._fake_features(p) for p in payloads]
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
-                "media_id": batch["media_id"].astype("int64").values,
+                self.id_col: batch[self.id_col].values,
                 "n_bytes": pd.Series([len(p) for p in payloads], dtype="int64"),
                 "crc": pd.Series(
                     [zlib.crc32(p) for p in payloads], dtype="int64"
                 ),
+                "payload_md5": pd.Series(
+                    [sql_parity_md5(p) for p in payloads], dtype="object"
+                ),
                 "features": feats,  # list<double>[8]
             }
         )
+        if self.id_col == "media_id":
+            out["media_id"] = out["media_id"].astype("int64")
+        return out
 
 
 class ResizeImageBatch:
@@ -169,26 +230,27 @@ class AudioFeatureBatch:
     def __init__(self, frame_len: int = 512):
         self.frame_len = int(frame_len)
 
-    def _features(self, payload: bytes) -> tuple[int, float, float, np.ndarray]:
+    def _features(self, payload: bytes) -> tuple[int, int, float, float, np.ndarray]:
         x = np.frombuffer(payload[: len(payload) // 2 * 2], dtype="<i2")
         n = len(x)
         if not n:
-            return 0, 0.0, 0.0, np.zeros(0, dtype=np.float64)
+            return 0, 0, 0.0, 0.0, np.zeros(0, dtype=np.float64)
         xf = x.astype(np.float64) / 32768.0
         L = self.frame_len
         n_frames = max(1, n // L)
         trimmed = xf[: n_frames * L].reshape(n_frames, L)
         rms = np.sqrt((trimmed**2).mean(axis=1))
         zc = (np.diff(np.signbit(trimmed), axis=1) != 0).mean(axis=1)
-        return n, float(rms.mean()), float(zc.mean()), rms
+        return n, n_frames, float(rms.mean()), float(zc.mean()), rms
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = {"media_id": [], "n_samples": [], "rms_mean": [],
-               "zcr_mean": [], "frame_rms": []}
+        out = {"media_id": [], "n_samples": [], "n_frames": [],
+               "rms_mean": [], "zcr_mean": [], "frame_rms": []}
         for mid, payload in zip(batch["media_id"], batch["payload"]):
-            n, rms_m, zcr_m, rms = self._features(payload)
+            n, n_fr, rms_m, zcr_m, rms = self._features(payload)
             out["media_id"].append(int(mid))
             out["n_samples"].append(n)
+            out["n_frames"].append(n_fr)
             out["rms_mean"].append(rms_m)
             out["zcr_mean"].append(zcr_m)
             out["frame_rms"].append(rms)
@@ -196,6 +258,7 @@ class AudioFeatureBatch:
             {
                 "media_id": pd.Series(out["media_id"], dtype="int64"),
                 "n_samples": pd.Series(out["n_samples"], dtype="int64"),
+                "n_frames": pd.Series(out["n_frames"], dtype="int64"),
                 "rms_mean": pd.Series(out["rms_mean"], dtype="float64"),
                 "zcr_mean": pd.Series(out["zcr_mean"], dtype="float64"),
                 "frame_rms": out["frame_rms"],  # list<double> per clip

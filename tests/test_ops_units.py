@@ -240,6 +240,17 @@ def test_knn_ivf_recall(emb_ds):
         assert len(e & a) / len(e) >= 0.7  # clustered data: probing should recall
 
 
+def test_ivf_recall_query_floor(ray_session):
+    """The driver-facing IVF recall gate: n_overlap >= 5 of k=10 per query
+    (the documented recall floor for the test corpora)."""
+    from rayxtract.queries import q_emb_knn_ivf_recall
+
+    df = q_emb_knn_ivf_recall("/root/testdata/sf0.001")
+    assert len(df) == 2
+    assert (df["k"] == 10).all()
+    assert (df["n_overlap"] >= 5).all(), df.to_dict("records")
+
+
 def test_embedding_neardup(emb_ds, ray_session):
     from rayxtract.neardup import embedding_neardup_pairs
 
