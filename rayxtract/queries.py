@@ -1174,25 +1174,16 @@ def q_pages_neardup_exact(sf_dir: str):
     # that breaks first at scale (VERDICT r1 "What's wrong" #4). The spill
     # path is deterministic per (tier, GEN_VERSION) and cached behind a
     # marker, so repeated gate/bench sweeps reuse one copy instead of
-    # leaking a fresh corpus-sized dir per call.
-    scratch = f"{_oracle_corpus_root(sf_dir)}.neardup_spill"
-    marker = _os.path.join(scratch, "_SPILL_COMPLETE")
-    if not _os.path.exists(marker):
-        tmp = f"{scratch}.tmp.{_os.getpid()}"
-        import shutil as _shutil
+    # leaking a fresh corpus-sized dir per call. The MinHash signature
+    # table spills the same way (VERDICT r2 "What's wrong" #5).
+    from .neardup import _spill_and_reread
 
-        _shutil.rmtree(tmp, ignore_errors=True)
-        docs.write_parquet(tmp)
-        with open(_os.path.join(tmp, "_SPILL_COMPLETE"), "w") as f:
-            f.write("ok\n")
-        try:
-            _os.rename(tmp, scratch)
-        except OSError:  # lost a publish race
-            _shutil.rmtree(tmp, ignore_errors=True)
-    docs = ray.data.read_parquet(
-        scratch, file_extensions=["parquet"]
+    root = _oracle_corpus_root(sf_dir)
+    docs = _spill_and_reread(docs, f"{root}.neardup_spill")
+    cands = minhash_candidate_pairs(
+        docs, jaccard_threshold=0.35,
+        sig_spill_dir=f"{root}.minhash_sigs_p64_s7",
     )
-    cands = minhash_candidate_pairs(docs, jaccard_threshold=0.35)
     return ngram_jaccard_verify(docs, cands, k=3, threshold=0.5)
 
 
