@@ -42,6 +42,12 @@ def main(argv: list[str] | None = None) -> int:
     px.add_argument("--no-resume", action="store_true")
     px.add_argument("--batch-size", type=int, default=128)
     px.add_argument("--heavy-bytes", type=int, default=4 * 1024 * 1024)
+    px.add_argument(
+        "--loser-filter", choices=["auto", "broadcast", "shardmap", "antijoin"],
+        default="auto",
+        help="recrawl-loser filter: broadcast probe vs distributed anti-join "
+             "(auto switches on dup-url count)",
+    )
 
     ps = sub.add_parser("status", help="newest-first crawl listing")
     ps.add_argument("--out", required=True)
@@ -72,7 +78,11 @@ def main(argv: list[str] | None = None) -> int:
         report = run_extraction(
             args.pages,
             args.out,
-            ExtractConfig(batch_size=args.batch_size, heavy_bytes=args.heavy_bytes),
+            ExtractConfig(
+                batch_size=args.batch_size,
+                heavy_bytes=args.heavy_bytes,
+                loser_filter=args.loser_filter,
+            ),
             resume=not args.no_resume,
         )
         print(json.dumps(report))

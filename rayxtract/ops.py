@@ -148,11 +148,15 @@ class ExtractConfig:
         # recrawl-loser filter strategy: "broadcast" ships the O(dup-url)
         # winner map once via ray.put and probes it vectorized per batch
         # (zero payload movement — right up to ~10^9 dup urls);
-        # "antijoin" hash(url)-buckets the page stream against the
-        # DISTRIBUTED winner table (one payload exchange, nothing
-        # winner-sized on the driver — the 10^12-doc path). "auto" picks
-        # broadcast iff dup urls <= winner_broadcast_limit.
-        if loser_filter not in ("auto", "broadcast", "antijoin"):
+        # "shardmap" restricts the DISTRIBUTED winner table to each input
+        # shard's own urls via small bucketed joins of url partials — no
+        # payload movement either, workers fetch only their shards' maps
+        # (the 10^12-doc path; measured ~broadcast-speed); "antijoin"
+        # hash(url)-buckets the page stream itself against the winner
+        # table (one full payload exchange — the fallback when even
+        # per-shard maps are awkward, e.g. unsharded input). "auto" picks
+        # broadcast iff dup urls <= winner_broadcast_limit, else shardmap.
+        if loser_filter not in ("auto", "broadcast", "shardmap", "antijoin"):
             raise ValueError(f"unknown loser_filter {loser_filter!r}")
         self.loser_filter = loser_filter
         self.winner_broadcast_limit = winner_broadcast_limit

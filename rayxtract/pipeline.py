@@ -122,16 +122,37 @@ def _split_ties_fn(frame):
     return w, t
 
 
-def _winner_bucket_refs(pages_path: str, n_buckets: int = 16):
+def _bucket_shard_split_fn(winners_b, *shard_partials):
+    """Restrict one bucket's winner frame to each shard's own url set —
+    one small inner merge per shard, emitted as separate returns so each
+    shard's restriction stays an independent ObjectRef."""
+    wb = winners_b[["url", "max_ts"]]
+    out = []
+    for sp in shard_partials:
+        if not len(sp) or not len(wb):
+            out.append(wb.iloc[0:0])
+        else:
+            out.append(wb.merge(sp[["url"]], on="url", how="inner"))
+    return tuple(out) if len(out) > 1 else out[0]
+
+
+def _concat_frames_fn(*frames):
+    import pandas as pd
+
+    return pd.concat(frames, ignore_index=True)
+
+
+def _winner_pass(pages_path: str, n_buckets: int = 16):
     """Pass A, fully distributed: hash-bucketed two-level reduce.
 
     Reads just (url, warc_ts) — column pruning keeps this pass ~0.1% of the
     input bytes. Stage 1 (one task per shard, ``num_returns=n_buckets``)
     emits per-url partials (n, max_ts, n_at_max) split by hash(url) bucket;
     stage 2 (one task per bucket) merges its bucket's partials and emits
-    ONLY urls with n > 1. Returns the per-bucket dup-frame ObjectRefs
-    WITHOUT gathering — the broadcast path pulls O(|dup urls|) to the
-    driver, the anti-join path never does.
+    ONLY urls with n > 1. Returns ``(per_shard_partial_refs, winner_refs,
+    ties)`` — winners stay in the object store (the broadcast path pulls
+    O(|dup urls|) to the driver; shardmap/anti-join never do); ties —
+    contractually near-empty — land on the driver for ``resolve_tie_rows``.
 
     (A Ray Dataset groupby here cost 31s of fixed sort overhead for a
     200k-row two-column table — worse than the whole extraction; the raw
@@ -140,6 +161,7 @@ def _winner_bucket_refs(pages_path: str, n_buckets: int = 16):
 
     shard_partial = ray.remote(num_cpus=1)(_shard_partial_fn)
     bucket_reduce = ray.remote(num_cpus=1)(_bucket_reduce_fn)
+    split_ties = ray.remote(num_cpus=1, num_returns=2)(_split_ties_fn)
     shards = list_shards(pages_path)
     per_shard = [
         shard_partial.options(num_returns=n_buckets).remote(p, n_buckets)
@@ -147,21 +169,11 @@ def _winner_bucket_refs(pages_path: str, n_buckets: int = 16):
     ]
     if n_buckets == 1:  # num_returns=1 yields a bare ref, not a list
         per_shard = [[r] for r in per_shard]
-    return [
+    dup_refs = [
         bucket_reduce.remote(*[refs[b] for refs in per_shard])
         for b in range(n_buckets)
     ]
-
-
-def _split_winner_refs(pages_path: str, n_buckets: int = 16):
-    """(winner frame refs, ties dict). Winners stay in the object store;
-    ties — contractually near-empty — land on the driver for
-    ``resolve_tie_rows``."""
-    import ray
-
-    split_ties = ray.remote(num_cpus=1, num_returns=2)(_split_ties_fn)
-    refs = _winner_bucket_refs(pages_path, n_buckets)
-    split = [split_ties.remote(r) for r in refs]
+    split = [split_ties.remote(r) for r in dup_refs]
     winner_refs = [s[0] for s in split]
     tie_frames = ray.get([s[1] for s in split])
     ties = {
@@ -169,7 +181,45 @@ def _split_winner_refs(pages_path: str, n_buckets: int = 16):
         for f in tie_frames
         for u, t in zip(f["url"], f["max_ts"])
     }
+    return per_shard, winner_refs, ties
+
+
+def _split_winner_refs(pages_path: str, n_buckets: int = 16):
+    """(winner frame refs, ties dict) — see ``_winner_pass``."""
+    _, winner_refs, ties = _winner_pass(pages_path, n_buckets)
     return winner_refs, ties
+
+
+def _shard_winner_maps(per_shard, winner_refs, n_buckets: int):
+    """Pass A2 (the "shardmap" filter): restrict the DISTRIBUTED winner
+    table to each input shard's own url set, without gathering either.
+
+    One task per bucket joins its winner frame against every shard's
+    bucket-b url partial (data it already co-located for the reduce) and
+    emits per-shard restrictions as separate returns; one tiny concat task
+    per shard assembles its map. The driver holds only ObjectRefs
+    (O(n_shards)); a worker later fetches just the maps of the shards its
+    batches came from — O(one shard's dup urls), NOT the global table.
+    At 10^12-doc scale (10^5-10^6 shards) the per-bucket fan-out
+    (num_returns = n_shards) is bounded by grouping shards, a constant
+    the caller picks; unnecessary at this sandbox's shard counts."""
+    import ray
+
+    n_shards = len(per_shard)
+    bucket_split = ray.remote(num_cpus=1)(_bucket_shard_split_fn)
+    concat = ray.remote(num_cpus=1)(_concat_frames_fn)
+    pieces = [
+        bucket_split.options(num_returns=n_shards).remote(
+            winner_refs[b], *[per_shard[s][b] for s in range(n_shards)]
+        )
+        for b in range(n_buckets)
+    ]
+    if n_shards == 1:
+        pieces = [[r] for r in pieces]
+    return [
+        concat.remote(*[pieces[b][s] for b in range(n_buckets)])
+        for s in range(n_shards)
+    ]
 
 
 def compute_recrawl_winners(
@@ -293,6 +343,41 @@ def _winner_lookup(winners_ref):
     return st
 
 
+# shardmap memo: many small per-shard entries (O(one shard's dup urls))
+_SHARD_MAP_MEMO: dict = {}
+
+
+def _memo_small(ref, build, cap: int = 1024):
+    key = ref.hex()
+    st = _SHARD_MAP_MEMO.get(key)
+    if st is None:
+        if len(_SHARD_MAP_MEMO) >= cap:
+            _SHARD_MAP_MEMO.pop(next(iter(_SHARD_MAP_MEMO)))
+        st = _SHARD_MAP_MEMO[key] = build()
+    return st
+
+
+def _shard_map_lookup(ref):
+    import pandas as pd
+    import ray
+
+    def build():
+        f = ray.get(ref)
+        return (
+            pd.Index(f["url"]),
+            f["max_ts"].to_numpy().astype(np.int64),
+        )
+
+    return _memo_small(ref, build)
+
+
+def _tie_lookup(ties_ref):
+    import pandas as pd
+    import ray
+
+    return _memo_small(ties_ref, lambda: pd.Index(sorted(ray.get(ties_ref))))
+
+
 def _keep_mask(urls, ts, idx, wts, tie_idx):
     """Vectorized winner probe: keep rows that are not recrawl losers and
     not tie urls (ties re-enter via the deterministic side table)."""
@@ -401,25 +486,29 @@ def extraction_dataset(
         if not skip_partitions or shard_of[p] not in skip_partitions
     ]
 
-    winner_refs, ties = _split_winner_refs(pages_path)
+    per_shard, winner_refs, ties = _winner_pass(pages_path)
     mode = cfg.loser_filter
     if mode == "auto":
         frame_len = ray.remote(num_cpus=1)(_frame_len_fn)
         n_dup = sum(ray.get([frame_len.remote(r) for r in winner_refs]))
         mode = (
-            "broadcast" if n_dup <= cfg.winner_broadcast_limit else "antijoin"
+            "broadcast" if n_dup <= cfg.winner_broadcast_limit else "shardmap"
         )
     tie_table = resolve_tie_rows(pages_path, ties)
     shard_ref = ray.put(shard_of)
 
+    winners_ref = None
+    shard_maps = None
+    ties_ref = None
     if mode == "broadcast":
         winners: dict[str, int] = {}
         for f in ray.get(winner_refs):
             for url, ts in zip(f["url"], f["max_ts"]):
                 winners[url] = int(ts)
         winners_ref = ray.put((winners, frozenset(ties)))
-    else:
-        winners_ref = None
+    elif mode == "shardmap":
+        shard_maps = _shard_winner_maps(per_shard, winner_refs, n_buckets=16)
+        ties_ref = ray.put(frozenset(ties))
 
     ds = ray.data.read_parquet(
         todo, columns=["url", "warc_ts", "html", "lang"], include_paths=True
@@ -433,21 +522,35 @@ def extraction_dataset(
             (s[os.path.abspath(p)] for p in uniq), dtype=np.int64,
             count=len(uniq),
         )
+        pids = pid_u[codes]
         batch = batch.append_column(
-            "partition_id", pa.array(pid_u[codes], type=pa.int64())
+            "partition_id", pa.array(pids, type=pa.int64())
         ).drop_columns(["path"])
-        if winners_ref is None:
-            return batch  # anti-join stage filters downstream
-        idx, wts, tie_idx = _winner_lookup(winners_ref)
-        urls = pd.Index(batch["url"].to_pylist())
-        ts = batch["warc_ts"].cast(pa.int64()).to_numpy()
-        # losers out; tie urls are dropped ENTIRELY here (their single
-        # deterministic winner re-enters via the side table below)
-        keep = _keep_mask(urls, ts, idx, wts, tie_idx)
-        return batch.filter(pa.array(keep))
+        if winners_ref is not None:
+            idx, wts, tie_idx = _winner_lookup(winners_ref)
+            urls = pd.Index(batch["url"].to_pylist())
+            ts = batch["warc_ts"].cast(pa.int64()).to_numpy()
+            # losers out; tie urls are dropped ENTIRELY here (their single
+            # deterministic winner re-enters via the side table below)
+            keep = _keep_mask(urls, ts, idx, wts, tie_idx)
+            return batch.filter(pa.array(keep))
+        if shard_maps is not None:
+            # shardmap: probe each row against ITS OWN shard's winner
+            # restriction — the worker fetches only the maps of shards its
+            # batches actually came from, never the global table
+            tie_idx = _tie_lookup(ties_ref)
+            urls = pd.Index(batch["url"].to_pylist())
+            ts = batch["warc_ts"].cast(pa.int64()).to_numpy()
+            keep = np.ones(len(urls), dtype=bool)
+            for pid in np.unique(pids):
+                m = pids == pid
+                idx, wts = _shard_map_lookup(shard_maps[pid])
+                keep[m] = _keep_mask(urls[m], ts[m], idx, wts, tie_idx)
+            return batch.filter(pa.array(keep))
+        return batch  # anti-join stage filters downstream
 
     ds = ds.map_batches(tag_and_filter, batch_format="pyarrow")
-    if mode != "broadcast":
+    if mode == "antijoin":
         ds = _antijoin_losers(ds, winner_refs, frozenset(ties))
     if tie_table is not None and tie_table.num_rows:
         # only tie winners whose shard is in this run (resume skips the rest)

@@ -156,12 +156,14 @@ def test_lazy_dataset_streams(small_corpus):
     assert n == 1000  # unique urls
 
 
-def test_antijoin_loser_filter_matches_broadcast(small_corpus, tmp_path):
-    """The distributed anti-join loser filter (the 10^12-doc path) must be
-    byte-identical to the broadcast probe (VERDICT r2 "What's missing" #2)."""
+@pytest.mark.parametrize("mode", ["shardmap", "antijoin"])
+def test_distributed_loser_filters_match_broadcast(small_corpus, tmp_path, mode):
+    """The distributed loser filters (shardmap: per-shard winner
+    restrictions; antijoin: payload exchange — the 10^12-doc paths) must
+    be byte-identical to the broadcast probe (VERDICT r2 missing #2)."""
     pages_dir, _ = small_corpus
     a = str(tmp_path / "bcast")
-    b = str(tmp_path / "anti")
+    b = str(tmp_path / mode)
     run_extraction(
         pages_dir, a,
         ExtractConfig(n_partitions=8, batch_size=64, loser_filter="broadcast"),
@@ -169,7 +171,7 @@ def test_antijoin_loser_filter_matches_broadcast(small_corpus, tmp_path):
     )
     run_extraction(
         pages_dir, b,
-        ExtractConfig(n_partitions=8, batch_size=64, loser_filter="antijoin"),
+        ExtractConfig(n_partitions=8, batch_size=64, loser_filter=mode),
         resume=False,
     )
     da = _load_sorted(_read_output(a))[["url", "warc_ts", "text"]]
