@@ -179,6 +179,41 @@ def test_distributed_loser_filters_match_broadcast(small_corpus, tmp_path, mode)
     pd.testing.assert_frame_equal(da, db)
 
 
+def test_shardmap_resume_and_single_shard(small_corpus, tmp_path):
+    """shardmap mode composes with resume (shard maps are indexed by
+    ABSOLUTE shard id, independent of the skip set) and with a
+    single-shard input (bare-ref num_returns edge in both pass-A stages)."""
+    import pyarrow.parquet as pq
+
+    from rayxtract import manifest as mf
+
+    pages_dir, _ = small_corpus
+    cfg = ExtractConfig(n_partitions=8, batch_size=64, loser_filter="shardmap")
+
+    out = str(tmp_path / "resume_sm")
+    run_extraction(pages_dir, out, cfg, resume=False)
+    full = _load_sorted(_read_output(out))
+    shutil.rmtree(mf.partition_dir(out, 1))
+    report = run_extraction(pages_dir, out, cfg, resume=True)
+    assert report["partitions_skipped_on_resume"] > 0
+    resumed = _load_sorted(_read_output(out))
+    pd.testing.assert_frame_equal(full[["url", "text"]], resumed[["url", "text"]])
+
+    # single-shard input: concat all pages into ONE parquet file
+    single = tmp_path / "single_pages"
+    single.mkdir()
+    import glob as _glob
+
+    import pyarrow as pa
+
+    parts = [pq.read_table(f) for f in sorted(_glob.glob(f"{pages_dir}/*.parquet"))]
+    pq.write_table(pa.concat_tables(parts), str(single / "all.parquet"))
+    out1 = str(tmp_path / "single_out")
+    run_extraction(str(single), out1, cfg, resume=False)
+    got = _load_sorted(_read_output(out1))
+    pd.testing.assert_frame_equal(full[["url", "text"]], got[["url", "text"]])
+
+
 def test_resume_reruns_shard_rewritten_in_place(small_corpus, tmp_path):
     """A shard regenerated IN PLACE (same filename, different content) must
     invalidate exactly its own partition on resume — the manifest records a
