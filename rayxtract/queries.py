@@ -565,6 +565,10 @@ def q_doc_union_sources(sf_dir: str):
 
 
 def q_doc_langid(sf_dir: str):
+    """Stopword-scoring language ID (warm actor tables). ORACLE-CHECKED
+    since r3: the scoring — word extract, per-language stopword hit
+    counts, first-max-wins argmax, 'und' on zero hits — is generated into
+    DuckDB SQL from the SAME stopword tables (``_langid_oracle_sql``)."""
     from .textops import LangIdBatch
 
     return (
@@ -572,6 +576,50 @@ def q_doc_langid(sf_dir: str):
         .map_batches(LangIdBatch, batch_format="pandas", concurrency=(1, 8))
         .drop_columns(["text"])
     )
+
+
+def _langid_oracle_sql(
+    source_sql: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of LangIdBatch.predict_one, generated from the SAME
+    stopword tables: word regex [a-zà-ÿ]+ over lower(text), per-language
+    hit counts, winner = FIRST language (table order) reaching the max,
+    'und' when no stopword hits at all."""
+    from .textops import STOPWORDS
+
+    langs = ("en", "pt", "es", "fr", "de")  # LangIdBatch default order
+    hit_exprs = ", ".join(
+        "SUM(CASE WHEN w IN ({words}) THEN 1 ELSE 0 END) AS {lang}_hits".format(
+            words=", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang])),
+            lang=lang,
+        )
+        for lang in langs
+    )
+    coalesced = ", ".join(
+        f"COALESCE(h.{lang}_hits, 0) AS {lang}_hits" for lang in langs
+    )
+    greatest = "GREATEST(" + ", ".join(f"{lang}_hits" for lang in langs) + ")"
+    case = (
+        "CASE WHEN mx = 0 THEN 'und' "
+        + " ".join(f"WHEN {lang}_hits = mx THEN '{lang}'" for lang in langs)
+        + " END"
+    )
+    return f"""
+        WITH src AS (SELECT {id_col} AS __id, {text_col} AS __text FROM {source_sql}),
+        words AS (
+          SELECT __id, unnest(regexp_extract_all(lower(__text), '[a-zà-ÿ]+')) AS w
+          FROM src
+        ), hits AS (
+          SELECT __id, {hit_exprs} FROM words GROUP BY __id
+        ), scored AS (
+          SELECT s.__id, {coalesced}
+          FROM src s LEFT JOIN hits h USING (__id)
+        )
+        SELECT __id AS {id_col}, {case} AS lang_pred
+        FROM (SELECT *, {greatest} AS mx FROM scored)
+    """
 
 
 def q_doc_simhash(sf_dir: str):
@@ -1488,6 +1536,7 @@ ORACLE_SQL = {
         SELECT DISTINCT lang FROM documents
     """,
     "doc_build_prompts": _prompt_oracle_sql(),
+    "doc_langid": _langid_oracle_sql(),
     "doc_ngram_jaccard": """
         WITH w AS (
           SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
@@ -1640,6 +1689,20 @@ def _pages_oracles(sf_dir: str) -> dict[str, str]:
                    CAST(unnest(range(0, CAST(n_frames AS BIGINT), 10)) AS BIGINT) AS frame_no
             FROM read_parquet('{media}')
             WHERE kind = 'image'
+        """,
+        # language-ID over EXTRACTED page text == golden_text (byte-identity
+        # is proven by the pages_extract oracle); winner row's lang via
+        # arg_max over recrawls
+        "pages_langid": f"""
+            WITH golden_pred AS (
+              {_langid_oracle_sql(f"read_parquet('{golden}')", "url", "golden_text")}
+            ), winner AS (
+              SELECT url, arg_max(lang, warc_ts) AS lang
+              FROM read_parquet('{pages}') GROUP BY url
+            )
+            SELECT w.lang, g.lang_pred, COUNT(*) AS n
+            FROM winner w JOIN golden_pred g USING (url)
+            GROUP BY w.lang, g.lang_pred
         """,
     }
 
