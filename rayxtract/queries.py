@@ -1032,10 +1032,12 @@ def q_media_audio_features(sf_dir: str):
 
 def q_media_resize(sf_dir: str):
     """Byte-grid nearest-neighbor resize over image payloads; returns
-    per-image digests of the resized grid (deterministic)."""
-    import hashlib as _hl
-
-    from .multimodal import ResizeImageBatch
+    per-image digests of the resized grid. ORACLE-CHECKED since r3: the
+    oracle RECONSTRUCTS the resized grid independently in SQL (hex
+    substring indexing with the same (r*h)//32 source-pixel formula) and
+    md5s it — an independent implementation of the resize kernel. Digest
+    is the SQL-parity md5-of-upper-hex form (DuckDB lacks md5(BLOB))."""
+    from .multimodal import ResizeImageBatch, sql_parity_md5
 
     ds = _media_dataset(sf_dir).filter(expr="kind == 'image'")
     out = ds.map_batches(
@@ -1053,7 +1055,7 @@ def q_media_resize(sf_dir: str):
                 "out_w": batch["width"].astype("int64").values,
                 "out_h": batch["height"].astype("int64").values,
                 "grid_md5": [
-                    _hl.md5(p).hexdigest() for p in batch["payload"]
+                    sql_parity_md5(p) for p in batch["payload"]
                 ],
             }
         )
@@ -1689,6 +1691,29 @@ def _pages_oracles(sf_dir: str) -> dict[str, str]:
                    CAST(unnest(range(0, CAST(n_frames AS BIGINT), 10)) AS BIGINT) AS frame_no
             FROM read_parquet('{media}')
             WHERE kind = 'image'
+        """,
+        # independent SQL reconstruction of the nearest-neighbor byte-grid
+        # resize: pixel (r,c) of the 32x32 output = source byte at flat
+        # index ((r*h)//32)*w + (c*w)//32, sliced out of hex(payload)
+        # (synthetic image payloads are exactly h*w bytes — no padding)
+        "media_resize": f"""
+            WITH img AS (
+              SELECT media_id, hex(payload) AS hx, width AS w, height AS h
+              FROM read_parquet('{media}') WHERE kind = 'image'
+            ), px AS (
+              SELECT media_id, r.generate_series AS r, c.generate_series AS c,
+                     substr(hx,
+                            2 * (((r.generate_series * h) // 32) * w
+                                 + (c.generate_series * w) // 32) + 1,
+                            2) AS byte_hex
+              FROM img, generate_series(0, 31) r, generate_series(0, 31) c
+            ), agg AS (
+              SELECT media_id, string_agg(byte_hex, '' ORDER BY r, c) AS grid_hex
+              FROM px GROUP BY media_id
+            )
+            SELECT media_id, CAST(32 AS BIGINT) AS out_w,
+                   CAST(32 AS BIGINT) AS out_h, md5(grid_hex) AS grid_md5
+            FROM agg
         """,
         # language-ID over EXTRACTED page text == golden_text (byte-identity
         # is proven by the pages_extract oracle); winner row's lang via
