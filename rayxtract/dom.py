@@ -166,9 +166,16 @@ class _TreeBuilder(HTMLParser):
 # backtracking): 2-3.5x faster than the lazy form on attr-heavy tags,
 # equal semantics (a trailing '/' lands in the attr group and is split
 # off in code as the self-close flag; unterminated quotes fail the match
-# in both forms and fall to the stray-'<' path)
+# in both forms and fall to the stray-'<' path). Name charset mirrors
+# html.parser's TOLERANT mode: a letter followed by anything but
+# whitespace / '/' / '>' — so soup like `<p<td>` parses as one unknown
+# element named "p<td" (exactly what the stdlib reference does), not as
+# a paragraph with garbage attrs (quote characters in names included).
+# `</ div>`-style space-after-slash end tags are accepted like the
+# stdlib too. Known residual divergence from the stdlib (documented,
+# adversarial-only): quoted '>' inside end-tag junk.
 _TAG_RE = re.compile(
-    r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)"
+    r"<(?:(/)\s*)?([a-zA-Z][^\t\n\r\f />]*)"
     r"([^>\"']*(?:\"[^\"]*\"[^>\"']*|'[^']*'[^>\"']*)*)>",
     re.DOTALL,
 )
@@ -211,11 +218,25 @@ def _build_tree_fast(html: str) -> "_Node":
                 d = _DECL_RE.match(html, lt)
                 pos = d.end() if d else n
                 continue
+            if html.startswith("<?", lt):
+                # processing instruction (<?php ... ?>) — dropped, like the
+                # stdlib parser's unhandled handle_pi
+                gt = html.find(">", lt)
+                pos = (gt + 1) if gt != -1 else n
+                continue
+            if html.startswith("</", lt):
+                # bogus end tag (</>, </-foo>, unmatched-name junk):
+                # html.parser drops it as a bogus comment up to '>'
+                gt = html.find(">", lt)
+                if gt != -1:
+                    pos = gt + 1
+                    continue
             # stray '<' — treat as text (html.parser emits it as data too)
             cur.children.append("<")
             pos = lt + 1
             continue
         closing, name, rawattrs = m.groups()
+        closing = closing or ""
         if rawattrs.endswith("/"):
             selfclose = "/"
             rawattrs = rawattrs[:-1]

