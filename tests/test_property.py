@@ -1,0 +1,188 @@
+"""Property-based tests (hypothesis) for the pure kernels, plus seeded
+randomized equivalence checks for the Ray-backed join/topk/dedup operators
+(few iterations — each drives a real Ray job)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(
+    max_examples=60,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@given(st.lists(st.text(max_size=40), max_size=60))
+@settings(**_SETTINGS)
+def test_fnv64_batch_matches_scalar(words):
+    from rayxtract.neardup import _fnv64, _fnv64_batch
+
+    got = _fnv64_batch(words)
+    exp = np.array([_fnv64(w.encode("utf-8")) for w in words], dtype=np.uint64)
+    assert (got == exp).all()
+
+
+@given(
+    st.lists(st.integers(-(10**12), 10**12), min_size=1, max_size=5000),
+    st.sampled_from([0.01, 0.25, 0.5, 0.9, 0.99]),
+)
+@settings(**_SETTINGS)
+def test_kll_rank_error_bound(values, q):
+    from rayxtract.sketch import KLLSketch
+
+    sk = KLLSketch(128)
+    sk.update_many(values)
+    est = sk.quantile(q)
+    s = np.sort(np.asarray(values, dtype=np.int64))
+    n = len(s)
+    lo = np.searchsorted(s, est, side="left")
+    hi = np.searchsorted(s, est, side="right")
+    target = q * n
+    err = 0.0 if lo <= target <= hi else min(abs(lo - target), abs(hi - target)) / n
+    # k=128 worst-case deterministic bound ~ log2(n/k)/k; 0.1 is generous
+    assert err <= 0.1, (err, est, n)
+
+
+@given(
+    st.lists(st.integers(0, 10**9), min_size=2, max_size=3000),
+    st.integers(2, 8),
+)
+@settings(**_SETTINGS)
+def test_kll_merge_equals_bulk_weight(values, n_chunks):
+    """Merging chunk sketches preserves total weight and the error bound."""
+    from rayxtract.sketch import KLLSketch
+
+    chunks = np.array_split(np.asarray(values, dtype=np.int64), n_chunks)
+    merged = KLLSketch(128)
+    for c in chunks:
+        sk = KLLSketch(128)
+        sk.update_many(c)
+        merged.merge(sk)
+    assert merged.n == len(values)
+    s = np.sort(np.asarray(values, dtype=np.int64))
+    est = merged.quantile(0.5)
+    lo = np.searchsorted(s, est, side="left")
+    hi = np.searchsorted(s, est, side="right")
+    target = 0.5 * len(s)
+    err = (
+        0.0
+        if lo <= target <= hi
+        else min(abs(lo - target), abs(hi - target)) / len(s)
+    )
+    assert err <= 0.1
+
+
+@given(st.text(max_size=400))
+@settings(**_SETTINGS)
+def test_extract_never_crashes_and_is_deterministic(s):
+    from rayxtract.dom import extract_main_content
+
+    a = extract_main_content(s)
+    b = extract_main_content(s)
+    assert a == b
+    text, spans = a
+    # spans index into text and are in order
+    prev = 0
+    for sp in spans:
+        assert 0 <= sp["start"] <= sp["end"] <= len(text)
+        assert sp["start"] >= prev
+        prev = sp["start"]
+
+
+@given(st.text(min_size=0, max_size=300), st.integers(2, 6), st.integers(2, 8))
+@settings(**_SETTINGS)
+def test_winnow_deterministic_sorted_bounded(text, k, w):
+    """winnow_fingerprints contract: deterministic, sorted-unique int64
+    hashes, exactly one fingerprint for short inputs, and never more
+    fingerprints than gram positions (the window-min selection can only
+    shrink). The full window-coverage guarantee is asserted in the
+    dedicated unit test with internal hashes."""
+    from rayxtract.textops import winnow_fingerprints
+
+    a = winnow_fingerprints(text, k=k, w=w)
+    b = winnow_fingerprints(text, k=k, w=w)
+    assert a.dtype == np.int64 and (a == b).all()
+    n_grams = len(text.encode("utf-8")) - k + 1
+    if n_grams <= w:  # includes empty / shorter-than-k inputs
+        assert len(a) == 1
+    else:
+        assert 1 <= len(a) <= n_grams
+        # sorted-unique in the underlying uint64 hash space (the int64
+        # bit-view legitimately wraps negative)
+        assert (np.diff(a.view(np.uint64)) > 0).all()
+
+
+def test_bucketed_join_matches_pandas_merge_randomized(ray_session):
+    import ray.data
+
+    from rayxtract.joins import bucketed_join
+
+    rng = np.random.RandomState(7)
+    for trial in range(4):
+        left = pd.DataFrame(
+            {
+                "k": rng.randint(0, 20, size=rng.randint(1, 80)).astype("int64"),
+            }
+        )
+        left["lv"] = rng.randint(0, 1000, size=len(left)).astype("int64")
+        right = pd.DataFrame(
+            {
+                "rk": rng.randint(0, 20, size=rng.randint(1, 80)).astype("int64"),
+            }
+        )
+        right["rv"] = rng.randint(0, 1000, size=len(right)).astype("int64")
+        for how in ("inner", "left"):
+            got = (
+                bucketed_join(
+                    ray.data.from_pandas(left),
+                    ray.data.from_pandas(right),
+                    "k",
+                    "rk",
+                    n_buckets=4,
+                    how=how,
+                )
+                .to_pandas()
+                .astype({"k": "int64", "lv": "int64"})
+            )
+            exp = left.merge(right, left_on="k", right_on="rk", how=how)[
+                ["k", "lv", "rv"]
+            ]
+            got = got.sort_values(["k", "lv", "rv"], na_position="last").reset_index(
+                drop=True
+            )
+            exp = exp.sort_values(["k", "lv", "rv"], na_position="last").reset_index(
+                drop=True
+            )
+            assert len(got) == len(exp), (trial, how)
+            assert got["k"].tolist() == exp["k"].tolist()
+            assert got["lv"].tolist() == exp["lv"].tolist()
+            pd.testing.assert_series_equal(
+                got["rv"].astype("float64"),
+                exp["rv"].astype("float64"),
+                check_names=False,
+            )
+
+
+def test_topk_matches_full_sort_randomized(ray_session):
+    import ray.data
+
+    from rayxtract.agg import topk
+
+    rng = np.random.RandomState(11)
+    for trial in range(3):
+        df = pd.DataFrame(
+            {
+                "v": rng.randint(0, 50, size=500).astype("int64"),
+                "uid": np.arange(500, dtype="int64"),
+            }
+        )
+        ds = ray.data.from_pandas(df).map_batches(
+            lambda b: b, batch_format="pandas", batch_size=37
+        )
+        got = topk(ds, ["v", "uid"], descending=[True, False], k=25).to_pandas()
+        exp = df.sort_values(["v", "uid"], ascending=[False, True]).head(25)
+        assert got["uid"].tolist() == exp["uid"].tolist()
