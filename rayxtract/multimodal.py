@@ -26,6 +26,7 @@ __all__ = [
     "MEDIA_SCHEMA",
     "MEDIA_GEN_VERSION",
     "synthetic_media_batch",
+    "media_corpus_root",
     "ensure_media_corpus",
     "DecodeImageBatch",
     "FrameSampleBatch",
@@ -77,6 +78,18 @@ def synthetic_media_batch(batch: pa.Table, seed: int = 5) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
 
+def media_corpus_root(n_media: int, seed: int = 5) -> str:
+    """Cache path of the deterministic media corpus — the ONE place the
+    cache key format lives (the DuckDB oracles resolve the same path
+    through this function; duplicating the f-string would let the two
+    sides silently diverge)."""
+    from .synth import _CACHE_ROOT
+
+    return os.path.join(
+        _CACHE_ROOT, f"media_n{n_media}_s{seed}_v{MEDIA_GEN_VERSION}"
+    )
+
+
 def ensure_media_corpus(n_media: int, seed: int = 5) -> str:
     """Generate (once, cached) the deterministic media parquet dir — the
     SHARED input for the engine's media queries AND their DuckDB oracles
@@ -87,11 +100,7 @@ def ensure_media_corpus(n_media: int, seed: int = 5) -> str:
 
     import ray.data
 
-    from .synth import _CACHE_ROOT
-
-    root = os.path.join(
-        _CACHE_ROOT, f"media_n{n_media}_s{seed}_v{MEDIA_GEN_VERSION}"
-    )
+    root = media_corpus_root(n_media, seed)
     marker = os.path.join(root, "_COMPLETE")
     if os.path.exists(marker):
         return root
@@ -144,16 +153,27 @@ class DecodeImageBatch:
         self.id_col = id_col
 
     @staticmethod
-    def _fake_features(payload: bytes) -> np.ndarray:
-        d = hashlib.md5(payload.hex().upper().encode("ascii")).digest()
+    def _md5(payload: bytes):
+        return hashlib.md5(payload.hex().upper().encode("ascii"))
+
+    @classmethod
+    def _fake_features(cls, payload: bytes) -> np.ndarray:
         return (
-            np.frombuffer(d, dtype=np.uint16).astype(np.float64)
+            np.frombuffer(cls._md5(payload).digest(), dtype=np.uint16)
+            .astype(np.float64)
             / np.float64(2**16)
         )
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         payloads = batch["payload"].tolist()
-        feats = [self._fake_features(p) for p in payloads]
+        # ONE hex+md5 pass per payload (the hex string is 2x payload
+        # bytes — doing it twice doubled the stage's transient allocation)
+        digs = [self._md5(p) for p in payloads]
+        feats = [
+            np.frombuffer(d.digest(), dtype=np.uint16).astype(np.float64)
+            / np.float64(2**16)
+            for d in digs
+        ]
         out = pd.DataFrame(
             {
                 self.id_col: batch[self.id_col].values,
@@ -162,7 +182,7 @@ class DecodeImageBatch:
                     [zlib.crc32(p) for p in payloads], dtype="int64"
                 ),
                 "payload_md5": pd.Series(
-                    [sql_parity_md5(p) for p in payloads], dtype="object"
+                    [d.hexdigest() for d in digs], dtype="object"
                 ),
                 "features": feats,  # list<double>[8]
             }

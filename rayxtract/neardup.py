@@ -382,7 +382,28 @@ def minhash_candidate_pairs(
         batch_size=256,
     )
     if sig_spill_dir:
-        sigs = _spill_and_reread(sigs, sig_spill_dir)
+        # spill as PLAIN arrow list<int64>: pandas-block ndarray columns
+        # write parquet with tensor-extension pandas metadata that
+        # poisons to_pandas() on read-back (np.dtype("numpy.ndarray(...)"))
+        def _sig_arrow(b: pd.DataFrame) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": pa.array(
+                        b["doc_id"].astype("int64"), type=pa.int64()
+                    ),
+                    "sig": pa.array(
+                        [
+                            np.asarray(s, dtype=np.int64).tolist()
+                            for s in b["sig"]
+                        ],
+                        type=pa.list_(pa.int64()),
+                    ),
+                }
+            )
+
+        sigs = _spill_and_reread(
+            sigs.map_batches(_sig_arrow, batch_format="pandas"), sig_spill_dir
+        )
     else:
         sigs = sigs.materialize()
 

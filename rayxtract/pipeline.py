@@ -42,7 +42,6 @@ from __future__ import annotations
 import glob
 import os
 import time
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -190,6 +189,19 @@ def _split_winner_refs(pages_path: str, n_buckets: int = 16):
     return winner_refs, ties
 
 
+def _gather_winners(winner_refs) -> dict[str, int]:
+    """Pull the distributed winner frames into one driver dict (the
+    BROADCAST path's O(|dup urls|) gather) — the single shared
+    implementation for compute_recrawl_winners and the extraction filter."""
+    import ray
+
+    winners: dict[str, int] = {}
+    for f in ray.get(list(winner_refs)):
+        for url, ts in zip(f["url"], f["max_ts"]):
+            winners[url] = int(ts)
+    return winners
+
+
 def _shard_winner_maps(per_shard, winner_refs, n_buckets: int):
     """Pass A2 (the "shardmap" filter): restrict the DISTRIBUTED winner
     table to each input shard's own url set, without gathering either.
@@ -238,14 +250,8 @@ def compute_recrawl_winners(
     10^12-doc tier use the anti-join filter instead
     (``ExtractConfig(loser_filter="antijoin")``), which never gathers
     winners at all."""
-    import ray
-
     winner_refs, ties = _split_winner_refs(pages_path, n_buckets)
-    winners: dict[str, int] = {}
-    for f in ray.get(winner_refs):
-        for url, ts in zip(f["url"], f["max_ts"]):
-            winners[url] = int(ts)
-    return winners, ties
+    return _gather_winners(winner_refs), ties
 
 
 def resolve_tie_rows(
@@ -412,12 +418,17 @@ def _antijoin_losers(ds, winner_refs, tie_urls: frozenset, n_buckets: int = 32):
 
     page_cols = ["url", "warc_ts", "html", "lang", "partition_id"]
 
+    def bucket_of(urls: pd.Series) -> np.ndarray:
+        # vectorized deterministic string hash — the only requirement is
+        # that BOTH sides of the exchange agree (no per-row Python loop in
+        # the corpus-sized path)
+        h = pd.util.hash_array(urls.to_numpy(dtype=object))
+        return (h % np.uint64(n_buckets)).astype(np.int64)
+
     def prep_pages(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch[page_cols].copy()
         b["__max_ts"] = pd.Series(pd.NA, index=b.index, dtype="Int64")
-        b["__bucket"] = [
-            zlib.crc32(u.encode()) % n_buckets for u in b["url"]
-        ]
+        b["__bucket"] = bucket_of(b["url"])
         b["__side"] = np.int8(0)
         return b
 
@@ -436,9 +447,7 @@ def _antijoin_losers(ds, winner_refs, tie_urls: frozenset, n_buckets: int = 32):
                 "__max_ts": batch["max_ts"].astype("Int64"),
             }
         )
-        b["__bucket"] = [
-            zlib.crc32(u.encode()) % n_buckets for u in b["url"]
-        ]
+        b["__bucket"] = bucket_of(b["url"])
         b["__side"] = np.int8(1)
         return b.reset_index(drop=True)
 
@@ -501,11 +510,7 @@ def extraction_dataset(
     shard_maps = None
     ties_ref = None
     if mode == "broadcast":
-        winners: dict[str, int] = {}
-        for f in ray.get(winner_refs):
-            for url, ts in zip(f["url"], f["max_ts"]):
-                winners[url] = int(ts)
-        winners_ref = ray.put((winners, frozenset(ties)))
+        winners_ref = ray.put((_gather_winners(winner_refs), frozenset(ties)))
     elif mode == "shardmap":
         shard_maps = _shard_winner_maps(per_shard, winner_refs, n_buckets=16)
         ties_ref = ray.put(frozenset(ties))
@@ -617,6 +622,12 @@ def run_extraction(
     t0 = time.monotonic()
 
     shards = list_shards(pages_path)
+    # fingerprint every shard BEFORE anything reads it: a shard rewritten
+    # in place mid-run must be recorded with the PRE-read stat (the bytes
+    # this run actually consumed), not whatever sits there at
+    # manifest-write time — otherwise the next resume would trust outputs
+    # derived from content the fingerprint no longer describes
+    shard_fps = [mf.shard_fingerprint(p) for p in shards]
     # resume trusts a manifest only when its (input, shard_file) lineage
     # matches the current input — stale manifests are wiped and re-run
     done = (
@@ -729,9 +740,10 @@ def run_extraction(
                 "max_chars": int(rec["max_chars"]),
                 "input": os.path.abspath(pages_path),
                 "shard_file": os.path.basename(shards[pid]),
-                # content fingerprint: resume re-runs a shard rewritten
-                # in place under the same name (manifest.py contract)
-                **mf.shard_fingerprint(shards[pid]),
+                # content fingerprint (taken at run START, pre-read):
+                # resume re-runs a shard rewritten in place under the
+                # same name (manifest.py contract)
+                **shard_fps[pid],
             },
         )
 

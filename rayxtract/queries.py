@@ -26,6 +26,14 @@ import pyarrow.compute as pc
 __all__ = ["QUERIES", "ORACLE_SQL", "flagship_entry"]
 
 
+# version key for DERIVED-data spill caches (extracted text, MinHash
+# signatures): bump on any change to the extraction or signature kernels —
+# the corpus GEN_VERSION only tracks the INPUT generator, so without this
+# a code change would silently reuse the previous engine's spilled output
+# behind its _SPILL_COMPLETE marker.
+_SPILL_VERSION = 3
+
+
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data
 
@@ -999,10 +1007,9 @@ def _media_n(sf_dir: str) -> int:
 
 
 def _media_root(sf_dir: str) -> str:
-    from .multimodal import MEDIA_GEN_VERSION
-    from .synth import _CACHE_ROOT
+    from .multimodal import media_corpus_root
 
-    return f"{_CACHE_ROOT}/media_n{_media_n(sf_dir)}_s5_v{MEDIA_GEN_VERSION}"
+    return media_corpus_root(_media_n(sf_dir))
 
 
 def _media_dataset(sf_dir: str):
@@ -1229,10 +1236,10 @@ def q_pages_neardup_exact(sf_dir: str):
     from .neardup import _spill_and_reread
 
     root = _oracle_corpus_root(sf_dir)
-    docs = _spill_and_reread(docs, f"{root}.neardup_spill")
+    docs = _spill_and_reread(docs, f"{root}.neardup_spill_e{_SPILL_VERSION}")
     cands = minhash_candidate_pairs(
         docs, jaccard_threshold=0.35,
-        sig_spill_dir=f"{root}.minhash_sigs_p64_s7",
+        sig_spill_dir=f"{root}.minhash_sigs_p64_s7_e{_SPILL_VERSION}",
     )
     return ngram_jaccard_verify(docs, cands, k=3, threshold=0.5)
 
@@ -1679,10 +1686,15 @@ def _pages_oracles(sf_dir: str) -> dict[str, str]:
                    md5(hex(html)) AS payload_md5
             FROM read_parquet('{pages}')
         """,
+        # empty-payload clause mirrors AudioFeatureBatch exactly: zero
+        # samples -> zero frames (GREATEST(1, ...) alone would pre-wire a
+        # divergence if the generator ever emits an empty clip)
         "media_audio_features": f"""
             SELECT media_id,
                    CAST(octet_length(payload) // 2 AS BIGINT) AS n_samples,
-                   CAST(GREATEST(1, (octet_length(payload) // 2) // 512) AS BIGINT) AS n_frames
+                   CAST(CASE WHEN octet_length(payload) // 2 = 0 THEN 0
+                             ELSE GREATEST(1, (octet_length(payload) // 2) // 512)
+                        END AS BIGINT) AS n_frames
             FROM read_parquet('{media}')
             WHERE kind = 'audio'
         """,

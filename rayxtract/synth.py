@@ -454,11 +454,28 @@ def sf_dir_to_n_pages(sf_dir: str) -> int:
     return max(100, int(round(sf * 1_000_000)))
 
 
+def _newest_mtime(path: str) -> float:
+    """Newest mtime anywhere under ``path`` (the top-level dir's own mtime
+    does NOT update while files are written into subdirectories — judging
+    liveness by it would sweep an in-flight generation mid-write)."""
+    newest = os.path.getmtime(path)
+    for dirpath, dirnames, filenames in os.walk(path):
+        for name in dirnames + filenames:
+            try:
+                newest = max(
+                    newest, os.path.getmtime(os.path.join(dirpath, name))
+                )
+            except OSError:
+                pass
+    return newest
+
+
 def _sweep_stale_scratch(max_age_sec: float = 3600.0) -> None:
     """Remove orphaned per-pid scratch dirs (``.tmp.<pid>`` / ``.claim.<pid>``
-    from crashed generators, plus neardup-spill tmp dirs) older than
-    ``max_age_sec`` — age-gated so a live competitor's in-flight dir is
-    never touched (ADVICE r2, synth.py:524)."""
+    from crashed generators, plus neardup-spill tmp dirs) whose NEWEST
+    content is older than ``max_age_sec`` — a live competitor still
+    writing files anywhere in the tree is never touched (ADVICE r2,
+    synth.py:524)."""
     import shutil
     import time
 
@@ -470,7 +487,7 @@ def _sweep_stale_scratch(max_age_sec: float = 3600.0) -> None:
             continue
         path = os.path.join(_CACHE_ROOT, name)
         try:
-            if os.path.getmtime(path) < cutoff:
+            if _newest_mtime(path) < cutoff:
                 shutil.rmtree(path, ignore_errors=True)
         except OSError:
             pass  # raced with its owner — leave it
