@@ -237,7 +237,14 @@ def _build_tree_fast(html: str) -> "_Node":
             continue
         closing, name, rawattrs = m.groups()
         closing = closing or ""
-        if rawattrs.endswith("/"):
+        # trailing '/' is a SELF-CLOSE only when it cannot be the tail of
+        # an unquoted attribute value — i.e. preceded by whitespace, a
+        # quote, another '/', or nothing (probed stdlib semantics:
+        # <br/> <p a='v'/> <p a=v /> <p //> self-close; <p a=/> and
+        # <img src=x/> do NOT — the slash belongs to the value)
+        if rawattrs.endswith("/") and (
+            len(rawattrs) == 1 or rawattrs[-2] in " \t\n\r\f\"'/"
+        ):
             selfclose = "/"
             rawattrs = rawattrs[:-1]
         else:

@@ -124,11 +124,16 @@ def ensure_media_corpus(n_media: int, seed: int = 5) -> str:
     return root
 
 
-def sql_parity_md5(payload: bytes) -> str:
-    """Digest computable on BOTH sides of the oracle: DuckDB lacks
+def _sql_parity_md5_obj(payload: bytes):
+    """THE one definition of the DuckDB-parity digest recipe: DuckDB lacks
     md5(BLOB), but ``md5(hex(blob))`` exists — mirror it exactly
-    (uppercase hex, then md5)."""
-    return hashlib.md5(payload.hex().upper().encode("ascii")).hexdigest()
+    (uppercase hex, then md5). Everything (features, payload_md5,
+    resize grid digests) derives from this single helper."""
+    return hashlib.md5(payload.hex().upper().encode("ascii"))
+
+
+def sql_parity_md5(payload: bytes) -> str:
+    return _sql_parity_md5_obj(payload).hexdigest()
 
 
 class DecodeImageBatch:
@@ -154,7 +159,7 @@ class DecodeImageBatch:
 
     @staticmethod
     def _md5(payload: bytes):
-        return hashlib.md5(payload.hex().upper().encode("ascii"))
+        return _sql_parity_md5_obj(payload)
 
     @classmethod
     def _fake_features(cls, payload: bytes) -> np.ndarray:

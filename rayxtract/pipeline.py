@@ -108,17 +108,14 @@ def _bucket_reduce_fn(*frames):
     return out[out["n"] > 1].reset_index(drop=True)
 
 
-def _frame_len_fn(frame) -> int:
-    return len(frame)
-
-
 def _split_ties_fn(frame):
-    """(dup frame) -> (winners[url, max_ts], ties[url, max_ts]) — winners
-    stay remote for the anti-join path; only ties (contractually ~zero)
-    are gathered."""
+    """(dup frame) -> (winners[url, max_ts], ties[url, max_ts], n_winners)
+    — winners stay remote for the shardmap/anti-join paths; only ties
+    (contractually ~zero) and the count (for the auto-mode threshold,
+    computed here instead of an extra task wave) are gathered."""
     w = frame[frame["n_at_max"] <= 1][["url", "max_ts"]].reset_index(drop=True)
     t = frame[frame["n_at_max"] > 1][["url", "max_ts"]].reset_index(drop=True)
-    return w, t
+    return w, t, len(w)
 
 
 def _bucket_shard_split_fn(winners_b, *shard_partials):
@@ -149,9 +146,11 @@ def _winner_pass(pages_path: str, n_buckets: int = 16):
     emits per-url partials (n, max_ts, n_at_max) split by hash(url) bucket;
     stage 2 (one task per bucket) merges its bucket's partials and emits
     ONLY urls with n > 1. Returns ``(per_shard_partial_refs, winner_refs,
-    ties)`` — winners stay in the object store (the broadcast path pulls
-    O(|dup urls|) to the driver; shardmap/anti-join never do); ties —
-    contractually near-empty — land on the driver for ``resolve_tie_rows``.
+    ties, n_dup)`` — winners stay in the object store (the broadcast path
+    pulls O(|dup urls|) to the driver; shardmap/anti-join never do); ties —
+    contractually near-empty — land on the driver for ``resolve_tie_rows``;
+    n_dup (total winner rows) drives the auto-mode threshold without an
+    extra task wave.
 
     (A Ray Dataset groupby here cost 31s of fixed sort overhead for a
     200k-row two-column table — worse than the whole extraction; the raw
@@ -160,7 +159,7 @@ def _winner_pass(pages_path: str, n_buckets: int = 16):
 
     shard_partial = ray.remote(num_cpus=1)(_shard_partial_fn)
     bucket_reduce = ray.remote(num_cpus=1)(_bucket_reduce_fn)
-    split_ties = ray.remote(num_cpus=1, num_returns=2)(_split_ties_fn)
+    split_ties = ray.remote(num_cpus=1, num_returns=3)(_split_ties_fn)
     shards = list_shards(pages_path)
     per_shard = [
         shard_partial.options(num_returns=n_buckets).remote(p, n_buckets)
@@ -174,18 +173,19 @@ def _winner_pass(pages_path: str, n_buckets: int = 16):
     ]
     split = [split_ties.remote(r) for r in dup_refs]
     winner_refs = [s[0] for s in split]
-    tie_frames = ray.get([s[1] for s in split])
+    flat = ray.get([r for s in split for r in (s[1], s[2])])
+    tie_frames, counts = flat[0::2], flat[1::2]
     ties = {
         u: int(t)
         for f in tie_frames
         for u, t in zip(f["url"], f["max_ts"])
     }
-    return per_shard, winner_refs, ties
+    return per_shard, winner_refs, ties, int(sum(counts))
 
 
 def _split_winner_refs(pages_path: str, n_buckets: int = 16):
     """(winner frame refs, ties dict) — see ``_winner_pass``."""
-    _, winner_refs, ties = _winner_pass(pages_path, n_buckets)
+    _, winner_refs, ties, _ = _winner_pass(pages_path, n_buckets)
     return winner_refs, ties
 
 
@@ -495,11 +495,9 @@ def extraction_dataset(
         if not skip_partitions or shard_of[p] not in skip_partitions
     ]
 
-    per_shard, winner_refs, ties = _winner_pass(pages_path)
+    per_shard, winner_refs, ties, n_dup = _winner_pass(pages_path)
     mode = cfg.loser_filter
     if mode == "auto":
-        frame_len = ray.remote(num_cpus=1)(_frame_len_fn)
-        n_dup = sum(ray.get([frame_len.remote(r) for r in winner_refs]))
         mode = (
             "broadcast" if n_dup <= cfg.winner_broadcast_limit else "shardmap"
         )

@@ -34,6 +34,21 @@ __all__ = ["QUERIES", "ORACLE_SQL", "flagship_entry"]
 _SPILL_VERSION = 3
 
 
+def _cleanup_stale_spills(root: str, keep: tuple[str, ...]) -> None:
+    """Delete superseded spill-cache versions for this corpus root: each
+    ``_SPILL_VERSION`` bump would otherwise orphan a corpus-sized parquet
+    dir forever (the age sweep only touches ``.tmp.``/``.claim.``
+    scratch, never published dirs). In-flight ``.tmp.`` dirs are left to
+    the age sweep."""
+    import glob as _g
+    import shutil as _sh
+
+    for pat in (f"{root}.neardup_spill*", f"{root}.minhash_sigs*"):
+        for d in _g.glob(pat):
+            if d not in keep and ".tmp." not in d:
+                _sh.rmtree(d, ignore_errors=True)
+
+
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data
 
@@ -1236,10 +1251,12 @@ def q_pages_neardup_exact(sf_dir: str):
     from .neardup import _spill_and_reread
 
     root = _oracle_corpus_root(sf_dir)
-    docs = _spill_and_reread(docs, f"{root}.neardup_spill_e{_SPILL_VERSION}")
+    doc_spill = f"{root}.neardup_spill_e{_SPILL_VERSION}"
+    sig_spill = f"{root}.minhash_sigs_p64_s7_e{_SPILL_VERSION}"
+    _cleanup_stale_spills(root, keep=(doc_spill, sig_spill))
+    docs = _spill_and_reread(docs, doc_spill)
     cands = minhash_candidate_pairs(
-        docs, jaccard_threshold=0.35,
-        sig_spill_dir=f"{root}.minhash_sigs_p64_s7_e{_SPILL_VERSION}",
+        docs, jaccard_threshold=0.35, sig_spill_dir=sig_spill
     )
     return ngram_jaccard_verify(docs, cands, k=3, threshold=0.5)
 

@@ -119,13 +119,18 @@ def sketch_grouped_quantiles(
     col: str,
     qs: dict[str, float],
     k: int = 256,
+    n_partial_merges: int = 16,
 ):
-    """Grouped approximate quantiles via the combiner tree: per-batch
-    sketches (one per key seen in the batch) -> tiny repartition(1) of
-    pickled sketches -> per-key merge + quantile extraction. The exchange
-    moves O(sketch bytes) per (key, batch); group values never co-locate.
-    ``qs``: {out_col: quantile}. Result: one row per key with int64
-    quantile columns."""
+    """Grouped approximate quantiles via a TWO-LEVEL combiner tree:
+    per-batch sketches (one per key seen in the batch) -> partial merge
+    across ``n_partial_merges`` partitions (each emits at most one sketch
+    per key) -> final merge of <= n_partial_merges x n_keys sketches +
+    quantile extraction. The exchange moves O(sketch bytes) per
+    (key, batch) and NO single task ever receives more than
+    n_partial_merges x n_keys sketches — a flat repartition(1) gather
+    would funnel every per-batch sketch into one merge task at corpus
+    scale. ``qs``: {out_col: quantile}. Result: one row per key with
+    int64 quantile columns."""
     import pickle
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -140,16 +145,38 @@ def sketch_grouped_quantiles(
              "__sk": pd.Series(out["__sk"], dtype="object")}
         )
 
-    def merge(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
+    def _merged_by_key(batch: pd.DataFrame) -> list:
+        out = []
         for kv, g in batch.groupby("__key", sort=False):
             sk = pickle.loads(g["__sk"].iloc[0])
             for blob in g["__sk"].iloc[1:]:
                 sk.merge(pickle.loads(blob))
+            out.append((kv, sk))
+        return out
+
+    def partial_merge(batch: pd.DataFrame) -> pd.DataFrame:
+        merged = _merged_by_key(batch)
+        return pd.DataFrame(
+            {
+                "__key": pd.Series([kv for kv, _ in merged], dtype="object"),
+                "__sk": pd.Series(
+                    [pickle.dumps(sk) for _, sk in merged], dtype="object"
+                ),
+            }
+        )
+
+    def final_merge(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, sk in _merged_by_key(batch):
             row = {key: kv}
             for name, q in qs.items():
                 row[name] = sk.quantile(q)
             rows.append(row)
+        if not rows:  # empty input: stable empty frame, correct columns
+            return pd.DataFrame(
+                {key: pd.Series(dtype="object"),
+                 **{name: pd.Series(dtype="int64") for name in qs}}
+            )
         df = pd.DataFrame(rows)
         for name in qs:
             df[name] = df[name].astype("int64")
@@ -157,6 +184,8 @@ def sketch_grouped_quantiles(
 
     return (
         ds.map_batches(partial, batch_format="pandas")
+        .repartition(n_partial_merges)
+        .map_batches(partial_merge, batch_format="pandas", batch_size=None)
         .repartition(1)
-        .map_batches(merge, batch_format="pandas", batch_size=None)
+        .map_batches(final_merge, batch_format="pandas", batch_size=None)
     )

@@ -219,3 +219,19 @@ def test_fast_parser_stdlib_agreement_on_adversarial_soup():
         ):
             div += 1
     assert div / n <= 0.01, f"{div}/{n} divergences"
+
+
+def test_selfclose_vs_unquoted_value_slash():
+    """A trailing '/' that is the tail of an unquoted attribute value is
+    NOT a self-close (stdlib semantics: <p a=/> opens a paragraph with
+    a='/'; <br/>, <p a='v'/>, <p a=v /> do self-close)."""
+    for html in (
+        "<body><div><p a=/>Content paragraph long enough to extract fine.</p></div></body>",
+        "<body><div><a href=/>x</a><p>Content paragraph long enough to extract fine.</p></div></body>",
+        "<body><div><p a='v'/><p>Content paragraph long enough to extract fine.</p></div></body>",
+        "<body><div><p a=v /><p>Content paragraph long enough to extract fine.</p></div></body>",
+    ):
+        fast = extract_main_content(html)
+        stdlib = extract_main_content(html, _use_stdlib_parser=True)
+        assert fast == stdlib, html
+        assert "Content paragraph" in fast[0], html
