@@ -552,6 +552,43 @@ def q_doc_winnow(sf_dir: str):
     )
 
 
+def q_doc_decontaminate(sf_dir: str):
+    """Benchmark DECONTAMINATION (the Dolma/RedPajama pre-training step):
+    drop every document whose exact text appears in the held-out set —
+    here simulated as the docs with doc_id % 97 == 0. Zero-shuffle
+    broadcast fingerprint filter (eval sets are tiny vs the corpus);
+    the corpus-sized-eval anti-join fallback is equivalence-tested."""
+    from .dedup import decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    eval_ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: b[b["doc_id"] % 97 == 0], batch_format="pandas"
+    )
+    return decontaminate(docs, eval_ds).drop_columns(["text"])
+
+
+def q_doc_repetition(sf_dir: str):
+    """Gopher/Dolma-style repetition quality signal: words vs distinct
+    words per document (high repetition = boilerplate/spam candidate).
+    Integer columns keep the oracle hash exact."""
+
+    def rep(batch: pd.DataFrame) -> pd.DataFrame:
+        words = [t.split() for t in batch["text"]]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64").values,
+                "n_words": pd.Series([len(w) for w in words], dtype="int64"),
+                "n_distinct_words": pd.Series(
+                    [len(set(w)) for w in words], dtype="int64"
+                ),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        rep, batch_format="pandas"
+    )
+
+
 def q_doc_dedup_exact(sf_dir: str):
     from .neardup import exact_dedup
 
@@ -1385,6 +1422,8 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "doc_winnow": q_doc_winnow,
     "doc_dedup_exact": q_doc_dedup_exact,
+    "doc_decontaminate": q_doc_decontaminate,
+    "doc_repetition": q_doc_repetition,
     "doc_top_longest": q_doc_top_longest,
     "doc_distinct_langs": q_doc_distinct_langs,
     "doc_union_sources": q_doc_union_sources,
@@ -1553,6 +1592,19 @@ ORACLE_SQL = {
     "doc_dedup_exact": """
         SELECT md5(text) AS fp, CAST(MIN(doc_id) AS BIGINT) AS doc_id
         FROM documents GROUP BY md5(text)
+    """,
+    "doc_decontaminate": """
+        SELECT d.doc_id, d.lang FROM documents d
+        WHERE NOT EXISTS (
+          SELECT 1 FROM documents e
+          WHERE e.doc_id % 97 = 0 AND md5(e.text) = md5(d.text)
+        )
+    """,
+    "doc_repetition": r"""
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS BIGINT) AS n_distinct_words
+        FROM documents
     """,
     "doc_top_longest": """
         SELECT doc_id, n_chars FROM documents

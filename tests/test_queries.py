@@ -123,3 +123,34 @@ def test_left_join_typed_nulls():
     # matched half agrees with the inner join
     inner = bucketed_join(c, o, "c_custkey", "o_custkey", n_buckets=8).to_pandas()
     assert len(df) == len(inner) + null_rows
+
+
+def test_decontaminate_antijoin_matches_broadcast(ray_session):
+    """decontaminate's corpus-sized-eval anti-join fallback removes
+    exactly the same rows as the broadcast fingerprint filter."""
+    import ray.data
+
+    from rayxtract.dedup import decontaminate
+
+    docs = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    eval_ds = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(lambda b: b[b["doc_id"] % 97 == 0], batch_format="pandas")
+    a = (
+        decontaminate(docs, eval_ds)
+        .drop_columns(["text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        decontaminate(docs, eval_ds, broadcast_limit=0)  # force anti-join
+        .drop_columns(["text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(a) > 0 and len(a) < docs.count()
+    pd.testing.assert_frame_equal(a[["doc_id", "lang"]], b[["doc_id", "lang"]])
