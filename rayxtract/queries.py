@@ -1025,6 +1025,73 @@ def q_pages_extract(sf_dir: str):
     )
 
 
+def q_pages_top_domains(sf_dir: str):
+    """Per-domain crawl-row counts, top 20 — domain-level statistics are
+    the first lens every crawl pipeline applies (blocklists, caps,
+    skew checks). Combiner: per-batch host counts -> hash(host)-bucketed
+    merge (web domain sets are corpus-sized) -> tiny top-k."""
+    import ray.data
+
+    from .agg import bucketed_aggregate
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    ds = ray.data.read_parquet(pages_dir, columns=["url"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        hosts = pd.Series([u.split("/")[2] for u in batch["url"]])
+        c = hosts.value_counts()
+        return pd.DataFrame(
+            {"host": c.index, "n": pd.Series(c.values, dtype="int64")}
+        )
+
+    agg = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["host"],
+        aggs={"n": ("n", "sum")},
+        n_buckets=8,
+    )
+    return agg.sort(["n", "host"], descending=[True, False]).limit(20)
+
+
+def q_pages_domain_cap(sf_dir: str):
+    """Per-domain document cap (keep the 3 lexicographically-first unique
+    urls per host) — the Common-Crawl-style per-domain quota that stops a
+    single site from dominating the training mix. Grouped-top-k shape:
+    per-batch local cap shrinks the exchange to <= 3 rows per
+    (host, batch) before the group pick; recrawl dups collapse first."""
+    import ray.data
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    ds = ray.data.read_parquet(pages_dir, columns=["url"])
+
+    def hosts(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.drop_duplicates("url")
+        return pd.DataFrame(
+            {
+                "host": [u.split("/")[2] for u in b["url"]],
+                "url": b["url"].values,
+            }
+        )
+
+    def local_cap(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.sort_values(["host", "url"], kind="mergesort")
+            .groupby("host", as_index=False)
+            .head(3)
+        )
+
+    def group_cap(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates("url").sort_values("url", kind="mergesort")
+        return g.head(3)[["host", "url"]]
+
+    return (
+        ds.map_batches(hosts, batch_format="pandas")
+        .map_batches(local_cap, batch_format="pandas")
+        .groupby("host")
+        .map_groups(group_cap, batch_format="pandas")
+    )
+
+
 def q_pages_media_features(sf_dir: str):
     """Multimodal plumbing: treat page payloads as opaque media binaries,
     run the actor-pool fake-decode stage (small batch_size for big blobs).
@@ -1445,6 +1512,8 @@ QUERIES = {
     "doc_top_terms": q_doc_top_terms,
     "events_user_rank": q_events_user_rank,
     "pages_recrawl_winners": q_pages_recrawl_winners,
+    "pages_top_domains": q_pages_top_domains,
+    "pages_domain_cap": q_pages_domain_cap,
     "pages_extract": q_pages_extract,
     "pages_prompt_format": q_pages_prompt_format,
     "pages_langid": q_pages_langid,
@@ -1746,6 +1815,23 @@ def _pages_oracles(sf_dir: str) -> dict[str, str]:
                    '{prefix}' || golden_text || '{suffix}' AS full_prompt,
                    '[{{"value": "' || CAST(length(golden_text) AS VARCHAR) || '"}}]' AS formatted
             FROM read_parquet('{golden}')
+        """,
+        # domain statistics / per-domain cap (Common-Crawl-style quota)
+        "pages_top_domains": f"""
+            SELECT split_part(url, '/', 3) AS host, COUNT(*) AS n
+            FROM read_parquet('{pages}')
+            GROUP BY host
+            ORDER BY n DESC, host ASC
+            LIMIT 20
+        """,
+        "pages_domain_cap": f"""
+            SELECT host, url FROM (
+              SELECT split_part(url, '/', 3) AS host, url,
+                     row_number() OVER (
+                       PARTITION BY split_part(url, '/', 3) ORDER BY url
+                     ) AS rn
+              FROM (SELECT DISTINCT url FROM read_parquet('{pages}'))
+            ) WHERE rn <= 3
         """,
         # media plumbing oracles (r3): DuckDB has no md5(BLOB) — both sides
         # compute md5(hex(payload)); integers via octet_length arithmetic
