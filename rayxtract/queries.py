@@ -1465,6 +1465,121 @@ def q_emb_neardup_exact(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# curation family: splits, sampling, chunking, quality rules, PII,
+# normalization, paragraph dedup (rayxtract/curation.py)
+
+
+def q_doc_split_assign(sf_dir: str):
+    """Deterministic hash train/val/test split — per-row md5-nibble
+    assignment, resumable (no RNG)."""
+    from .curation import split_assign
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        split_assign, batch_format="pandas"
+    )
+
+
+def q_doc_stratified_sample(sf_dir: str):
+    """Deterministic fixed-size (k=30) sample per lang stratum, ordered by
+    (md5(text), doc_id) — the grouped-top-k combiner pattern."""
+    import hashlib as _hl
+
+    from .curation import stratified_sample
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].values,
+                "lang": batch["lang"].values,
+                "sample_key": [
+                    _hl.md5(t.encode("utf-8")).hexdigest() for t in batch["text"]
+                ],
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"]).map_batches(
+        keyed, batch_format="pandas"
+    )
+    out = stratified_sample(ds, "lang", ["sample_key", "doc_id"], k=30)
+    return out.select_columns(["doc_id", "lang"])
+
+
+def q_doc_chunk(sf_dir: str):
+    """Fixed-64-word chunking flat-map (pre-tokenization sharding before
+    sequence packing); one output row per chunk with its digest."""
+    from .curation import chunk_words
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        chunk_words, batch_format="pandas"
+    )
+
+
+def q_doc_gopher_quality(sf_dir: str):
+    """Gopher-rule integer quality signals + keep decision
+    (arXiv:2112.11446 §A1.1)."""
+    from .curation import gopher_signals
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        gopher_signals, batch_format="pandas"
+    )
+
+
+def q_doc_pii_redact(sf_dir: str):
+    """Sequential regex PII redaction (email -> IPv4 -> phone) with
+    per-stage counts. The synthetic documents carry no PII, so a
+    deterministic contact line derived from doc_id is appended on BOTH
+    sides (Ray and oracle) — every row exercises every pattern, making the
+    md5 check sensitive to any regex/order drift."""
+    from .curation import redact_pii
+
+    def augment(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].astype("int64")
+        batch = batch.copy()
+        batch["aug"] = (
+            batch["text"]
+            + " reach user"
+            + ids.astype(str)
+            + "@mail.example from 10."
+            + (ids % 256).astype(str)
+            + ".0.1 or call +1 555-0100 now"
+        )
+        return batch
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(augment, batch_format="pandas")
+        .map_batches(
+            lambda b: redact_pii(b, col="aug"), batch_format="pandas"
+        )
+    )
+
+
+def q_pages_normalize(sf_dir: str):
+    """NFC + whitespace-collapse canonical form of the extracted page text
+    (the string most dedup pipelines hash); md5 checked against the same
+    transform over the golden fixtures in DuckDB."""
+    from .curation import normalize_batch
+    from .ops import ExtractConfig
+    from .pipeline import extraction_dataset
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    ds = extraction_dataset(pages_dir, ExtractConfig())
+    return ds.map_batches(normalize_batch, batch_format="pandas")
+
+
+def q_pages_para_dedup(sf_dir: str):
+    """C4-style global paragraph dedup over the extracted corpus: repeated
+    paragraphs survive only at their first (url, para_idx) occurrence;
+    documents reassembled from kept paragraphs (curation.paragraph_dedup —
+    one fp-bucketed winner exchange + one per-url reassembly exchange)."""
+    from .curation import paragraph_dedup
+    from .ops import ExtractConfig
+    from .pipeline import extraction_dataset
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    ds = extraction_dataset(pages_dir, ExtractConfig())
+    return paragraph_dedup(ds, id_col="url", text_col="text")
+
 
 QUERIES = {
     "q1_pricing_summary": q_q1_pricing_summary,
@@ -1510,6 +1625,13 @@ QUERIES = {
     "cust_without_orders": q_cust_without_orders,
     "doc_grouped_topk": q_doc_grouped_topk,
     "doc_top_terms": q_doc_top_terms,
+    "doc_split_assign": q_doc_split_assign,
+    "doc_stratified_sample": q_doc_stratified_sample,
+    "doc_chunk": q_doc_chunk,
+    "doc_gopher_quality": q_doc_gopher_quality,
+    "doc_pii_redact": q_doc_pii_redact,
+    "pages_normalize": q_pages_normalize,
+    "pages_para_dedup": q_pages_para_dedup,
     "events_user_rank": q_events_user_rank,
     "pages_recrawl_winners": q_pages_recrawl_winners,
     "pages_top_domains": q_pages_top_domains,
@@ -1684,7 +1806,7 @@ ORACLE_SQL = {
     """,
     "doc_build_prompts": _prompt_oracle_sql(),
     "doc_langid": _langid_oracle_sql(),
-    "doc_ngram_jaccard": """
+    "doc_ngram_jaccard": r"""
         WITH w AS (
           SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
           FROM documents
@@ -1748,6 +1870,79 @@ ORACLE_SQL = {
           FROM documents
         ) WHERE rn <= 2
     """,
+    "doc_split_assign": """
+        SELECT doc_id,
+               CASE WHEN substr(md5(text), 1, 1) = '0' THEN 'test'
+                    WHEN substr(md5(text), 1, 1) IN ('1', '2') THEN 'val'
+                    ELSE 'train' END AS split
+        FROM documents
+    """,
+    "doc_stratified_sample": """
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+          FROM documents
+        ) WHERE rn <= 30
+    """,
+    "doc_chunk": r"""
+        WITH w AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+          FROM documents
+        ), c AS (
+          SELECT doc_id, ws,
+                 unnest(range(0, CAST(ceil(len(ws) / 64.0) AS BIGINT))) AS cid
+          FROM w WHERE len(ws) > 0
+        )
+        SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+               CAST(len(ws[CAST(cid * 64 + 1 AS BIGINT):CAST(LEAST((cid + 1) * 64, len(ws)) AS BIGINT)]) AS BIGINT) AS n_words_chunk,
+               md5(array_to_string(ws[CAST(cid * 64 + 1 AS BIGINT):CAST(LEAST((cid + 1) * 64, len(ws)) AS BIGINT)], ' ')) AS chunk_md5
+        FROM c
+    """,
+    "doc_gopher_quality": r"""
+        SELECT doc_id, n_words, n_word_chars, n_stop_hits,
+               (n_words >= 50 AND n_words <= 100000
+                AND 3 * n_words <= n_word_chars
+                AND n_word_chars <= 10 * n_words
+                AND n_stop_hits >= 2) AS is_kept
+        FROM (
+          SELECT doc_id,
+                 CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+                 CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_word_chars,
+                 CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                      x -> x IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'that'))) AS BIGINT) AS n_stop_hits
+          FROM documents
+        )
+    """,
+    "doc_pii_redact": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 text || ' reach user' || CAST(doc_id AS VARCHAR)
+                      || '@mail.example from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.0.1 or call +1 555-0100 now' AS aug
+          FROM documents
+        ), e AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                 regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s1
+          FROM t
+        ), i AS (
+          SELECT doc_id, n_emails,
+                 len(regexp_extract_all(s1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+                 regexp_replace(s1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS s2
+          FROM e
+        ), p AS (
+          SELECT doc_id, n_emails, n_ips,
+                 len(regexp_extract_all(s2, '\+?[0-9][0-9\-() ]{6,}[0-9]')) AS n_phones,
+                 regexp_replace(s2, '\+?[0-9][0-9\-() ]{6,}[0-9]', '<PHONE>', 'g') AS s3
+          FROM i
+        )
+        SELECT doc_id,
+               CAST(n_emails AS BIGINT) AS n_emails,
+               CAST(n_ips AS BIGINT) AS n_ips,
+               CAST(n_phones AS BIGINT) AS n_phones,
+               md5(s3) AS redacted_md5
+        FROM p
+    """,
     "doc_top_terms": r"""
         SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
           SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word
@@ -1809,6 +2004,31 @@ def _pages_oracles(sf_dir: str) -> dict[str, str]:
                    CAST(length(golden_text) - length(regexp_replace(golden_text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
                    CAST(length(golden_text) - length(regexp_replace(golden_text, '[!-/:-@\[-`{{-~]', '', 'g')) AS BIGINT) AS n_punct
             FROM read_parquet('{golden}')
+        """,
+        "pages_normalize": rf"""
+            SELECT url,
+                   CAST(length(trim(regexp_replace(nfc_normalize(golden_text), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm,
+                   md5(trim(regexp_replace(nfc_normalize(golden_text), '\s+', ' ', 'g'))) AS norm_md5
+            FROM read_parquet('{golden}')
+        """,
+        "pages_para_dedup": f"""
+            WITH p AS (
+              SELECT url,
+                     unnest(paras) AS para,
+                     CAST(unnest(range(0, len(paras))) AS BIGINT) AS para_idx,
+                     CAST(len(paras) AS BIGINT) AS n_in
+              FROM (SELECT url, string_split(golden_text, chr(10)) AS paras
+                    FROM read_parquet('{golden}'))
+            ), k AS (
+              SELECT url, para_idx, para, n_in,
+                     row_number() OVER (PARTITION BY md5(para) ORDER BY url, para_idx) AS rn
+              FROM p
+            )
+            SELECT url,
+                   CAST(MIN(n_in) AS BIGINT) AS n_paras_in,
+                   COUNT(*) AS n_paras_kept,
+                   md5(string_agg(para, chr(10) ORDER BY para_idx)) AS cleaned_md5
+            FROM k WHERE rn = 1 GROUP BY url
         """,
         "pages_prompt_format": f"""
             SELECT url,

@@ -1,0 +1,110 @@
+"""Unit tests for the curation kernels (rayxtract/curation.py): planted-PII
+redaction, chunking edges, Gopher rules, normalization, and the paragraph-
+dedup winner semantics on a hand-built corpus."""
+
+import hashlib
+
+import pandas as pd
+import pytest
+
+from rayxtract.curation import (
+    GOPHER_STOPWORDS,
+    chunk_words,
+    gopher_signals,
+    normalize_text,
+    paragraph_dedup,
+    redact_pii,
+    split_assign,
+)
+
+
+def test_redact_pii_planted():
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "mail bob.smith+x@sub.example.org twice: a@b.co end",
+                "server at 192.168.0.1 and 10.0.0.255; call (41) 99876-5432",
+                "no pii here at all",
+            ],
+        }
+    )
+    out = redact_pii(df)
+    assert out["n_emails"].tolist() == [2, 0, 0]
+    assert out["n_ips"].tolist() == [0, 2, 0]
+    assert out["n_phones"].tolist() == [0, 1, 0]
+    # redaction is total: no '@', digit-run or dotted-quad survives row 0/1
+    assert out["redacted_md5"][2] == hashlib.md5(b"no pii here at all").hexdigest()
+
+
+def test_redact_pii_order_email_shields_digits():
+    # digits inside an email are consumed by the email stage, never counted
+    # as a phone — the sequential-order contract
+    df = pd.DataFrame({"doc_id": [0], "text": ["write 55501234567@phones.example ok"]})
+    out = redact_pii(df)
+    assert out["n_emails"][0] == 1
+    assert out["n_phones"][0] == 0
+
+
+def test_chunk_words_edges():
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["w " * 130, "one", "   "],  # 130 words / 1 word / empty
+        }
+    )
+    out = chunk_words(df, chunk_words_n=64)
+    assert out[out["doc_id"] == 0]["n_words_chunk"].tolist() == [64, 64, 2]
+    assert out[out["doc_id"] == 1]["n_words_chunk"].tolist() == [1]
+    assert (out["doc_id"] == 2).sum() == 0  # empty doc emits no chunks
+    assert out[out["doc_id"] == 0]["chunk_id"].tolist() == [0, 1, 2]
+
+
+def test_gopher_signals_bounds():
+    good = " ".join(["the", "and"] + ["word"] * 60)  # 62 words, sane lengths
+    short = "the and tiny"  # < 50 words
+    no_stop = " ".join(["zzzz"] * 60)  # no stopword hits
+    long_words = " ".join(["x" * 40] * 60)  # mean word len > 10
+    df = pd.DataFrame(
+        {"doc_id": [0, 1, 2, 3], "text": [good, short, no_stop, long_words]}
+    )
+    out = gopher_signals(df)
+    assert out["is_kept"].tolist() == [True, False, False, False]
+    assert out.loc[0, "n_stop_hits"] == 2
+    assert set(GOPHER_STOPWORDS) >= {"the", "and"}
+
+
+def test_split_assign_deterministic_and_total():
+    df = pd.DataFrame({"doc_id": range(64), "text": [f"doc {i}" for i in range(64)]})
+    a = split_assign(df)
+    b = split_assign(df.sample(frac=1.0, random_state=7))  # order-independent
+    merged = a.merge(b, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged["split_a"] == merged["split_b"]).all()
+    assert set(a["split"]) <= {"train", "val", "test"}
+
+
+def test_normalize_text():
+    assert normalize_text("  a\n\nb\tc  ") == "a b c"
+    # NFC: e + combining acute composes to é
+    assert normalize_text("é") == "é"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_paragraph_dedup_winner_semantics():
+    import ray
+
+    # doc A: [x, y]; doc B: [y, z, x]; doc C: [x] (loses everything)
+    # winners: x@(A,0), y@(A,1), z@(B,1)
+    rows = [
+        {"url": "a", "text": "x\ny"},
+        {"url": "b", "text": "y\nz\nx"},
+        {"url": "c", "text": "x"},
+    ]
+    out = paragraph_dedup(ray.data.from_items(rows)).to_pandas()
+    out = out.set_index("url")
+    assert out.loc["a", "n_paras_kept"] == 2
+    assert out.loc["a", "cleaned_md5"] == hashlib.md5(b"x\ny").hexdigest()
+    assert out.loc["b", "n_paras_kept"] == 1
+    assert out.loc["b", "n_paras_in"] == 3
+    assert out.loc["b", "cleaned_md5"] == hashlib.md5(b"z").hexdigest()
+    assert "c" not in out.index  # every paragraph lost to an earlier copy
