@@ -68,6 +68,10 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--out", required=True)
     pe.add_argument("--dest", required=True)
 
+    pi = sub.add_parser("import", help="convert JSONL shards to parquet")
+    pi.add_argument("--src", required=True)
+    pi.add_argument("--dest", required=True)
+
     args = p.parse_args(argv)
     _ray_up()
 
@@ -112,6 +116,10 @@ def main(argv: list[str] | None = None) -> int:
         from .tools import export_jsonl
 
         print(json.dumps({"rows": export_jsonl(args.out, args.dest)}))
+    elif args.cmd == "import":
+        from .tools import import_jsonl
+
+        print(json.dumps({"rows": import_jsonl(args.src, args.dest)}))
     return 0
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["tree_aggregate", "bucketed_aggregate", "topk"]
+__all__ = ["tree_aggregate", "bucketed_aggregate", "topk", "range_prefix_sum"]
 
 
 def topk(ds, keys: list[str], descending: list[bool], k: int):
@@ -141,3 +141,47 @@ def bucketed_aggregate(
         .groupby("__bucket")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def range_prefix_sum(ds, order_col, value_col, range_size, out_col="cum_before"):
+    """Distributed EXCLUSIVE prefix sum (scan) over a range-partitionable
+    integer order column — the classic two-phase parallel scan:
+
+    1. tiny per-range sums via :func:`tree_aggregate` -> driver computes
+       the O(n_ranges) prefix offsets (never row data);
+    2. ``groupby(range).map_groups``: local sort + cumsum + range offset.
+
+    The input is consumed twice (sum pass + scan pass); callers pass a
+    cheaply re-computable pruned dataset (re-reading two integer columns
+    beats materializing a corpus-sized intermediate). Only monotonicity of
+    ``order_col // range_size`` is required — ids need not be dense.
+    ``order_col`` must be unique (total order within a range)."""
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.copy()
+        b["__range"] = (
+            batch[order_col].to_numpy().astype(np.int64) // range_size
+        )
+        return b
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+    sums = tree_aggregate(
+        tagged, keys=["__range"], aggs={"__rsum": (value_col, "sum")}
+    ).to_pandas()
+    sums = sums.sort_values("__range")
+    csum = np.cumsum(sums["__rsum"].to_numpy(dtype=np.int64))
+    offsets = dict(
+        zip(
+            sums["__range"].astype("int64"),
+            np.concatenate([[np.int64(0)], csum[:-1]]),
+        )
+    )
+
+    def scan(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(order_col, kind="mergesort")
+        v = g[value_col].to_numpy(dtype=np.int64)
+        base = np.int64(offsets[int(g["__range"].iloc[0])])
+        g[out_col] = (base + np.cumsum(v) - v).astype("int64")
+        return g.drop(columns="__range")
+
+    return tagged.groupby("__range").map_groups(scan, batch_format="pandas")

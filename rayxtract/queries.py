@@ -1554,6 +1554,103 @@ def q_doc_pii_redact(sf_dir: str):
     )
 
 
+def q_doc_pack_assign(sf_dir: str):
+    """Token-budget pack assignment for sequence packing: contiguous docs
+    (doc_id order) are packed so each pack starts at a 512-token boundary
+    of the global running count — ``pack_id = exclusive_prefix_sum(tokens)
+    // 512``. The prefix sum is the distributed two-phase scan
+    (agg.range_prefix_sum): per-range sums -> O(ranges) driver offsets ->
+    local cumsum. Unlike greedy first-fit (inherently sequential), this
+    contiguous-spill variant is exactly parallelizable AND window-SQL
+    expressible, so the oracle checks it end to end."""
+    from .agg import range_prefix_sum
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64").values,
+                "n_tokens": batch["text"].str.count(r"\S+").astype("int64").values,
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        counts, batch_format="pandas"
+    )
+    scanned = range_prefix_sum(ds, "doc_id", "n_tokens", range_size=1000)
+
+    def packid(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["pack_id"] = (batch["cum_before"] // 512).astype("int64")
+        return batch[["doc_id", "n_tokens", "pack_id"]]
+
+    return scanned.map_batches(packid, batch_format="pandas")
+
+
+def q_doc_tfidf_top(sf_dir: str):
+    """Top-3 distinctive terms per doc by scaled-integer tf/df ranking:
+    term frequency from a per-doc explode, document frequency from a
+    bucketed large-cardinality aggregate, re-joined on a word-hash bucket.
+    The score is ``tf * 1_000_000 // df`` — monotone in tf x (1/df) like
+    tf-idf but integer-exact, so Ray and DuckDB rank identically with no
+    float-ordering hazard (ties broken by word)."""
+    import zlib as _z
+
+    n_buckets = 32
+
+    def explode_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, words, tfs = [], [], []
+        for did, text in zip(batch["doc_id"].values, batch["text"].values):
+            c: dict = {}
+            for w in text.split():
+                c[w] = c.get(w, 0) + 1
+            ids.extend([did] * len(c))
+            words.extend(c.keys())
+            tfs.extend(c.values())
+        df = pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "word": pd.Series(words, dtype="object"),
+                "tf": pd.Series(tfs, dtype="int64"),
+            }
+        )
+        df["__bucket"] = np.fromiter(
+            (_z.crc32(w.encode()) % n_buckets for w in df["word"]),
+            dtype=np.int64,
+            count=len(df),
+        )
+        return df
+
+    tf = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        explode_counts, batch_format="pandas"
+    )
+
+    # df(word) + score + per-doc candidates, all within one word-bucketed
+    # exchange: every (doc, word) row of a word shares its bucket, so df is
+    # computed locally per bucket and joined in place — no second shuffle
+    # for the df table.
+    def score_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        dfreq = group.groupby("word")["doc_id"].nunique()
+        g = group.copy()
+        g["df"] = g["word"].map(dfreq).astype("int64")
+        g["score"] = (g["tf"] * 1_000_000 // g["df"]).astype("int64")
+        # local per-doc prune: a doc's global top-3 among this bucket's
+        # words is within its bucket top-3
+        return (
+            g.sort_values(["doc_id", "score", "word"], ascending=[True, False, True], kind="mergesort")
+            .groupby("doc_id", as_index=False)
+            .head(3)[["doc_id", "word", "tf", "df", "score"]]
+        )
+
+    cand = tf.groupby("__bucket").map_groups(score_bucket, batch_format="pandas")
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(
+            ["score", "word"], ascending=[False, True], kind="mergesort"
+        ).head(3)[["doc_id", "word", "tf", "df", "score"]]
+
+    return cand.groupby("doc_id").map_groups(final_topk, batch_format="pandas")
+
+
 def q_pages_normalize(sf_dir: str):
     """NFC + whitespace-collapse canonical form of the extracted page text
     (the string most dedup pipelines hash); md5 checked against the same
@@ -1630,6 +1727,8 @@ QUERIES = {
     "doc_chunk": q_doc_chunk,
     "doc_gopher_quality": q_doc_gopher_quality,
     "doc_pii_redact": q_doc_pii_redact,
+    "doc_pack_assign": q_doc_pack_assign,
+    "doc_tfidf_top": q_doc_tfidf_top,
     "pages_normalize": q_pages_normalize,
     "pages_para_dedup": q_pages_para_dedup,
     "events_user_rank": q_events_user_rank,
@@ -1942,6 +2041,36 @@ ORACLE_SQL = {
                CAST(n_phones AS BIGINT) AS n_phones,
                md5(s3) AS redacted_md5
         FROM p
+    """,
+    "doc_pack_assign": r"""
+        WITH c AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+          FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               CAST((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS BIGINT) AS pack_id
+        FROM c
+    """,
+    "doc_tfidf_top": r"""
+        WITH tf AS (
+          SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+            SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word
+            FROM documents
+          ) GROUP BY doc_id, word
+        ), dfr AS (
+          SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY word
+        ), scored AS (
+          SELECT tf.doc_id, tf.word, tf.tf, dfr.df,
+                 CAST(tf.tf * 1000000 // dfr.df AS BIGINT) AS score,
+                 row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * 1000000 // dfr.df DESC, tf.word ASC
+                 ) AS rn
+          FROM tf JOIN dfr USING (word)
+        )
+        SELECT doc_id, word, tf, df, score FROM scored WHERE rn <= 3
     """,
     "doc_top_terms": r"""
         SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (

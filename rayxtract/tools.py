@@ -23,7 +23,37 @@ from . import manifest as mf
 from .ops import ExtractConfig, _extract_one
 from .pipeline import list_shards
 
-__all__ = ["reextract_url", "retention_sweep", "status_report", "export_jsonl"]
+__all__ = [
+    "reextract_url",
+    "retention_sweep",
+    "status_report",
+    "export_jsonl",
+    "read_jsonl",
+    "import_jsonl",
+]
+
+
+def read_jsonl(src_dir: str, columns: list[str] | None = None):
+    """Streaming JSONL ingest (the export_jsonl round-trip / third-party
+    hand-back format): lazy read_json Dataset, optionally pruned. JSON has
+    no column/row-group pushdown — every byte is parsed — so hot pipelines
+    should convert once via :func:`import_jsonl` and read parquet."""
+    import ray.data
+
+    ds = ray.data.read_json(src_dir)
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
+def import_jsonl(
+    src_dir: str, dest_dir: str, columns: list[str] | None = None
+) -> int:
+    """Convert JSONL shards to parquet, streaming block-by-block (never
+    materializes); returns the imported row count."""
+    ds = read_jsonl(src_dir, columns)
+    ds.write_parquet(dest_dir)
+    return ds.count()
 
 
 def export_jsonl(out_dir: str, dest_dir: str, columns: list[str] | None = None) -> int:

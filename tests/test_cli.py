@@ -61,3 +61,29 @@ def test_cli_export_jsonl(cli_out, capsys, tmp_path):
     ]
     assert len(rows) == 1000
     assert {"url", "text", "doc_type"} <= set(rows[0])
+
+
+def test_cli_import_jsonl_roundtrip(cli_out, capsys, tmp_path):
+    import glob
+    import json as _json
+
+    import duckdb
+
+    pages_dir, out = cli_out
+    main(["extract", "--pages", pages_dir, "--out", out])
+    capsys.readouterr()
+    dest = str(tmp_path / "jsonl")
+    main(["export", "--out", out, "--dest", dest])
+    capsys.readouterr()
+    back = str(tmp_path / "parquet_back")
+    assert main(["import", "--src", dest, "--dest", back]) == 0
+    assert _json.loads(capsys.readouterr().out.strip())["rows"] == 1000
+    # independent check: text survives the JSONL round trip byte-for-byte
+    n, tot = duckdb.sql(
+        f"""
+        SELECT sum(CASE WHEN a.text = b.text THEN 1 ELSE 0 END), count(*)
+        FROM read_parquet('{back}/*.parquet') a
+        JOIN read_parquet('{out}/*/*.parquet', hive_partitioning=1) b USING (url)
+        """
+    ).fetchone()
+    assert (n, tot) == (1000, 1000)

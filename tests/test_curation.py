@@ -108,3 +108,31 @@ def test_paragraph_dedup_winner_semantics():
     assert out.loc["b", "n_paras_in"] == 3
     assert out.loc["b", "cleaned_md5"] == hashlib.md5(b"z").hexdigest()
     assert "c" not in out.index  # every paragraph lost to an earlier copy
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_range_prefix_sum_matches_numpy():
+    import numpy as np
+    import ray
+
+    from rayxtract.agg import range_prefix_sum
+
+    rng = np.random.default_rng(11)
+    # non-dense, shuffled ids across range boundaries
+    ids = rng.choice(np.arange(0, 5000, 3), size=700, replace=False)
+    vals = rng.integers(0, 50, size=700)
+    df = pd.DataFrame({"k": ids, "v": vals})
+    out = (
+        range_prefix_sum(
+            ray.data.from_pandas(df.sample(frac=1.0, random_state=3)),
+            "k",
+            "v",
+            range_size=97,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values("k").reset_index(drop=True)
+    ref["cum_before"] = ref["v"].cumsum() - ref["v"]
+    assert out["cum_before"].tolist() == ref["cum_before"].tolist()
