@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "doc_dedup_exact",
     "doc_token_counts",
     "doc_simhash",
+    "doc_pack_assign",
+    "doc_tfidf_top",
     "top_customers",
     "emb_knn_brute",
 ]
