@@ -20,7 +20,12 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["dedup_keep_latest", "local_keep_latest"]
+__all__ = [
+    "dedup_keep_latest",
+    "local_keep_latest",
+    "decontaminate",
+    "dup_span_stats",
+]
 
 
 def _keep_latest_table(t: pa.Table) -> pa.Table:
@@ -183,3 +188,282 @@ def decontaminate(
         return out
 
     return joined.map_batches(anti, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-substring span dedup (Lee et al., "Deduplicating Training Data
+# Makes Language Models Better", arXiv:2107.06499): find every W-token
+# window whose exact content appears in >= 2 distinct documents, and mark /
+# remove the covered token spans per document. The suffix-array formulation
+# doesn't distribute; the hash-window two-pass below is the standard
+# map-reduce re-expression (same duplicated-span semantics for spans of
+# length >= W, at window granularity).
+
+_DUP_P = 1099511628211  # polynomial base for the window combine (prime)
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _win_coeffs(w: int):
+    import numpy as np
+
+    coeffs = [1] * w
+    for j in range(w - 2, -1, -1):
+        coeffs[j] = (coeffs[j + 1] * _DUP_P) & _M64
+    return np.array(coeffs, dtype=np.uint64)
+
+
+class _WindowHashKernel:
+    """Per-actor warm state for tokenize -> word-hash -> W-window polynomial
+    hash. Word hashes are FNV-1a 64 (cached across batches); the window hash
+    is sum_j wh[i+j] * P^(w-1-j) mod 2^64 + avalanche — content-equality up
+    to 64-bit collisions (negligible; deterministic if one ever occurs)."""
+
+    def __init__(self, w: int):
+        import numpy as np
+
+        self.w = w
+        self.coeffs = _win_coeffs(w)
+        self.cache: dict = {}
+        self._np = np
+
+    def doc_hashes(self, text: str):
+        """(win_h uint64[n-w+1], tokens list) for one document."""
+        from .neardup import _hash_words_cached, _mix64
+
+        np = self._np
+        tokens = text.split()
+        n = len(tokens)
+        if n < self.w:
+            return np.empty(0, dtype=np.uint64), tokens
+        uniq, inv = np.unique(np.array(tokens, dtype=object), return_inverse=True)
+        wh = _hash_words_cached(self.cache, list(uniq))[inv]
+        m = n - self.w + 1
+        h = np.zeros(m, dtype=np.uint64)
+        for j in range(self.w):
+            h = h + wh[j : j + m] * self.coeffs[j]
+        return _mix64(h), tokens
+
+
+def dup_span_stats(
+    docs,
+    w: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+    mode: str = "auto",
+    broadcast_limit: int = 5_000_000,
+):
+    """Per-document duplicated-span statistics + cleaned-text digest.
+
+    Two passes over the corpus, nothing corpus-sized on the driver:
+
+    1. DETECT — per batch, emit one partial row per distinct window hash
+       with (min_doc, max_doc); ``agg.bucketed_aggregate`` merges partials
+       per hash bucket. A window is cross-doc duplicated iff its global
+       ``min_doc < max_doc`` (appears in >= 2 distinct docs).
+    2. MARK — re-hash windows per doc and test membership in the duplicated
+       set. Below ``broadcast_limit`` dup hashes the set ships once as a
+       sorted uint64 array via ``ray.put`` and membership is a vectorized
+       ``searchsorted`` per doc (zero extra exchange — the path you run
+       whenever boilerplate, not the corpus, bounds the dup set). Past the
+       limit (``mode="join"`` or auto-overflow) windows re-join the dup set
+       with ``bucketed_join`` on the hash, dup START positions pack per doc
+       into a bytes column, and a left join brings them back to the text —
+       only (hash, doc, pos) triples move, never token text.
+
+    Output per doc: ``n_tokens``, ``n_windows`` (= max(n_tokens - w + 1,
+    0)), ``n_dup_windows`` (duplicated window starts), ``n_dup_tokens``
+    (token positions covered by >= 1 duplicated window) and ``clean_md5``
+    (md5 of the space-joined tokens with covered spans removed — the
+    Lee-et-al span cut at window granularity).
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from .agg import bucketed_aggregate
+
+    if mode not in ("auto", "broadcast", "join"):
+        raise ValueError(f"unsupported mode {mode!r}")
+
+    def detect_partial_cls():
+        kern = _WindowHashKernel(w)
+
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            hs, ids = [], []
+            for did, text in zip(batch[id_col].values, batch[text_col].values):
+                h, _ = kern.doc_hashes(text)
+                hs.append(h)
+                ids.append(np.full(len(h), did, dtype=np.int64))
+            cat = np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
+            did = np.concatenate(ids) if ids else np.empty(0, dtype=np.int64)
+            u, inv = np.unique(cat, return_inverse=True)
+            mn = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
+            mx = np.full(len(u), np.iinfo(np.int64).min, dtype=np.int64)
+            np.minimum.at(mn, inv, did)
+            np.maximum.at(mx, inv, did)
+            return pd.DataFrame(
+                {
+                    "win_h": u.view(np.int64),
+                    "min_doc": mn,
+                    "max_doc": mx,
+                }
+            )
+
+        return fn
+
+    merged = bucketed_aggregate(
+        docs.map_batches(detect_partial_cls(), batch_format="pandas"),
+        keys=["win_h"],
+        aggs={"min_doc": ("min_doc", "min"), "max_doc": ("max_doc", "max")},
+        n_buckets=n_buckets,
+    )
+
+    def only_dup(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["min_doc"] < batch["max_doc"]][["win_h"]]
+
+    dup = merged.map_batches(only_dup, batch_format="pandas")
+
+    def finalize_frame(batch_ids, texts, starts_per_doc):
+        n_toks, n_wins, n_dws, n_dts, md5s = [], [], [], [], []
+        for tokens, starts in zip(texts, starts_per_doc):
+            n = len(tokens)
+            m = max(n - w + 1, 0)
+            # diff-array span union: covered[p] iff some start s <= p < s+w
+            cover = np.zeros(n + w + 1, dtype=np.int64)
+            if len(starts):
+                np.add.at(cover, starts, 1)
+                np.add.at(cover, starts + w, -1)
+            covered = np.cumsum(cover[:n]) > 0 if n else np.zeros(0, dtype=bool)
+            kept = [t for t, c in zip(tokens, covered) if not c]
+            n_toks.append(n)
+            n_wins.append(m)
+            n_dws.append(len(starts))
+            n_dts.append(int(covered.sum()))
+            md5s.append(hashlib.md5(" ".join(kept).encode("utf-8")).hexdigest())
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(batch_ids, dtype="int64"),
+                "n_tokens": pd.Series(n_toks, dtype="int64"),
+                "n_windows": pd.Series(n_wins, dtype="int64"),
+                "n_dup_windows": pd.Series(n_dws, dtype="int64"),
+                "n_dup_tokens": pd.Series(n_dts, dtype="int64"),
+                "clean_md5": pd.Series(md5s, dtype="object"),
+            }
+        )
+
+    if mode in ("auto", "broadcast"):
+        # gather dup hashes (bounded by boilerplate cardinality, not corpus)
+        got: list = []
+        total = 0
+        overflow = False
+        dup_iter = dup if mode == "broadcast" else dup.materialize()
+        for b in dup_iter.iter_batches(batch_size=65536, batch_format="pandas"):
+            a = b["win_h"].to_numpy().view(np.uint64)
+            got.append(a)
+            total += len(a)
+            if mode == "auto" and total > broadcast_limit:
+                overflow = True
+                break
+        if not overflow:
+            dup_sorted = np.sort(
+                np.concatenate(got) if got else np.empty(0, dtype=np.uint64)
+            )
+            ref = ray.put(dup_sorted)
+
+            def mark_cls():
+                kern = _WindowHashKernel(w)
+
+                def fn(batch: pd.DataFrame) -> pd.DataFrame:
+                    d = ray.get(ref)
+                    texts, starts_all = [], []
+                    for text in batch[text_col].values:
+                        h, tokens = kern.doc_hashes(text)
+                        if len(h) and len(d):
+                            pos = np.searchsorted(d, h).clip(max=len(d) - 1)
+                            member = d[pos] == h
+                            starts = np.nonzero(member)[0]
+                        else:
+                            starts = np.empty(0, dtype=np.int64)
+                        texts.append(tokens)
+                        starts_all.append(starts)
+                    return finalize_frame(
+                        batch[id_col].values, texts, starts_all
+                    )
+
+                return fn
+
+            return docs.map_batches(mark_cls(), batch_format="pandas")
+        dup = dup_iter  # fall through to the join path on the materialized set
+
+    # join path: (doc, pos, win_h) triples re-join the dup set on the hash
+    from .joins import bucketed_join
+
+    def win_rows_cls():
+        kern = _WindowHashKernel(w)
+
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            ids, poss, hs = [], [], []
+            for did, text in zip(batch[id_col].values, batch[text_col].values):
+                h, _ = kern.doc_hashes(text)
+                ids.append(np.full(len(h), did, dtype=np.int64))
+                poss.append(np.arange(len(h), dtype=np.int64))
+                hs.append(h)
+            cat = lambda xs, dt: (
+                np.concatenate(xs) if xs else np.empty(0, dtype=dt)
+            )
+            return pd.DataFrame(
+                {
+                    id_col: cat(ids, np.int64),
+                    "pos": cat(poss, np.int64),
+                    "win_h": cat(hs, np.uint64).view(np.int64),
+                }
+            )
+
+        return fn
+
+    def dup_marked(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["win_h"]].copy()
+        out["__dupm"] = pd.Series(1, index=out.index, dtype="int64")
+        out = out.rename(columns={"win_h": "win_hr"})
+        return out
+
+    wins = docs.map_batches(win_rows_cls(), batch_format="pandas")
+    hits = bucketed_join(
+        wins,
+        dup.map_batches(dup_marked, batch_format="pandas"),
+        "win_h",
+        "win_hr",
+        n_buckets=n_buckets,
+        how="inner",
+    )
+
+    def pack_starts(group: pd.DataFrame) -> pd.DataFrame:
+        starts = np.sort(group["pos"].to_numpy().astype(np.int64))
+        return pd.DataFrame(
+            {
+                id_col: pd.Series([group[id_col].iloc[0]], dtype="int64"),
+                "starts_bin": pd.Series([starts.tobytes()], dtype="object"),
+            }
+        )
+
+    packed = hits.groupby(id_col).map_groups(pack_starts, batch_format="pandas")
+    docs_sel = docs.select_columns([id_col, text_col])
+    joined = bucketed_join(
+        docs_sel, packed, id_col, id_col, n_buckets=n_buckets, how="left"
+    )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        texts, starts_all = [], []
+        for text, sb in zip(batch[text_col].values, batch["starts_bin"].values):
+            texts.append(text.split())
+            starts_all.append(
+                np.frombuffer(sb, dtype=np.int64)
+                if isinstance(sb, (bytes, bytearray))
+                else np.empty(0, dtype=np.int64)
+            )
+        return finalize_frame(batch[id_col].values, texts, starts_all)
+
+    return joined.map_batches(finalize, batch_format="pandas")

@@ -1651,6 +1651,18 @@ def q_doc_tfidf_top(sf_dir: str):
     return cand.groupby("doc_id").map_groups(final_topk, batch_format="pandas")
 
 
+def q_doc_dup_spans(sf_dir: str):
+    """Lee-et-al duplicated-substring span dedup (arXiv:2107.06499) at
+    window granularity: detect every 5-token window appearing in >= 2
+    distinct docs (bucketed min/max-doc aggregate over window hashes), mark
+    covered token spans per doc, and emit counts + the md5 of the cleaned
+    (span-removed) text. Broadcast membership path by default; the bucketed
+    re-join path is equivalence-tested in tests/test_curation.py."""
+    from .dedup import dup_span_stats
+
+    return dup_span_stats(_read(sf_dir, "documents", ["doc_id", "text"]), w=5)
+
+
 def q_pages_normalize(sf_dir: str):
     """NFC + whitespace-collapse canonical form of the extracted page text
     (the string most dedup pipelines hash); md5 checked against the same
@@ -1729,6 +1741,7 @@ QUERIES = {
     "doc_pii_redact": q_doc_pii_redact,
     "doc_pack_assign": q_doc_pack_assign,
     "doc_tfidf_top": q_doc_tfidf_top,
+    "doc_dup_spans": q_doc_dup_spans,
     "pages_normalize": q_pages_normalize,
     "pages_para_dedup": q_pages_para_dedup,
     "events_user_rank": q_events_user_rank,
@@ -2071,6 +2084,53 @@ ORACLE_SQL = {
           FROM tf JOIN dfr USING (word)
         )
         SELECT doc_id, word, tf, df, score FROM scored WHERE rn <= 3
+    """,
+    "doc_dup_spans": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+          FROM documents
+        ), wins AS (
+          SELECT doc_id, i, array_to_string(toks[i:i+4], ' ') AS win
+          FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(toks) - 4)) AS i
+          ) g
+        ), dup AS (
+          SELECT win FROM wins GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2
+        ), dwin AS (
+          SELECT w.doc_id, w.i FROM wins w JOIN dup USING (win)
+        ), dcnt AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+          FROM dwin GROUP BY doc_id
+        ), dpos AS (
+          SELECT DISTINCT d.doc_id, q.p
+          FROM dwin d, LATERAL (
+            SELECT unnest(generate_series(d.i, d.i + 4)) AS p
+          ) q
+        ), dtok AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_tokens
+          FROM dpos GROUP BY doc_id
+        ), flat AS (
+          SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+          FROM toks
+        ), clean AS (
+          SELECT f.doc_id,
+                 md5(string_agg(f.tok, ' ' ORDER BY f.pos)) AS clean_md5
+          FROM flat f
+          LEFT JOIN dpos d ON d.doc_id = f.doc_id AND d.p = f.pos
+          WHERE d.doc_id IS NULL
+          GROUP BY f.doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               CAST(GREATEST(len(t.toks) - 4, 0) AS BIGINT) AS n_windows,
+               COALESCE(dcnt.n_dup_windows, 0) AS n_dup_windows,
+               COALESCE(dtok.n_dup_tokens, 0) AS n_dup_tokens,
+               COALESCE(clean.clean_md5, md5('')) AS clean_md5
+        FROM toks t
+        LEFT JOIN dcnt USING (doc_id)
+        LEFT JOIN dtok USING (doc_id)
+        LEFT JOIN clean USING (doc_id)
     """,
     "doc_top_terms": r"""
         SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (

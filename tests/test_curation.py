@@ -136,3 +136,73 @@ def test_range_prefix_sum_matches_numpy():
     ref = df.sort_values("k").reset_index(drop=True)
     ref["cum_before"] = ref["v"].cumsum() - ref["v"]
     assert out["cum_before"].tolist() == ref["cum_before"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# duplicated-substring span dedup (dedup.dup_span_stats)
+
+
+def _dup_corpus():
+    import ray.data
+
+    boiler = "terms of service apply to all visitors here"  # 8 tokens
+    rows = [
+        {"doc_id": 0, "text": f"alpha beta gamma {boiler} delta epsilon"},
+        {"doc_id": 1, "text": f"{boiler} zeta eta theta iota kappa"},
+        {"doc_id": 2, "text": "wholly original content with no repeats at all"},
+        {"doc_id": 3, "text": "tiny doc"},  # < w tokens: no windows
+        {"doc_id": 4, "text": ""},
+    ]
+    return ray.data.from_items(rows), rows
+
+
+def test_dup_span_stats_planted():
+    from rayxtract.dedup import dup_span_stats
+
+    ds, rows = _dup_corpus()
+    out = (
+        dup_span_stats(ds, w=5)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # the 8-token boilerplate appears in docs 0 and 1: its 4 internal
+    # 5-windows are cross-doc duplicated; surrounding unique context keeps
+    # windows that straddle the boundary unique
+    assert out.loc[0, "n_dup_windows"] == 4
+    assert out.loc[1, "n_dup_windows"] == 4
+    assert out.loc[0, "n_dup_tokens"] == 8
+    assert out.loc[1, "n_dup_tokens"] == 8
+    assert out.loc[2, "n_dup_windows"] == 0
+    # span removal cuts exactly the boilerplate tokens
+    kept0 = "alpha beta gamma delta epsilon"
+    assert out.loc[0, "clean_md5"] == hashlib.md5(kept0.encode()).hexdigest()
+    # edge docs: no windows, nothing removed
+    assert out.loc[3, "n_windows"] == 0
+    assert out.loc[3, "clean_md5"] == hashlib.md5(b"tiny doc").hexdigest()
+    assert out.loc[4, "n_tokens"] == 0
+    assert out.loc[4, "clean_md5"] == hashlib.md5(b"").hexdigest()
+    assert (out["n_windows"] == (out["n_tokens"] - 4).clip(lower=0)).all()
+
+
+def test_dup_span_stats_join_path_equivalent():
+    from rayxtract.dedup import dup_span_stats
+
+    ds, _ = _dup_corpus()
+    cols = [
+        "doc_id", "n_tokens", "n_windows",
+        "n_dup_windows", "n_dup_tokens", "clean_md5",
+    ]
+    a = (
+        dup_span_stats(ds, w=5, mode="broadcast")
+        .to_pandas()[cols]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        dup_span_stats(ds, w=5, mode="join")
+        .to_pandas()[cols]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
