@@ -113,11 +113,12 @@ def bucketed_join(
     how: str = "inner",
 ):
     """Explicit partitioned hash join: tag + union + groupby(bucket) +
-    per-bucket pandas merge. ``how`` in inner|left (left preserves every
-    left row, right-side columns as typed nulls); integer keys.
-    Missing-side columns travel as typed nulls (nullable Int64 etc.) so
-    the union's block schemas agree."""
-    if how not in ("inner", "left"):
+    per-bucket pandas merge. ``how`` in inner|left|outer (left preserves
+    every left row; outer preserves both sides, with the left key column
+    coalesced from the right key so unmatched right rows keep their key);
+    integer keys. Missing-side columns travel as typed nulls (nullable
+    Int64 etc.) so the union's block schemas agree."""
+    if how not in ("inner", "left", "outer"):
         raise ValueError(f"unsupported join type {how!r}")
     left_cols = [c for c in left.schema().names]
     right_cols = [c for c in right.schema().names]
@@ -157,6 +158,11 @@ def bucketed_join(
             for c in right_cols:
                 if c != right_key:
                     j[c] = j[c].astype(dtypes[c])
+        elif how == "outer":
+            if right_key != left_key:
+                j[left_key] = j[left_key].fillna(j[right_key])
+            for c in out_cols:
+                j[c] = j[c].astype(dtypes[c])
         return j[out_cols]
 
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")

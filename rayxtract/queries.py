@@ -474,6 +474,70 @@ def q_cust_left_orders(sf_dir: str):
     return j.map_batches(fill, batch_format="pandas")
 
 
+def q_cust_full_orders(sf_dir: str):
+    """FULL OUTER join demo with unmatched rows on BOTH sides: rich
+    customers (acctbal >= 5000) vs per-customer big-order aggregates
+    (totalprice >= 150000). Aggregate-then-join keeps the exchange small
+    (combiner tree on the orders side); the outer join itself is the
+    bucketed hash exchange. Nullable sides are COALESCEd to sentinels with
+    explicit in_left/in_right flags so the result schema is null-free
+    (value-hash friendly)."""
+    from .agg import tree_aggregate
+    from .joins import bucketed_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def rich(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["c_acctbal"] >= 5000.0]
+        return pd.DataFrame(
+            {
+                "c_custkey": b["c_custkey"].astype("int64").values,
+                "acctbal_cents": _floor_cents(b["c_acctbal"].to_numpy()),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def big(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["o_totalprice"] >= 150000.0]
+        return pd.DataFrame(
+            {
+                "o_custkey": b["o_custkey"].astype("int64").values,
+                "big_cents": _floor_cents(b["o_totalprice"].to_numpy()),
+            }
+        )
+
+    agg = tree_aggregate(
+        orders.map_batches(big, batch_format="pandas"),
+        keys=["o_custkey"],
+        aggs={"n_big": ("big_cents", "count"), "big_cents": ("big_cents", "sum")},
+    )
+    joined = bucketed_join(
+        cust.map_batches(rich, batch_format="pandas"),
+        agg,
+        "c_custkey",
+        "o_custkey",
+        how="outer",
+    )
+
+    def seal(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": batch["c_custkey"].astype("int64").values,
+                "in_left": batch["acctbal_cents"].notna().values,
+                "in_right": batch["n_big"].notna().values,
+                "acctbal_cents": batch["acctbal_cents"]
+                .fillna(-1)
+                .astype("int64")
+                .values,
+                "n_big": batch["n_big"].fillna(0).astype("int64").values,
+                "big_cents": batch["big_cents"].fillna(0).astype("int64").values,
+            }
+        )
+
+    return joined.map_batches(seal, batch_format="pandas")
+
+
 def q_asof_purchase_click(sf_dir: str):
     """As-of join: for each purchase event, the latest click by the same
     user at or before the purchase (partitioned-log pattern)."""
@@ -1663,6 +1727,19 @@ def q_doc_dup_spans(sf_dir: str):
     return dup_span_stats(_read(sf_dir, "documents", ["doc_id", "text"]), w=5)
 
 
+def q_doc_hash_classifier(sf_dir: str):
+    """fastText-style feature-hashed linear scorer (arXiv:1607.01759 +
+    hashing trick): score = sum over tokens of ((md5-derived 32-bit hash
+    mod 2001) - 1000), label = score > 0. Warm actor pool memoizes the
+    weight of every unique word; integer weights make the sum
+    order-independent so the DuckDB oracle matches exactly."""
+    from .textops import HashClassifierBatch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        HashClassifierBatch, batch_format="pandas", concurrency=(1, 8)
+    )
+
+
 def q_pages_normalize(sf_dir: str):
     """NFC + whitespace-collapse canonical form of the extracted page text
     (the string most dedup pipelines hash); md5 checked against the same
@@ -1705,6 +1782,7 @@ QUERIES = {
     "join_orders_customer": q_join_orders_customer,
     "join_supplier_nation": q_join_supplier_nation,
     "cust_left_orders": q_cust_left_orders,
+    "cust_full_orders": q_cust_full_orders,
     "asof_purchase_click": q_asof_purchase_click,
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "doc_filter_long": q_doc_filter_long,
@@ -1742,6 +1820,7 @@ QUERIES = {
     "doc_pack_assign": q_doc_pack_assign,
     "doc_tfidf_top": q_doc_tfidf_top,
     "doc_dup_spans": q_doc_dup_spans,
+    "doc_hash_classifier": q_doc_hash_classifier,
     "pages_normalize": q_pages_normalize,
     "pages_para_dedup": q_pages_para_dedup,
     "events_user_rank": q_events_user_rank,
@@ -1830,6 +1909,24 @@ ORACLE_SQL = {
         SELECT c.c_custkey, c.c_name,
                COALESCE(o.o_orderkey, -1) AS o_orderkey
         FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    """,
+    "cust_full_orders": """
+        WITH rich AS (
+          SELECT c_custkey, CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) AS acctbal_cents
+          FROM customer WHERE c_acctbal >= 5000.0
+        ), agg AS (
+          SELECT o_custkey,
+                 COUNT(*) AS n_big,
+                 CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS big_cents
+          FROM orders WHERE o_totalprice >= 150000.0 GROUP BY o_custkey
+        )
+        SELECT COALESCE(rich.c_custkey, agg.o_custkey) AS c_custkey,
+               rich.c_custkey IS NOT NULL AS in_left,
+               agg.o_custkey IS NOT NULL AS in_right,
+               COALESCE(rich.acctbal_cents, -1) AS acctbal_cents,
+               COALESCE(agg.n_big, 0) AS n_big,
+               COALESCE(agg.big_cents, 0) AS big_cents
+        FROM rich FULL OUTER JOIN agg ON rich.c_custkey = agg.o_custkey
     """,
     "asof_purchase_click": """
         SELECT l.event_id, l.user_id, l.ts, r.value AS value_r
@@ -2084,6 +2181,26 @@ ORACLE_SQL = {
           FROM tf JOIN dfr USING (word)
         )
         SELECT doc_id, word, tf, df, score FROM scored WHERE rn <= 3
+    """,
+    "doc_hash_classifier": r"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word
+          FROM documents
+        ), wt AS (
+          SELECT doc_id,
+                 CAST(CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % 2001 - 1000 AS BIGINT) AS wgt
+          FROM tok
+        ), per AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 CAST(SUM(wgt) AS BIGINT) AS score
+          FROM wt GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(per.n_tokens, 0) AS n_tokens,
+               COALESCE(per.score, 0) AS score,
+               COALESCE(per.score, 0) > 0 AS label
+        FROM documents d LEFT JOIN per USING (doc_id)
     """,
     "doc_dup_spans": r"""
         WITH toks AS (

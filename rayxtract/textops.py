@@ -26,6 +26,7 @@ __all__ = [
     "winnow_fingerprints",
     "WinnowBatch",
     "LangIdBatch",
+    "HashClassifierBatch",
     "STOPWORDS",
 ]
 
@@ -205,3 +206,68 @@ class LangIdBatch:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         batch["lang_pred"] = [self.predict_one(t) for t in batch["text"]]
         return batch
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashed linear classifier scoring — the fastText-style quality /
+# domain scorer shape (Joulin et al., arXiv:1607.01759 with the hashing
+# trick of Weinberger et al., ICML'09): every token hashes to an integer
+# weight, the document score is the weight sum. Integer weights keep the
+# sum order-independent, so Ray and the DuckDB oracle agree exactly.
+
+_HC_MOD = 2001
+_HC_BIAS = 1000
+
+
+def _hash_weight(word: str) -> int:
+    """weight(word) = (first-32-bits-of-md5 mod 2001) - 1000, in [-1000, 1000]."""
+    return int(hashlib.md5(word.encode("utf-8")).hexdigest()[:8], 16) % _HC_MOD - _HC_BIAS
+
+
+class HashClassifierBatch:
+    """Actor-pool model-scoring stage: per-doc score = sum of hashed token
+    weights (multiplicity counts), label = score > 0.
+
+    The weight table is a per-actor memo filled on demand — the warm-model
+    pattern (a real classifier would load its matrix here in ``__init__``;
+    reference analogue: the resident LLM daemon, supervisord.conf:27-36).
+    Per batch only UNIQUE new words pay an md5; scoring is a vectorized
+    segment sum over the factorized token stream."""
+
+    def __init__(self, col: str = "text", id_col: str = "doc_id"):
+        self.col = col
+        self.id_col = id_col
+        self.weights: dict[str, int] = {}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks_per_doc = [t.split() for t in batch[self.col].values]
+        flat = [w for ws in toks_per_doc for w in ws]
+        if flat:
+            codes, uniq = pd.factorize(np.array(flat, dtype=object))
+            memo = self.weights
+            uw = np.fromiter(
+                (
+                    memo[w] if w in memo else memo.setdefault(w, _hash_weight(w))
+                    for w in uniq
+                ),
+                dtype=np.int64,
+                count=len(uniq),
+            )
+            wflat = uw[codes]
+        else:
+            wflat = np.empty(0, dtype=np.int64)
+        lens = np.fromiter(
+            (len(ws) for ws in toks_per_doc), dtype=np.int64, count=len(toks_per_doc)
+        )
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        csum = np.concatenate([[0], np.cumsum(wflat)])
+        scores = csum[ends] - csum[starts]
+        return pd.DataFrame(
+            {
+                self.id_col: batch[self.id_col].astype("int64").values,
+                "n_tokens": lens,
+                "score": scores,
+                "label": scores > 0,
+            }
+        )

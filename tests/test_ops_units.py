@@ -524,3 +524,32 @@ def test_winnow_batch(ray_session):
     assert out["winnow_md5"][0] == out["winnow_md5"][1]
     assert out["winnow_md5"][0] != out["winnow_md5"][2]
     assert (out["n_fingerprints"] > 0).all()
+
+
+def test_hash_classifier_kernel():
+    from rayxtract.textops import HashClassifierBatch, _hash_weight
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["alpha beta alpha", "gamma", ""],
+        }
+    )
+    out = HashClassifierBatch()(df)
+    w_alpha, w_beta, w_gamma = map(_hash_weight, ("alpha", "beta", "gamma"))
+    assert out["score"].tolist() == [
+        2 * w_alpha + w_beta,
+        w_gamma,
+        0,
+    ]
+    assert out["n_tokens"].tolist() == [3, 1, 0]
+    assert out["label"].tolist() == [
+        2 * w_alpha + w_beta > 0,
+        w_gamma > 0,
+        False,
+    ]
+    # the weight formula is pinned to (md5 first 32 bits) % 2001 - 1000
+    assert _hash_weight("hello") == int(
+        hashlib.md5(b"hello").hexdigest()[:8], 16
+    ) % 2001 - 1000
+    assert -1000 <= _hash_weight("anything") <= 1000
