@@ -1,0 +1,126 @@
+"""Corpus-trained bigram language-model fluency scoring (CCNet-style
+quality signal, arXiv:1911.00359 §4.3 — there a KenLM 5-gram; here a
+bigram MLE trained on the corpus itself, integer-exact so the DuckDB
+oracle can check the full train+score round trip).
+
+Design (one payload pass, two narrow exchanges):
+
+1. ``map_batches`` explodes each doc into per-doc bigram occurrence
+   counts ``(doc_id, w1, w2, occ)`` — the only pass over text.
+2. ONE exchange keyed on ``hash(w1)``: every bigram with the same first
+   word lands in the same bucket, so the bucket computes BOTH model
+   tables locally — ``c12 = sum(occ) per (w1, w2)`` and
+   ``c1 = sum(occ) per w1`` (c1 is the marginal of c12, so no second
+   aggregation pass is needed) — and scores each row in place:
+   ``contrib = occ * (c12 * 1_000_000 // c1)``. The scaled-integer MLE
+   ``P(w2|w1) ≈ c12/c1`` makes the sum order-independent (no
+   float-summation hazard) exactly like queries.q_doc_tfidf_top.
+3. Second exchange on ``doc_id`` sums contributions:
+   ``fluency = sum(contrib) // n_bigrams``.
+
+At 10^12-doc scale nothing corpus-sized ever sits on one node: the
+bucket exchange carries per-doc-distinct bigram rows (pre-combined per
+batch), and each bucket holds only its hash-slice of the vocabulary.
+Docs with fewer than two tokens produce no bigrams and are absent from
+the output (inner semantics; the oracle mirrors this).
+
+The reference repo has no LM stage; this belongs to the mandated
+training-data-pipeline family (text quality scoring).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+
+SCALE = 1_000_000
+
+
+def explode_bigram_counts(batch: pd.DataFrame, n_buckets: int = 32) -> pd.DataFrame:
+    """Per-doc bigram occurrence counts with a stable w1-hash bucket."""
+    ids: list[int] = []
+    w1s: list[str] = []
+    w2s: list[str] = []
+    occs: list[int] = []
+    for did, text in zip(batch["doc_id"].values, batch["text"].values):
+        toks = text.split()
+        if len(toks) < 2:
+            continue
+        c: dict = {}
+        for a, b in zip(toks, toks[1:]):
+            key = (a, b)
+            c[key] = c.get(key, 0) + 1
+        ids.extend([did] * len(c))
+        for (a, b), n in c.items():
+            w1s.append(a)
+            w2s.append(b)
+            occs.append(n)
+    out = pd.DataFrame(
+        {
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "w1": pd.Series(w1s, dtype="object"),
+            "w2": pd.Series(w2s, dtype="object"),
+            "occ": pd.Series(occs, dtype="int64"),
+        }
+    )
+    out["__bucket"] = np.fromiter(
+        (zlib.crc32(w.encode()) % n_buckets for w in out["w1"]),
+        dtype=np.int64,
+        count=len(out),
+    )
+    return out
+
+
+def score_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    """Within one w1-hash bucket: build c12/c1 locally, emit per-doc
+    partial sums (narrow rows only leave the bucket)."""
+    g = group
+    c12 = g.groupby(["w1", "w2"])["occ"].transform("sum").to_numpy(np.int64)
+    c1 = g.groupby("w1")["occ"].transform("sum").to_numpy(np.int64)
+    contrib = g["occ"].to_numpy(np.int64) * (c12 * SCALE // c1)
+    part = pd.DataFrame(
+        {
+            "doc_id": g["doc_id"].values,
+            "contrib": contrib,
+            "n_bigrams": g["occ"].to_numpy(np.int64),
+        }
+    )
+    return part.groupby("doc_id", as_index=False).agg(
+        contrib=("contrib", "sum"), n_bigrams=("n_bigrams", "sum")
+    )
+
+
+def bigram_fluency(ds, n_buckets: int = 32):
+    """``(doc_id, n_bigrams, fluency)`` for every doc with >= 1 bigram;
+    ``fluency = sum(occ * (c12 * SCALE // c1)) // n_bigrams`` — the
+    scaled-integer mean MLE bigram probability under the corpus-trained
+    model. Input needs columns ``doc_id`` and ``text``."""
+    from .agg import bucketed_aggregate
+
+    exploded = ds.map_batches(
+        lambda b: explode_bigram_counts(b, n_buckets), batch_format="pandas"
+    )
+    parts = exploded.groupby("__bucket").map_groups(
+        score_bucket, batch_format="pandas"
+    )
+    per_doc = bucketed_aggregate(
+        parts,
+        keys=["doc_id"],
+        aggs={"contrib": ("contrib", "sum"), "n_bigrams": ("n_bigrams", "sum")},
+        n_buckets=n_buckets,
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n_bigrams"].to_numpy(np.int64)
+        s = batch["contrib"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64").values,
+                "n_bigrams": n,
+                "fluency": s // n,
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pandas")

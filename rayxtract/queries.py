@@ -1767,6 +1767,212 @@ def q_pages_para_dedup(sf_dir: str):
     return paragraph_dedup(ds, id_col="url", text_col="text")
 
 
+def q_doc_lm_score(sf_dir: str):
+    """Corpus-trained bigram-LM fluency score (CCNet-style quality
+    signal): train + score in one pass over text with a single
+    w1-hash-bucketed exchange computing both model tables in place
+    (lm.bigram_fluency). Scaled-integer MLE keeps the oracle exact."""
+    from .lm import bigram_fluency
+
+    return bigram_fluency(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_doc_heavy_hitters(sf_dir: str):
+    """EXACT global top-25 words via a Misra-Gries-guided two-pass: the
+    mergeable sketch finds <= 4096 candidates without shuffling the word
+    distribution, a second pruned pass recounts only candidates, and the
+    MG guarantee (floor count > decrement bound) is CHECKED so the output
+    is provably the exact top-k (sketch.exact_heavy_hitters)."""
+    from .sketch import exact_heavy_hitters
+
+    def words(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"word": batch["text"].str.split().explode().dropna().values}
+        )
+
+    wds = _read(sf_dir, "documents", ["text"]).map_batches(
+        words, batch_format="pandas"
+    )
+    top = exact_heavy_hitters(wds, "word", k=25, m=4096)
+    return top.map_batches(
+        lambda b: b.rename(columns={"value": "word"}), batch_format="pandas"
+    )
+
+
+def q_doc_shuffle_order(sf_dir: str):
+    """Deterministic global training-data shuffle: every doc gets a dense
+    position 0..n-1 in md5(doc_id) order — the seeded shuffle a training
+    run replays exactly on resume. Distributed as a two-phase rank: 256
+    md5-prefix buckets -> tiny per-bucket counts -> driver prefix offsets
+    (256 ints, never row data) -> per-bucket local sort + arange. No
+    global sort of the corpus; the only exchange is the bucket groupby."""
+    import hashlib as _hl
+
+    from .agg import tree_aggregate
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].astype("int64").tolist()
+        keys = [_hl.md5(str(i).encode()).hexdigest() for i in ids]
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "__key": pd.Series(keys, dtype="object"),
+                "__bucket": pd.Series(
+                    [int(k[:2], 16) for k in keys], dtype="int64"
+                ),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        keyed, batch_format="pandas"
+    )
+    counts = tree_aggregate(
+        ds, keys=["__bucket"], aggs={"cnt": ("doc_id", "count")}
+    ).to_pandas()
+    counts = counts.sort_values("__bucket")
+    csum = np.cumsum(counts["cnt"].to_numpy(np.int64))
+    offsets = dict(
+        zip(
+            counts["__bucket"].astype("int64"),
+            np.concatenate([[np.int64(0)], csum[:-1]]),
+        )
+    )
+
+    def rank(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["__key", "doc_id"], kind="mergesort")
+        base = np.int64(offsets[int(g["__bucket"].iloc[0])])
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].values,
+                "pos": base + np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    return ds.groupby("__bucket").map_groups(rank, batch_format="pandas")
+
+
+def q_doc_quantile_filter(sf_dir: str):
+    """Global-percentile filter (keep docs at or above the corpus p90 of
+    n_chars) — the 'top decile by quality' curation cut. The threshold is
+    the EXACT order statistic at index (9*(n-1))//10 of the ascending
+    multiset, found from a value histogram (tree aggregate over distinct
+    lengths — bounded cardinality, never row data) + a driver cumsum; the
+    filter pass then streams with a broadcast scalar."""
+    from .agg import tree_aggregate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    hist = tree_aggregate(
+        ds, keys=["n_chars"], aggs={"cnt": ("doc_id", "count")}
+    ).to_pandas()
+    hist = hist.sort_values("n_chars")
+    cum = np.cumsum(hist["cnt"].to_numpy(np.int64))
+    n = int(cum[-1])
+    k = (9 * (n - 1)) // 10  # 0-based rank of the threshold element
+    thr = int(hist["n_chars"].to_numpy(np.int64)[int(np.searchsorted(cum, k + 1))])
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch["n_chars"].to_numpy(np.int64) >= thr
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].values[m],
+                "n_chars": batch["n_chars"].astype("int64").values[m],
+            }
+        )
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+# per-lang keep weights in 1/256 units for hash-based source mixing —
+# integer thresholds so Ray and the oracle compare the exact same bound
+MIX_W256 = {"en": 256, "es": 160, "de": 128, "fr": 64, "zh": 32}
+MIX_W256_DEFAULT = 26
+
+
+def q_doc_mix_sources(sf_dir: str):
+    """Deterministic weighted source mixing (down-sample per lang to
+    target mixture rates): keep a doc iff the md5-derived 32-bit uniform
+    of (doc_id, lang) falls under the lang's integer weight — seedable,
+    resumable (no RNG state), embarrassingly parallel."""
+    import hashlib as _hl
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].astype("int64").tolist()
+        langs = batch["lang"].tolist()
+        u = np.fromiter(
+            (
+                int(_hl.md5(f"{i}:{l}".encode()).hexdigest()[:8], 16)
+                for i, l in zip(ids, langs)
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        w = np.fromiter(
+            (MIX_W256.get(l, MIX_W256_DEFAULT) for l in langs),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        m = u < w * 16_777_216  # w/256 * 2^32
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64")[m].values,
+                "lang": pd.Series(langs, dtype="object")[m].values,
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        keep, batch_format="pandas"
+    )
+
+
+def q_doc_postings(sf_dir: str):
+    """Inverted-index build for high-df terms (words in >= half the
+    corpus): per-doc distinct explode -> one word-keyed exchange emitting
+    df + the first 20 doc ids ascending as a comma-joined postings
+    string. Postings are capped so no group's output exceeds a bounded
+    row regardless of df; the df filter bounds the result to the
+    stopword-like vocabulary head."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def distinct_words(batch: pd.DataFrame) -> pd.DataFrame:
+        e = (
+            pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].astype("int64").values,
+                    "word": batch["text"].str.split().values,
+                }
+            )
+            .explode("word")
+            .dropna()
+            .drop_duplicates()
+        )
+        e["doc_id"] = e["doc_id"].astype("int64")
+        return e
+
+    dw = ds.map_batches(distinct_words, batch_format="pandas")
+
+    def postings(group: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(group["doc_id"].to_numpy(np.int64))
+        df_count = len(ids)
+        if 2 * df_count < n_docs:
+            return pd.DataFrame(
+                {
+                    "word": pd.Series(dtype="object"),
+                    "df": pd.Series(dtype="int64"),
+                    "postings": pd.Series(dtype="object"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "word": [group["word"].iloc[0]],
+                "df": np.int64(df_count),
+                "postings": [",".join(str(i) for i in ids[:20])],
+            }
+        )
+
+    return dw.groupby("word").map_groups(postings, batch_format="pandas")
+
+
 QUERIES = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "filter_revenue": q_filter_revenue,
@@ -1821,6 +2027,12 @@ QUERIES = {
     "doc_tfidf_top": q_doc_tfidf_top,
     "doc_dup_spans": q_doc_dup_spans,
     "doc_hash_classifier": q_doc_hash_classifier,
+    "doc_lm_score": q_doc_lm_score,
+    "doc_heavy_hitters": q_doc_heavy_hitters,
+    "doc_shuffle_order": q_doc_shuffle_order,
+    "doc_quantile_filter": q_doc_quantile_filter,
+    "doc_mix_sources": q_doc_mix_sources,
+    "doc_postings": q_doc_postings,
     "pages_normalize": q_pages_normalize,
     "pages_para_dedup": q_pages_para_dedup,
     "events_user_rank": q_events_user_rank,
@@ -2201,6 +2413,79 @@ ORACLE_SQL = {
                COALESCE(per.score, 0) AS score,
                COALESCE(per.score, 0) > 0 AS label
         FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+    "doc_lm_score": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+          FROM documents
+        ), pos AS (
+          SELECT doc_id, unnest(t) AS w, unnest(range(len(t))) AS p FROM toks
+        ), big AS (
+          SELECT doc_id, w AS w1,
+                 lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+          FROM pos
+        ), b2 AS (
+          SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL
+        ), scored AS (
+          SELECT doc_id,
+                 COUNT(*) OVER (PARTITION BY w1, w2) * 1000000
+                   // COUNT(*) OVER (PARTITION BY w1) AS contrib
+          FROM b2
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(contrib) // COUNT(*) AS BIGINT) AS fluency
+        FROM scored GROUP BY doc_id
+    """,
+    "doc_heavy_hitters": r"""
+        WITH tok AS (
+          SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word
+          FROM documents
+        )
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tok GROUP BY word
+        ORDER BY n DESC, word ASC LIMIT 25
+    """,
+    "doc_shuffle_order": r"""
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) - 1 AS BIGINT) AS pos
+        FROM documents
+    """,
+    "doc_quantile_filter": r"""
+        WITH l AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+        ), r AS (
+          SELECT n_chars,
+                 row_number() OVER (ORDER BY n_chars) - 1 AS rk,
+                 COUNT(*) OVER () AS n
+          FROM l
+        )
+        SELECT doc_id, n_chars FROM l
+        WHERE n_chars >= (SELECT n_chars FROM r WHERE rk = (9 * (n - 1)) // 10)
+    """,
+    "doc_mix_sources": r"""
+        SELECT doc_id, lang FROM documents
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 8)) AS BIGINT)
+              < (CASE lang WHEN 'en' THEN 256 WHEN 'es' THEN 160
+                           WHEN 'de' THEN 128 WHEN 'fr' THEN 64
+                           WHEN 'zh' THEN 32 ELSE 26 END) * CAST(16777216 AS BIGINT)
+    """,
+    "doc_postings": r"""
+        WITH dw AS (
+          SELECT DISTINCT doc_id, word FROM (
+            SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word
+            FROM documents
+          )
+        ), g AS (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS df,
+                 array_to_string(list_slice(list_sort(array_agg(doc_id)), 1, 20), ',') AS postings
+          FROM dw GROUP BY word
+        )
+        SELECT word, df, postings FROM g
+        WHERE 2 * df >= (SELECT COUNT(*) FROM documents)
     """,
     "doc_dup_spans": r"""
         WITH toks AS (

@@ -30,7 +30,12 @@ import math
 import numpy as np
 import pandas as pd
 
-__all__ = ["KLLSketch", "sketch_grouped_quantiles"]
+__all__ = [
+    "KLLSketch",
+    "sketch_grouped_quantiles",
+    "MisraGries",
+    "exact_heavy_hitters",
+]
 
 
 class KLLSketch:
@@ -189,3 +194,129 @@ def sketch_grouped_quantiles(
         .repartition(1)
         .map_batches(final_merge, batch_format="pandas", batch_size=None)
     )
+
+class MisraGries:
+    """Mergeable Misra-Gries heavy-hitters summary (weighted variant,
+    Agarwal et al. "Mergeable Summaries", PODS'12 §3).
+
+    Invariant after any sequence of updates/merges over a stream of total
+    weight N: for every item, ``true - dec <= est(item) <= true`` where
+    ``est`` is the stored counter (0 if absent) and ``self.dec`` is the
+    cumulative decrement applied so far (``dec <= N/(m+1)``). Hence every
+    item with true count > ``self.dec`` is GUARANTEED present — callers
+    can turn the sketch into an exact top-k by re-counting only the
+    candidates (see queries.q_doc_heavy_hitters)."""
+
+    __slots__ = ("m", "counters", "dec")
+
+    def __init__(self, m: int = 4096):
+        if m < 1:
+            raise ValueError("capacity m must be >= 1")
+        self.m = int(m)
+        self.counters: dict = {}
+        self.dec = 0
+
+    def _compact(self) -> None:
+        if len(self.counters) <= self.m:
+            return
+        # subtract the (m+1)-th largest count from everything; at most m
+        # counters stay positive
+        d = int(np.partition(
+            np.fromiter(self.counters.values(), dtype=np.int64),
+            len(self.counters) - self.m - 1,
+        )[len(self.counters) - self.m - 1])
+        self.counters = {
+            k: v - d for k, v in self.counters.items() if v > d
+        }
+        self.dec += d
+
+    def update_many(self, items, weights=None) -> None:
+        c = self.counters
+        if weights is None:
+            for it in items:
+                c[it] = c.get(it, 0) + 1
+        else:
+            for it, w in zip(items, weights):
+                c[it] = c.get(it, 0) + int(w)
+        self._compact()
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        if other.m != self.m:
+            raise ValueError("cannot merge sketches with different capacity")
+        c = self.counters
+        for k, v in other.counters.items():
+            c[k] = c.get(k, 0) + v
+        self.dec += other.dec
+        self._compact()
+        return self
+
+
+def exact_heavy_hitters(ds, col: str, k: int = 25, m: int = 4096):
+    """EXACT global top-k most frequent values of ``col`` computed with a
+    sketch-guided two-pass — the corpus never shuffles its full value
+    distribution:
+
+    1. per-batch MisraGries summaries (weighted by in-batch value counts)
+       merge through a two-level tree -> <= m candidate values + the
+       decrement bound ``dec``;
+    2. second pass counts ONLY the candidates exactly (bounded-cardinality
+       tree aggregate), takes top-k;
+    3. the MG guarantee (every value with true count > dec is a candidate)
+       is CHECKED: if ``min(top-k count) <= dec`` the result could miss a
+       value and a RuntimeError is raised instead of returning silently
+       approximate output. With m=4096 over natural-language word
+       streams the bound never trips (top words are stopword-like).
+
+    Returns a Dataset of ``(value, n)`` rows, exact, so a plain SQL
+    GROUP BY oracle can check it. Input is consumed twice (pass a cheaply
+    re-computable pruned dataset)."""
+    import pickle
+
+    from .agg import topk as _topk, tree_aggregate
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        sk = MisraGries(m)
+        vc = batch[col].value_counts()
+        sk.update_many(vc.index.tolist(), vc.to_numpy(np.int64))
+        return pd.DataFrame({"__sk": pd.Series([pickle.dumps(sk)], dtype="object")})
+
+    def merge_all(batch: pd.DataFrame) -> pd.DataFrame:
+        sk = pickle.loads(batch["__sk"].iloc[0])
+        for blob in batch["__sk"].iloc[1:]:
+            sk.merge(pickle.loads(blob))
+        return pd.DataFrame({"__sk": pd.Series([pickle.dumps(sk)], dtype="object")})
+
+    merged = (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(16)
+        .map_batches(merge_all, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(merge_all, batch_format="pandas", batch_size=None)
+        .take_all()  # exactly ONE pickled sketch row — O(m), not corpus-sized
+    )
+    sk: MisraGries = pickle.loads(merged[0]["__sk"])
+    cand = frozenset(sk.counters)
+
+    def count_cands(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[col]
+        kept = s[s.isin(cand)]
+        vc = kept.value_counts()
+        return pd.DataFrame(
+            {"value": vc.index.astype(str), "n": vc.to_numpy(np.int64)}
+        )
+
+    exact = tree_aggregate(
+        ds.map_batches(count_cands, batch_format="pandas"),
+        keys=["value"],
+        aggs={"n": ("n", "sum")},
+    )
+    top = _topk(exact, keys=["n", "value"], descending=[True, False], k=k)
+    out = top.to_pandas()
+    if len(out) and int(out["n"].min()) <= sk.dec:
+        raise RuntimeError(
+            f"MG capacity m={m} too small: top-{k} floor {int(out['n'].min())}"
+            f" <= decrement bound {sk.dec}; raise m"
+        )
+    import ray.data as rd
+
+    return rd.from_pandas(out)

@@ -80,3 +80,120 @@ def test_sketch_grouped_quantiles_vs_exact(ray_session):
             assert _rank_error(s, int(a[col]), q) <= 0.05, (
                 row["event_type"], col, int(a[col])
             )
+
+
+def test_misra_gries_bounds_and_guarantee():
+    """MG invariant: true - dec <= est <= true for every item, and every
+    item with true count > dec is present in the summary."""
+    from collections import Counter
+
+    from rayxtract.sketch import MisraGries
+
+    rng = np.random.default_rng(7)
+    # zipf-ish stream with a long tail: ~200 distinct heavy + noise
+    items = [f"w{int(v)}" for v in rng.zipf(1.3, size=20000) % 5000]
+    truth = Counter(items)
+    sk = MisraGries(m=64)
+    for lo in range(0, len(items), 500):
+        sk.update_many(items[lo : lo + 500])
+    assert len(sk.counters) <= 64
+    for it, true in truth.items():
+        est = sk.counters.get(it, 0)
+        assert est <= true
+        assert est >= true - sk.dec
+    for it, true in truth.items():
+        if true > sk.dec:
+            assert it in sk.counters
+
+
+def test_misra_gries_merge_matches_single_stream():
+    """Merging per-chunk sketches preserves the same error invariant as
+    one sketch over the concatenated stream (mergeable-summaries
+    property), including weighted updates."""
+    from collections import Counter
+
+    from rayxtract.sketch import MisraGries
+
+    rng = np.random.default_rng(11)
+    chunks = [
+        [f"t{int(v)}" for v in rng.zipf(1.5, size=3000) % 800]
+        for _ in range(6)
+    ]
+    truth = Counter(x for c in chunks for x in c)
+    merged = MisraGries(m=48)
+    for c in chunks:
+        part = MisraGries(m=48)
+        vc = Counter(c)
+        part.update_many(list(vc.keys()), list(vc.values()))
+        merged.merge(part)
+    assert len(merged.counters) <= 48
+    for it, true in truth.items():
+        est = merged.counters.get(it, 0)
+        assert est <= true
+        assert est >= true - merged.dec
+    n_total = sum(truth.values())
+    assert merged.dec <= n_total // (48 + 1) + 1
+
+
+def test_exact_heavy_hitters_matches_exact_topk(ray_session):
+    """Sketch-guided two-pass equals the plain exact top-k on a skewed
+    word stream, and trips RuntimeError when capacity is hopeless."""
+    import ray.data as rd
+
+    from rayxtract.sketch import exact_heavy_hitters
+
+    rng = np.random.default_rng(3)
+    words = [f"w{int(v)}" for v in rng.zipf(1.2, size=30000) % 2000]
+    df = pd.DataFrame({"word": pd.Series(words, dtype="object")})
+    ds = rd.from_pandas(df).repartition(8)
+    got = exact_heavy_hitters(ds, "word", k=10, m=512).to_pandas()
+    exact = (
+        df["word"].value_counts().rename_axis("value").reset_index(name="n")
+        .sort_values(["n", "value"], ascending=[False, True], kind="mergesort")
+        .head(10).reset_index(drop=True)
+    )
+    got = got.sort_values(["n", "value"], ascending=[False, True], kind="mergesort").reset_index(drop=True)
+    assert got["value"].tolist() == exact["value"].tolist()
+    assert got["n"].tolist() == exact["n"].tolist()
+
+
+def test_bigram_fluency_matches_reference(ray_session):
+    """lm.bigram_fluency equals a single-process reference over the same
+    scaled-integer MLE definition."""
+    import ray.data as rd
+
+    from rayxtract.lm import SCALE, bigram_fluency
+
+    rng = np.random.default_rng(5)
+    vocab = [f"v{i}" for i in range(40)]
+    docs = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(0, 30))))
+        for _ in range(200)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64), "text": docs})
+
+    # reference: global bigram/unigram-first counts, per-doc mean
+    from collections import Counter
+
+    c12: Counter = Counter()
+    c1: Counter = Counter()
+    for t in docs:
+        toks = t.split()
+        for a, b in zip(toks, toks[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+    want = {}
+    for did, t in zip(df["doc_id"], docs):
+        toks = t.split()
+        bigs = list(zip(toks, toks[1:]))
+        if not bigs:
+            continue
+        s = sum(c12[p] * SCALE // c1[p[0]] for p in bigs)
+        want[int(did)] = (len(bigs), s // len(bigs))
+
+    got = bigram_fluency(rd.from_pandas(df).repartition(6)).to_pandas()
+    got_map = {
+        int(r.doc_id): (int(r.n_bigrams), int(r.fluency))
+        for r in got.itertuples()
+    }
+    assert got_map == want
