@@ -37,6 +37,9 @@ BENCH_QUERIES = [
     "doc_simhash",
     "doc_pack_assign",
     "doc_tfidf_top",
+    "doc_lm_score",
+    "doc_heavy_hitters",
+    "doc_shuffle_order",
     "top_customers",
     "emb_knn_brute",
 ]

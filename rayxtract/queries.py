@@ -844,6 +844,66 @@ def q_cust_without_orders(sf_dir: str):
     )
 
 
+def q_cust_with_orders(sf_dir: str):
+    """Broadcast SEMI-join (completes the join family: inner / left /
+    full / anti / as-of / semi): customers having at least one order
+    above 400k. Same shape as the anti-join — the qualifying key set is
+    reduced in-stream from a pruned scan, ships once via ray.put, and the
+    big side filters per batch; no shuffle of either table."""
+    import ray
+
+    keys = set()
+    for b in _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        m = pc.greater(b["o_totalprice"], pa.scalar(400000.0))
+        keys.update(b.filter(m)["o_custkey"].to_pylist())
+    keys_ref = ray.put(keys)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        k = ray.get(keys_ref)
+        return batch[batch["c_custkey"].astype("int64").isin(k)]
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+def q_corpus_summary(sf_dir: str):
+    """One-row global corpus statistics (the 'dataset card' numbers):
+    doc/char/token totals, max doc length, distinct langs. Per-batch
+    one-row partials -> driver combine of O(n_batches) rows — the only
+    data that ever leaves a worker is five integers per batch."""
+    ds = _read(sf_dir, "documents", ["text", "lang", "n_chars"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_docs": [np.int64(len(batch))],
+                "total_chars": [batch["n_chars"].to_numpy(np.int64).sum()],
+                "max_chars": [batch["n_chars"].to_numpy(np.int64).max()],
+                "total_tokens": [
+                    batch["text"].str.count(r"\S+").to_numpy(np.int64).sum()
+                ],
+                "langs": [",".join(sorted(set(batch["lang"])))],
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    langs = set()
+    for s in parts["langs"]:
+        langs.update(s.split(","))
+    return pd.DataFrame(
+        {
+            "n_docs": pd.Series([parts["n_docs"].sum()], dtype="int64"),
+            "total_chars": pd.Series([parts["total_chars"].sum()], dtype="int64"),
+            "max_chars": pd.Series([parts["max_chars"].max()], dtype="int64"),
+            "total_tokens": pd.Series([parts["total_tokens"].sum()], dtype="int64"),
+            "n_langs": pd.Series([len(langs)], dtype="int64"),
+        }
+    )
+
+
 def q_doc_grouped_topk(sf_dir: str):
     """Per-group top-k (2 longest docs per lang): per-batch local top-k
     combiner shrinks the exchange to <= k rows per (lang, batch) before the
@@ -2027,6 +2087,8 @@ QUERIES = {
     "doc_tfidf_top": q_doc_tfidf_top,
     "doc_dup_spans": q_doc_dup_spans,
     "doc_hash_classifier": q_doc_hash_classifier,
+    "cust_with_orders": q_cust_with_orders,
+    "corpus_summary": q_corpus_summary,
     "doc_lm_score": q_doc_lm_score,
     "doc_heavy_hitters": q_doc_heavy_hitters,
     "doc_shuffle_order": q_doc_shuffle_order,
@@ -2413,6 +2475,20 @@ ORACLE_SQL = {
                COALESCE(per.score, 0) AS score,
                COALESCE(per.score, 0) > 0 AS label
         FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+    "cust_with_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (
+          SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+        )
+    """,
+    "corpus_summary": r"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+               CAST(SUM(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM documents
     """,
     "doc_lm_score": r"""
         WITH toks AS (
