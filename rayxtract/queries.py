@@ -1827,6 +1827,50 @@ def q_pages_para_dedup(sf_dir: str):
     return paragraph_dedup(ds, id_col="url", text_col="text")
 
 
+def q_doc_incremental_dedup(sf_dir: str):
+    """Incremental dedup of a delta against a SHARDED MUTABLE
+    FINGERPRINT INDEX (state.FingerprintIndex — raw Ray actors; the one
+    semantics the Dataset API can't express). Base = first 80% of docs
+    (by dense doc_id), delta = the rest; a delta doc survives iff its
+    md5(text) is absent from the base index and it is the min-doc_id
+    owner of that fingerprint within the delta (min-wins keeps the
+    concurrent offers order-independent, hence oracle-checkable)."""
+    import hashlib as _hl
+
+    from .state import FingerprintIndex
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n = ds.count()
+    split = 4 * n // 5
+
+    def fps(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64").values,
+                "fp": [
+                    _hl.md5(t.encode("utf-8")).hexdigest()
+                    for t in batch["text"]
+                ],
+            }
+        )
+
+    f = ds.map_batches(fps, batch_format="pandas")
+    base = f.map_batches(
+        lambda b: b[b["doc_id"] < split], batch_format="pandas"
+    )
+    delta = f.map_batches(
+        lambda b: b[b["doc_id"] >= split], batch_format="pandas"
+    )
+    idx = FingerprintIndex(n_shards=8)
+    try:
+        idx.load_base(base, fp_col="fp")
+        idx.offer_delta(delta, fp_col="fp", id_col="doc_id")
+        out = idx.winners()[["doc_id", "fp"]]
+    finally:
+        idx.shutdown()
+    return out
+
+
 def q_doc_lm_score(sf_dir: str):
     """Corpus-trained bigram-LM fluency score (CCNet-style quality
     signal): train + score in one pass over text with a single
@@ -2088,6 +2132,7 @@ QUERIES = {
     "doc_dup_spans": q_doc_dup_spans,
     "doc_hash_classifier": q_doc_hash_classifier,
     "cust_with_orders": q_cust_with_orders,
+    "doc_incremental_dedup": q_doc_incremental_dedup,
     "corpus_summary": q_corpus_summary,
     "doc_lm_score": q_doc_lm_score,
     "doc_heavy_hitters": q_doc_heavy_hitters,
@@ -2475,6 +2520,19 @@ ORACLE_SQL = {
                COALESCE(per.score, 0) AS score,
                COALESCE(per.score, 0) > 0 AS label
         FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+    "doc_incremental_dedup": """
+        WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        k AS (SELECT 4 * COUNT(*) // 5 AS split FROM documents),
+        base AS (
+          SELECT DISTINCT fp FROM f WHERE doc_id < (SELECT split FROM k)
+        ),
+        delta AS (
+          SELECT doc_id, fp FROM f WHERE doc_id >= (SELECT split FROM k)
+        )
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, fp
+        FROM delta WHERE fp NOT IN (SELECT fp FROM base)
+        GROUP BY fp
     """,
     "cust_with_orders": """
         SELECT c_custkey, c_name FROM customer
