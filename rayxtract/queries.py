@@ -1827,6 +1827,115 @@ def q_pages_para_dedup(sf_dir: str):
     return paragraph_dedup(ds, id_col="url", text_col="text")
 
 
+def q_doc_distinct_words(sf_dir: str):
+    """Distinct-word cardinality two ways, both in-engine (the IVF
+    recall-gate pattern): EXACT via per-batch unique -> word-hash-bucketed
+    distinct count (no bucket ever holds more than its vocabulary slice),
+    and APPROXIMATE via a mergeable HyperLogLog combiner tree (p=12,
+    ~1.6% standard error, register-max merge). One row:
+    (n_exact, hll_estimate, err_x10000). Deterministic md5 register
+    hashing keeps the output stable across runs; accuracy is additionally
+    gated by tests/test_sketch.py."""
+    import pickle
+    import zlib as _z
+
+    from .sketch import HyperLogLog
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def uniq_words(batch: pd.DataFrame) -> pd.DataFrame:
+        words = pd.unique(batch["text"].str.split().explode().dropna())
+        return pd.DataFrame({"word": pd.Series(words, dtype="object")})
+
+    wds = ds.map_batches(uniq_words, batch_format="pandas")
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.copy()
+        b["__bucket"] = np.fromiter(
+            (_z.crc32(w.encode()) % 32 for w in b["word"]),
+            dtype=np.int64,
+            count=len(b),
+        )
+        return b
+
+    def count_distinct(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [np.int64(group["word"].nunique())]})
+
+    n_exact = int(
+        wds.map_batches(bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(count_distinct, batch_format="pandas")
+        .to_pandas()["n"]
+        .sum()
+    )
+
+    def partial_hll(batch: pd.DataFrame) -> pd.DataFrame:
+        h = HyperLogLog(12)
+        h.update_many(batch["word"].tolist())
+        return pd.DataFrame({"__sk": pd.Series([pickle.dumps(h)], dtype="object")})
+
+    def merge_hll(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pickle.loads(batch["__sk"].iloc[0])
+        for blob in batch["__sk"].iloc[1:]:
+            h.merge(pickle.loads(blob))
+        return pd.DataFrame({"__sk": pd.Series([pickle.dumps(h)], dtype="object")})
+
+    blob = (
+        wds.map_batches(partial_hll, batch_format="pandas")
+        .repartition(8)
+        .map_batches(merge_hll, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(merge_hll, batch_format="pandas", batch_size=None)
+        .take_all()
+    )[0]["__sk"]
+    est = pickle.loads(blob).estimate()
+    return pd.DataFrame(
+        {
+            "n_exact": pd.Series([n_exact], dtype="int64"),
+            "hll_estimate": pd.Series([est], dtype="int64"),
+            "err_x10000": pd.Series(
+                [abs(est - n_exact) * 10000 // max(n_exact, 1)], dtype="int64"
+            ),
+        }
+    )
+
+
+def q_doc_len_rank(sf_dir: str):
+    """Distributed rank normalization (the 'percentile feature' transform
+    for quality scores): rank_lt = number of docs with strictly smaller
+    n_chars. One value-histogram aggregate (distinct lengths only — never
+    row data) -> driver cumsum -> broadcast rank map -> streaming per-row
+    lookup. Integer ranks, so the SQL window oracle matches exactly."""
+    import ray
+
+    from .agg import tree_aggregate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    hist = tree_aggregate(
+        ds, keys=["n_chars"], aggs={"cnt": ("doc_id", "count")}
+    ).to_pandas()
+    hist = hist.sort_values("n_chars")
+    vals = hist["n_chars"].to_numpy(np.int64)
+    cnts = hist["cnt"].to_numpy(np.int64)
+    rank_lt = np.concatenate([[np.int64(0)], np.cumsum(cnts)[:-1]])
+    rank_ref = ray.put(dict(zip(vals.tolist(), rank_lt.tolist())))
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(rank_ref)
+        nc = batch["n_chars"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64").values,
+                "n_chars": nc,
+                "rank_lt": np.fromiter(
+                    (m[int(v)] for v in nc), dtype=np.int64, count=len(nc)
+                ),
+            }
+        )
+
+    return ds.map_batches(attach, batch_format="pandas")
+
+
 def q_doc_incremental_dedup(sf_dir: str):
     """Incremental dedup of a delta against a SHARDED MUTABLE
     FINGERPRINT INDEX (state.FingerprintIndex — raw Ray actors; the one
@@ -2133,6 +2242,8 @@ QUERIES = {
     "doc_hash_classifier": q_doc_hash_classifier,
     "cust_with_orders": q_cust_with_orders,
     "doc_incremental_dedup": q_doc_incremental_dedup,
+    "doc_len_rank": q_doc_len_rank,
+    "doc_distinct_words": q_doc_distinct_words,
     "corpus_summary": q_corpus_summary,
     "doc_lm_score": q_doc_lm_score,
     "doc_heavy_hitters": q_doc_heavy_hitters,
@@ -2520,6 +2631,11 @@ ORACLE_SQL = {
                COALESCE(per.score, 0) AS score,
                COALESCE(per.score, 0) > 0 AS label
         FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+    "doc_len_rank": """
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(rank() OVER (ORDER BY n_chars) - 1 AS BIGINT) AS rank_lt
+        FROM documents
     """,
     "doc_incremental_dedup": """
         WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents),

@@ -197,3 +197,26 @@ def test_bigram_fluency_matches_reference(ray_session):
         for r in got.itertuples()
     }
     assert got_map == want
+
+
+def test_hll_error_bound_and_merge():
+    """HLL estimate within 3x standard error (~5% at p=12) across
+    magnitudes; merging per-chunk sketches equals the bulk sketch
+    register-for-register."""
+    from rayxtract.sketch import HyperLogLog
+
+    for n in (50, 1000, 30000):
+        h = HyperLogLog(12)
+        h.update_many([f"it{i}" for i in range(n)])
+        est = h.estimate()
+        assert abs(est - n) / n < 0.05, (n, est)
+
+    chunks = [[f"v{i}" for i in range(lo, lo + 4000)] for lo in range(0, 12000, 4000)]
+    merged = HyperLogLog(12)
+    for c in chunks:
+        part = HyperLogLog(12)
+        part.update_many(c)
+        merged.merge(part)
+    bulk = HyperLogLog(12)
+    bulk.update_many([x for c in chunks for x in c])
+    assert (merged.regs == bulk.regs).all()
