@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "events_sessionize",
     "events_hopping",
     "doc_dedup_exact",
+    "doc_ngram_decontaminate",
     "doc_token_counts",
     "doc_simhash",
     "doc_pack_assign",

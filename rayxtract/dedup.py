@@ -24,6 +24,7 @@ __all__ = [
     "dedup_keep_latest",
     "local_keep_latest",
     "decontaminate",
+    "ngram_contamination",
     "dup_span_stats",
 ]
 
@@ -86,6 +87,7 @@ def decontaminate(
     text_col: str = "text",
     eval_text_col: str = "text",
     broadcast_limit: int = 5_000_000,
+    bloom_bits: int = 1 << 23,
 ):
     """Remove training rows whose EXACT text appears in a held-out /
     benchmark set — the decontamination step every serious training-data
@@ -96,9 +98,16 @@ def decontaminate(
     ``broadcast_limit`` fingerprints the set ships once via ``ray.put``
     and the training stream filters against it per batch (zero shuffle —
     eval sets are orders of magnitude smaller than the corpus, this is
-    the path you run at any scale). Past the limit, fall back to a
-    hash-bucketed anti-join on the fingerprint (both sides shuffle only
-    (fp, id) — never text).
+    the path you run at any scale). Past the limit, a fixed-size
+    Bloom filter of the eval fingerprints (built by a partial-merge
+    tree, broadcast once — ``bloom_bits`` bits regardless of eval
+    cardinality) splits the stream: misses are guaranteed clean and
+    bypass the exchange entirely; only hits (true matches + the
+    bloom's false-positive sliver) enter the hash-bucketed anti-join
+    for the exact check. The shuffle is O(hits), not O(corpus); both
+    join sides move only (fp, id) — never text. The bloom path
+    consumes ``ds`` twice — pass a cheaply re-computable dataset
+    (a column-pruned read), same contract as sketch.exact_heavy_hitters.
     """
     import hashlib
 
@@ -142,40 +151,71 @@ def decontaminate(
 
         return ds.map_batches(keep, batch_format="pandas")
 
-    # corpus-sized eval side (rare): bucketed anti-join on the fingerprint
-    from .joins import bucketed_join
+    # corpus-sized eval side (rare): Bloom prefilter + bucketed anti-join
+    # on the fingerprint — only bloom HITS enter the exchange
+    import pickle
 
-    def fp_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        out = batch.copy()
-        out["__fpi"] = [
-            int.from_bytes(
-                hashlib.md5(t.encode("utf-8")).digest()[:8], "big", signed=True
-            )
-            for t in batch[text_col]
-        ]
+    from .joins import bucketed_join
+    from .sketch import BloomFilter
+
+    def _fp_ints(texts) -> pd.Series:
+        return pd.Series(
+            [
+                int.from_bytes(
+                    hashlib.md5(t.encode("utf-8")).digest()[:8], "big", signed=True
+                )
+                for t in texts
+            ],
+            dtype="int64",
+        )
+
+    def bloom_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter(bloom_bits)
+        bf.add_many(_fp_ints(batch[eval_text_col]).to_numpy())
+        return pd.DataFrame({"__bf": pd.Series([pickle.dumps(bf)], dtype="object")})
+
+    def bloom_merge(batch: pd.DataFrame) -> pd.DataFrame:
+        bf = pickle.loads(batch["__bf"].iloc[0])
+        for blob in batch["__bf"].iloc[1:]:
+            bf.merge(pickle.loads(blob))
+        return pd.DataFrame({"__bf": pd.Series([pickle.dumps(bf)], dtype="object")})
+
+    merged = (
+        eval_ds.map_batches(bloom_partial, batch_format="pandas")
+        .repartition(16)
+        .map_batches(bloom_merge, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(bloom_merge, batch_format="pandas", batch_size=None)
+        .take_all()  # exactly ONE pickled bloom row — bloom_bits/8 bytes
+    )
+    bloom_ref = ray.put(pickle.loads(merged[0]["__bf"]))
+    cols = list(ds.schema().names)
+
+    def clean_only(batch: pd.DataFrame) -> pd.DataFrame:
+        bf: BloomFilter = ray.get(bloom_ref)
+        hit = bf.contains_many(_fp_ints(batch[text_col]).to_numpy())
+        return batch[~hit]
+
+    def suspects_only(batch: pd.DataFrame) -> pd.DataFrame:
+        fps = _fp_ints(batch[text_col])
+        bf: BloomFilter = ray.get(bloom_ref)
+        hit = bf.contains_many(fps.to_numpy())
+        out = batch[hit].copy()
+        out["__fpi"] = fps[hit].to_numpy()
         return out
 
     def fp_eval(batch: pd.DataFrame) -> pd.DataFrame:
-        fpe = pd.Series(
-            [
-                int.from_bytes(
-                    hashlib.md5(t.encode("utf-8")).digest()[:8],
-                    "big",
-                    signed=True,
-                )
-                for t in batch[eval_text_col]
-            ],
-            dtype="int64",
-        ).drop_duplicates()
+        fpe = _fp_ints(batch[eval_text_col]).drop_duplicates()
         # bucketed_join drops the right KEY column from its output, so the
         # hit signal must travel as a separate marker column
         return pd.DataFrame(
             {"__fpe": fpe, "__hit": pd.Series(1, index=fpe.index, dtype="int64")}
         )
 
-    tagged = ds.map_batches(fp_rows, batch_format="pandas")
+    clean = ds.map_batches(clean_only, batch_format="pandas")
+    suspects = ds.map_batches(suspects_only, batch_format="pandas")
     evs = eval_ds.map_batches(fp_eval, batch_format="pandas")
-    joined = bucketed_join(tagged, evs, "__fpi", "__fpe", n_buckets=32, how="left")
+    joined = bucketed_join(suspects, evs, "__fpi", "__fpe", n_buckets=32, how="left")
 
     def anti(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch[batch["__hit"].isna()].drop(columns=["__fpi", "__hit"])
@@ -185,9 +225,96 @@ def decontaminate(
         for c in out.columns:
             if str(out[c].dtype) == "Int64":
                 out[c] = out[c].astype("int64")
-        return out
+        return out[cols]
 
-    return joined.map_batches(anti, batch_format="pandas")
+    return clean.union(joined.map_batches(anti, batch_format="pandas"))
+
+
+def ngram_contamination(
+    ds,
+    eval_ds,
+    w: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    broadcast_limit: int = 50_000_000,
+):
+    """N-gram-granularity benchmark contamination counts (the GPT-3
+    appendix-C / PaLM 13-gram overlap check, parameterized ``w``): for
+    every training document, count the w-token windows whose exact
+    content appears anywhere in the eval set. Whole-doc
+    ``decontaminate`` misses partial quote-level leakage; this is the
+    standard finer gate a pre-training pipeline runs next.
+
+    Shape: the eval side reduces to DISTINCT window hashes (vectorized
+    polynomial rolling hash, same kernel as ``dup_span_stats``) — eval
+    sets are tiny vs the corpus, so the sorted int64 hash array ships
+    once via ``ray.put`` (8 B/window) and every training batch probes it
+    with a vectorized ``searchsorted``: ZERO shuffle. A corpus-sized
+    eval side would swap the broadcast for the BloomFilter-prefiltered
+    bucketed join exactly as ``decontaminate`` does; this raises past
+    ``broadcast_limit`` windows rather than silently ballooning.
+
+    Output per doc: ``(id_col, n_windows, n_contaminated)`` int64 —
+    window-position counts, so a DuckDB gram-unnest oracle checks it
+    exactly (hash equality == string equality up to 64-bit collisions).
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    class EvalWindows:
+        def __init__(self):
+            self.kern = _WindowHashKernel(w)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            hs = [self.kern.doc_hashes(t)[0] for t in batch[eval_text_col]]
+            cat = (
+                np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
+            )
+            return pd.DataFrame({"win_h": np.unique(cat).view(np.int64)})
+
+    fps: set = set()
+    for b in eval_ds.map_batches(
+        EvalWindows, batch_format="pandas", concurrency=(1, 4)
+    ).iter_batches(batch_size=65536, batch_format="pandas"):
+        fps.update(b["win_h"].tolist())
+        if len(fps) > broadcast_limit:
+            raise ValueError(
+                "eval window set exceeds broadcast_limit; use a bloom-"
+                "prefiltered bucketed join (see decontaminate) instead"
+            )
+    ev = np.fromiter(fps, dtype=np.int64, count=len(fps))
+    ev.sort()
+    ev_ref = ray.put(ev)
+
+    class CountContam:
+        def __init__(self):
+            self.kern = _WindowHashKernel(w)
+            self.ev = ray.get(ev_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ev = self.ev
+            ids, n_w, n_c = [], [], []
+            for did, t in zip(batch[id_col].values, batch[text_col].values):
+                h, _ = self.kern.doc_hashes(t)
+                hi = h.view(np.int64)
+                hits = 0
+                if len(ev) and len(hi):
+                    idx = np.minimum(np.searchsorted(ev, hi), len(ev) - 1)
+                    hits = int((ev[idx] == hi).sum())
+                ids.append(did)
+                n_w.append(len(hi))
+                n_c.append(hits)
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "n_windows": pd.Series(n_w, dtype="int64"),
+                    "n_contaminated": pd.Series(n_c, dtype="int64"),
+                }
+            )
+
+    return ds.map_batches(CountContam, batch_format="pandas", concurrency=(1, 8))
 
 
 # ---------------------------------------------------------------------------

@@ -631,6 +631,46 @@ def q_doc_decontaminate(sf_dir: str):
     return decontaminate(docs, eval_ds).drop_columns(["text"])
 
 
+def q_doc_ngram_decontaminate(sf_dir: str):
+    """N-GRAM-granularity contamination check (GPT-3 appendix-C style,
+    5-token windows at this scale): per training doc, how many of its
+    windows appear verbatim anywhere in the held-out set (doc_id % 97
+    == 0). Broadcast sorted-hash probe, zero shuffle; oracle rebuilds
+    the grams in SQL by unnesting list slices."""
+    from .dedup import ngram_contamination
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    eval_ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: b[b["doc_id"] % 97 == 0], batch_format="pandas"
+    )
+    return ngram_contamination(docs, eval_ds, w=5)
+
+
+def q_doc_length_histogram(sf_dir: str):
+    """Corpus length histogram (256-char buckets) — the dataset-card
+    distribution plot. Per-batch value_counts partials -> bounded
+    tree aggregate: the exchange carries one row per occupied bucket
+    per batch, never documents."""
+    from .agg import tree_aggregate
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = (batch["text"].str.len() // 256).astype("int64").value_counts()
+        return pd.DataFrame(
+            {
+                "bucket": vc.index.astype("int64"),
+                "n_docs": vc.to_numpy(np.int64),
+            }
+        )
+
+    return tree_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["bucket"],
+        aggs={"n_docs": ("n_docs", "sum")},
+    )
+
+
 def q_doc_repetition(sf_dir: str):
     """Gopher/Dolma-style repetition quality signal: words vs distinct
     words per document (high repetition = boilerplate/spam candidate).
@@ -2211,6 +2251,8 @@ QUERIES = {
     "doc_winnow": q_doc_winnow,
     "doc_dedup_exact": q_doc_dedup_exact,
     "doc_decontaminate": q_doc_decontaminate,
+    "doc_ngram_decontaminate": q_doc_ngram_decontaminate,
+    "doc_length_histogram": q_doc_length_histogram,
     "doc_repetition": q_doc_repetition,
     "doc_top_longest": q_doc_top_longest,
     "doc_distinct_langs": q_doc_distinct_langs,
@@ -2429,6 +2471,32 @@ ORACLE_SQL = {
           SELECT 1 FROM documents e
           WHERE e.doc_id % 97 = 0 AND md5(e.text) = md5(d.text)
         )
+    """,
+    "doc_ngram_decontaminate": r"""
+        WITH tok AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, array_to_string(w[i : i + 4], ' ') AS g
+          FROM tok, UNNEST(range(1, len(w) - 3)) AS t(i)
+          WHERE len(w) >= 5
+        ),
+        ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+        hits AS (
+          SELECT d.doc_id, COUNT(*) AS n
+          FROM grams d JOIN ev USING (g) GROUP BY d.doc_id
+        )
+        SELECT t.doc_id,
+               CAST(GREATEST(len(t.w) - 4, 0) AS BIGINT) AS n_windows,
+               CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated
+        FROM tok t LEFT JOIN hits h USING (doc_id)
+    """,
+    "doc_length_histogram": """
+        SELECT CAST(length(text) // 256 AS BIGINT) AS bucket,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY 1
     """,
     "doc_repetition": r"""
         SELECT doc_id,

@@ -30,12 +30,15 @@ import math
 import numpy as np
 import pandas as pd
 
+_U64M = 0xFFFFFFFFFFFFFFFF
+
 __all__ = [
     "KLLSketch",
     "sketch_grouped_quantiles",
     "MisraGries",
     "HyperLogLog",
     "exact_heavy_hitters",
+    "BloomFilter",
 ]
 
 
@@ -385,3 +388,75 @@ class HyperLogLog:
             if zeros:
                 e = m * math.log(m / zeros)  # linear counting
         return int(round(e))
+
+
+class BloomFilter:
+    """Mergeable Bloom filter over 64-bit fingerprints (Bloom, CACM 1970).
+
+    Fixed ``n_bits`` regardless of how many items are inserted, so a
+    corpus-sized membership set broadcasts in bounded memory — the
+    prefilter role in dedup.decontaminate: a miss is a GUARANTEED
+    non-member (no false negatives), a hit is exact-checked downstream.
+    Deterministic double hashing (Kirsch-Mitzenmacher 2006): the two base
+    hashes come from independent splitmix64 finalizers of the input
+    fingerprint, probe i uses ``h1 + i*h2 mod n_bits``. Merge = bitwise
+    OR (same geometry required). False-positive rate after n inserts is
+    the standard (1 - e^{-kn/m})^k; ``fp_rate()`` reports the estimate
+    from the actual fill ratio.
+    """
+
+    __slots__ = ("n_bits", "k", "bits")
+
+    def __init__(self, n_bits: int = 1 << 23, k: int = 7):
+        if n_bits < 64 or n_bits & (n_bits - 1):
+            raise ValueError("n_bits must be a power of two >= 64")
+        if not (1 <= k <= 16):
+            raise ValueError("k must be in [1, 16]")
+        self.n_bits = int(n_bits)
+        self.k = int(k)
+        self.bits = np.zeros(self.n_bits >> 3, dtype=np.uint8)
+
+    @staticmethod
+    def _mix(x: np.ndarray, seed: int) -> np.ndarray:
+        # splitmix64 finalizer with a seed offset — vectorized uint64
+        z = x + np.uint64(seed * 0x9E3779B97F4A7C15 & _U64M)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+    def _indices(self, fps) -> np.ndarray:
+        x = np.asarray(fps).astype(np.uint64)
+        h1 = self._mix(x, 1)
+        h2 = self._mix(x, 2) | np.uint64(1)  # odd stride: full-cycle probe
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        mask = np.uint64(self.n_bits - 1)
+        return ((h1[None, :] + i * h2[None, :]) & mask).astype(np.int64)
+
+    def add_many(self, fps) -> None:
+        if not len(np.atleast_1d(fps)):
+            return
+        idx = self._indices(fps).ravel()
+        np.bitwise_or.at(self.bits, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8))
+
+    def contains_many(self, fps) -> np.ndarray:
+        """Vectorized membership probe: bool array, False = definitely
+        absent, True = present or false positive."""
+        fps = np.atleast_1d(fps)
+        if not len(fps):
+            return np.zeros(0, dtype=bool)
+        idx = self._indices(fps)  # (k, n)
+        hit = (self.bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+        return hit.all(axis=0)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        if other.n_bits != self.n_bits or other.k != self.k:
+            raise ValueError("cannot merge Bloom filters with different geometry")
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        return self
+
+    def fill_ratio(self) -> float:
+        return float(np.unpackbits(self.bits).mean())
+
+    def fp_rate(self) -> float:
+        """Estimated false-positive probability at the current fill."""
+        return self.fill_ratio() ** self.k

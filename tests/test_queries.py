@@ -154,3 +154,57 @@ def test_decontaminate_antijoin_matches_broadcast(ray_session):
     )
     assert len(a) > 0 and len(a) < docs.count()
     pd.testing.assert_frame_equal(a[["doc_id", "lang"]], b[["doc_id", "lang"]])
+
+
+def test_decontaminate_bloom_false_positives_rescued(ray_session):
+    """A deliberately tiny bloom (high false-positive rate) routes nearly
+    every row through the anti-join suspects leg — the exact check must
+    still keep all clean rows, so output equals the broadcast path."""
+    import ray.data
+
+    from rayxtract.dedup import decontaminate
+
+    docs = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    eval_ds = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(lambda b: b[b["doc_id"] % 97 == 0], batch_format="pandas")
+    a = (
+        decontaminate(docs, eval_ds)
+        .drop_columns(["text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        decontaminate(docs, eval_ds, broadcast_limit=0, bloom_bits=64)
+        .drop_columns(["text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a[["doc_id", "lang"]], b[["doc_id", "lang"]])
+
+
+def test_ngram_contamination_guard_and_floor(ray_session):
+    """ngram_contamination raises past broadcast_limit instead of silently
+    ballooning the driver; eval docs themselves are fully contaminated."""
+    import pytest
+    import ray.data
+
+    from rayxtract.dedup import ngram_contamination
+
+    docs = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    eval_ds = docs.map_batches(
+        lambda b: b[b["doc_id"] % 97 == 0], batch_format="pandas"
+    )
+    with pytest.raises(ValueError, match="broadcast_limit"):
+        ngram_contamination(docs, eval_ds, w=5, broadcast_limit=1).count()
+    out = ngram_contamination(docs, eval_ds, w=5).to_pandas()
+    evs = out[out["doc_id"] % 97 == 0]
+    assert len(evs) > 0
+    # every window of an eval doc is (trivially) present in the eval set
+    assert (evs["n_contaminated"] == evs["n_windows"]).all()

@@ -220,3 +220,59 @@ def test_hll_error_bound_and_merge():
     bulk = HyperLogLog(12)
     bulk.update_many([x for c in chunks for x in c])
     assert (merged.regs == bulk.regs).all()
+
+
+def test_bloom_no_false_negatives_and_fp_bound():
+    """Every inserted fingerprint is found (the guarantee decontaminate's
+    prefilter relies on); false-positive rate on non-members stays near
+    the theoretical (1-e^{-kn/m})^k for the chosen geometry."""
+    from rayxtract.sketch import BloomFilter
+
+    rng = np.random.RandomState(2)
+    members = np.unique(rng.randint(-(2**62), 2**62, size=20_000).astype(np.int64))
+    bf = BloomFilter(1 << 18, k=7)
+    bf.add_many(members)
+    assert bf.contains_many(members).all()
+
+    others = rng.randint(-(2**62), 2**62, size=50_000).astype(np.int64)
+    others = others[~np.isin(others, members)]
+    observed_fp = float(bf.contains_many(others).mean())
+    assert observed_fp < 0.02
+    # fp_rate() (from actual fill ratio) tracks the observed rate
+    assert observed_fp <= 3 * bf.fp_rate() + 1e-3
+
+
+def test_bloom_merge_equals_bulk():
+    """OR-merging per-chunk blooms is bit-identical to one bulk bloom —
+    the partial-merge-tree contract."""
+    from rayxtract.sketch import BloomFilter
+
+    rng = np.random.RandomState(3)
+    data = rng.randint(-(2**62), 2**62, size=9_000).astype(np.int64)
+    merged = BloomFilter(1 << 16, k=5)
+    for chunk in np.array_split(data, 7):
+        part = BloomFilter(1 << 16, k=5)
+        part.add_many(chunk)
+        merged.merge(part)
+    bulk = BloomFilter(1 << 16, k=5)
+    bulk.add_many(data)
+    assert (merged.bits == bulk.bits).all()
+
+
+def test_bloom_geometry_and_empty():
+    import pytest
+
+    from rayxtract.sketch import BloomFilter
+
+    with pytest.raises(ValueError):
+        BloomFilter(1000)  # not a power of two
+    with pytest.raises(ValueError):
+        BloomFilter(1 << 16, k=0)
+    a = BloomFilter(1 << 16, k=5)
+    b = BloomFilter(1 << 17, k=5)
+    with pytest.raises(ValueError):
+        a.merge(b)
+    a.add_many(np.array([], dtype=np.int64))
+    assert a.fill_ratio() == 0.0
+    assert a.contains_many(np.array([], dtype=np.int64)).shape == (0,)
+    assert not a.contains_many(np.array([42], dtype=np.int64))[0]
