@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "events_hopping",
     "doc_dedup_exact",
     "doc_ngram_decontaminate",
+    "doc_curation_pipeline",
     "doc_token_counts",
     "doc_simhash",
     "doc_pack_assign",

@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["knn_bruteforce", "knn_ivf"]
+__all__ = ["knn_bruteforce", "knn_ivf", "pca_fit", "pca_project"]
 
 
 def _unit(m: np.ndarray) -> np.ndarray:
@@ -144,3 +144,84 @@ def knn_ivf(
     return ds.map_batches(partial, batch_format="pandas").groupby(
         "query_id"
     ).map_groups(final_topk, batch_format="pandas")
+
+
+def pca_fit(ds, vec_col: str = "embedding", n_components: int = 8):
+    """Distributed PCA fit over an embedding column — the dimensionality
+    reduction step before large-scale ANN indexing (OPQ/IVF preprocessing
+    in Faiss-style stacks). Two-level moment reduction: every batch emits
+    ONE (n, sum_x, X^T X) partial (d + d^2 floats — the corpus' vectors
+    never leave their blocks), partials merge through a repartition tree,
+    and the d x d covariance eigendecomposition runs on the driver where
+    d is small by construction. Component signs are canonicalized
+    (largest-|coordinate| positive) so output is reproducible across
+    block layouts up to float-sum rounding.
+
+    Returns ``(mean: float64[d], components: float64[n_components, d])``
+    with components ordered by eigenvalue descending.
+    """
+    import pickle
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        blob = pickle.dumps((len(x), x.sum(axis=0), x.T @ x))
+        return pd.DataFrame({"__m": pd.Series([blob], dtype="object")})
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        n, s, xtx = pickle.loads(batch["__m"].iloc[0])
+        for blob in batch["__m"].iloc[1:]:
+            n2, s2, x2 = pickle.loads(blob)
+            n, s, xtx = n + n2, s + s2, xtx + x2
+        return pd.DataFrame(
+            {"__m": pd.Series([pickle.dumps((n, s, xtx))], dtype="object")}
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(16)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+        .take_all()  # exactly ONE d+d^2-float row
+    )
+    n, s, xtx = pickle.loads(rows[0]["__m"])
+    if n < 2:
+        raise ValueError("pca_fit needs at least 2 vectors")
+    mean = s / n
+    cov = (xtx - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T.copy()
+    for i in range(comps.shape[0]):  # canonical sign
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps
+
+
+def pca_project(
+    ds,
+    mean: np.ndarray,
+    components: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Project every vector onto fitted principal components: one
+    broadcast of (mean, components) via ``ray.put``, one matmul per
+    batch. Output: (id_col, pc0..pc{k-1}) float64."""
+    import ray
+
+    p_ref = ray.put((np.asarray(mean, dtype=np.float64),
+                     np.asarray(components, dtype=np.float64)))
+    k = int(np.asarray(components).shape[0])
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        mu, comps = ray.get(p_ref)
+        x = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        proj = (x - mu) @ comps.T
+        out = {id_col: batch[id_col].astype("int64").values}
+        for i in range(k):
+            out[f"pc{i}"] = proj[:, i]
+        return pd.DataFrame(out)
+
+    return ds.map_batches(project, batch_format="pandas")

@@ -451,6 +451,40 @@ def q_join_supplier_nation(sf_dir: str):
     return bucketed_join(s, n, "s_nationkey", "n_nationkey", n_buckets=8)
 
 
+def q_orders_cust_nation(sf_dir: str):
+    """Star-schema JOIN CHAIN: fact (orders) bucket-joined to the
+    customer dimension on custkey, then the 25-row nation dimension
+    attached map-side from a ray.put broadcast dict — ONE shuffle for
+    the whole 3-table chain; the small side never enters an exchange."""
+    import ray
+
+    from .joins import bucketed_join
+
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def price_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[batch["o_totalprice"] > 150_000.0]
+        return out[["o_orderkey", "o_custkey"]]
+
+    o = o.map_batches(price_filter, batch_format="pandas")
+    c = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    oc = bucketed_join(o, c, "o_custkey", "c_custkey", n_buckets=16)
+
+    n = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    n_ref = ray.put(dict(zip(n["n_nationkey"].astype(int), n["n_name"])))
+
+    def attach_nation(batch: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(n_ref)
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["o_orderkey"].astype("int64").values,
+                "n_name": batch["c_nationkey"].astype(int).map(lut).values,
+            }
+        )
+
+    return oc.map_batches(attach_nation, batch_format="pandas")
+
+
 def q_cust_left_orders(sf_dir: str):
     """LEFT OUTER bucketed join: every customer row survives; customers
     without orders carry a typed-null o_orderkey (the attach-optional-
@@ -596,6 +630,32 @@ def q_doc_quality(sf_dir: str):
     )
 
 
+def q_doc_compress_ratio(sf_dir: str):
+    """Compression-ratio quality signal (CCNet/Gopher-family boilerplate
+    proxy: highly repetitive text compresses far below natural prose).
+    Per doc: raw UTF-8 byte length and zlib-level-6 compressed length —
+    both exact integers, deterministic for a fixed zlib version, so the
+    row values are stable; rows-only (SQL has no deflate). Embarrassingly
+    parallel, C-speed per row."""
+    import zlib
+
+    def ratio(batch: pd.DataFrame) -> pd.DataFrame:
+        enc = [t.encode("utf-8") for t in batch["text"]]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64").values,
+                "n_bytes": pd.Series([len(e) for e in enc], dtype="int64"),
+                "n_compressed": pd.Series(
+                    [len(zlib.compress(e, 6)) for e in enc], dtype="int64"
+                ),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        ratio, batch_format="pandas"
+    )
+
+
 def q_doc_fingerprint(sf_dir: str):
     from .textops import add_fingerprints
 
@@ -669,6 +729,81 @@ def q_doc_length_histogram(sf_dir: str):
         keys=["bucket"],
         aggs={"n_docs": ("n_docs", "sum")},
     )
+
+
+def q_doc_curation_pipeline(sf_dir: str):
+    """END-TO-END curation composition — the full pre-training gate as ONE
+    streaming DAG: Gopher quality filter -> exact dedup (keep min doc_id)
+    -> benchmark decontamination -> deterministic split assignment.
+    Scale shape: the text column is read once and NEVER enters an
+    exchange — the first pass reduces every doc to
+    (doc_id, lang, n_words, fp=md5(text)); dedup groups by fp over those
+    slim rows, decontamination probes a broadcast eval-fp set, and the
+    split comes from the fp's first nibble (same rule as
+    doc_split_assign). Oracle: the identical chain as one SQL CTE stack."""
+    import hashlib as _h
+
+    import ray
+
+    from .curation import gopher_signals
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        sig = gopher_signals(batch)
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64").values,
+                "lang": batch["lang"].values,
+                "n_words": sig["n_words"].values,
+                "fp": pd.Series(
+                    [
+                        _h.md5(t.encode("utf-8")).hexdigest()
+                        for t in batch["text"]
+                    ],
+                    dtype="object",
+                ).values,
+                "kept": sig["is_kept"].values,
+            }
+        )
+        return out[out["kept"]].drop(columns=["kept"])
+
+    slim = docs.map_batches(prep, batch_format="pandas")
+
+    def keep_min(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values("doc_id", kind="mergesort").head(1)
+
+    dedup = slim.groupby("fp").map_groups(keep_min, batch_format="pandas")
+
+    eval_ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def eval_fp(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["doc_id"] % 97 == 0]
+        return pd.DataFrame(
+            {
+                "fp": [
+                    _h.md5(t.encode("utf-8")).hexdigest() for t in b["text"]
+                ]
+            }
+        )
+
+    eval_fps: set = set()
+    for b in eval_ds.map_batches(eval_fp, batch_format="pandas").iter_batches(
+        batch_size=65536, batch_format="pandas"
+    ):
+        eval_fps.update(b["fp"])
+    ref = ray.put(frozenset(eval_fps))
+
+    def decon_split(batch: pd.DataFrame) -> pd.DataFrame:
+        bad = ray.get(ref)
+        out = batch[~batch["fp"].isin(bad)].copy()
+        nib = out["fp"].str[0]
+        out["split"] = np.where(
+            nib == "0", "test", np.where(nib.isin(["1", "2"]), "val", "train")
+        )
+        return out[["doc_id", "lang", "n_words", "split"]]
+
+    return dedup.map_batches(decon_split, batch_format="pandas")
 
 
 def q_doc_repetition(sf_dir: str):
@@ -1047,6 +1182,36 @@ def q_events_user_rank(sf_dir: str):
     )
 
 
+def q_events_interarrival(sf_dir: str):
+    """Per-key LAG window (inter-arrival time): microseconds since the
+    SAME user's previous event — the session-gap / rate-limit signal.
+    Hash-partition by user, deterministic sort-within-group on
+    (ts, event_id), vectorized diff; first event per user carries the
+    -1 sentinel so the delta column stays non-null int64 for the
+    driver's value hash."""
+
+    def lag_delta(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        ts_us = g["ts"].to_numpy("datetime64[us]").astype("int64")
+        delta = np.empty(len(g), dtype=np.int64)
+        delta[0] = -1
+        if len(g) > 1:
+            delta[1:] = ts_us[1:] - ts_us[:-1]
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64").values,
+                "user_id": g["user_id"].astype("int64").values,
+                "delta_us": delta,
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(lag_delta, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # embeddings: ANN + near-dup
 
@@ -1102,6 +1267,32 @@ def q_emb_knn_ivf_recall(sf_dir: str):
         v = set(ivf.loc[ivf["query_id"] == qid, "vec_id"].astype(int))
         rows.append({"query_id": int(qid), "n_overlap": len(b & v), "k": 10})
     return pd.DataFrame(rows).astype("int64")
+
+
+def q_emb_pca_project(sf_dir: str):
+    """Distributed PCA (moment-tree fit + broadcast projection) — the
+    dimensionality-reduction preprocessing step of a large-scale ANN
+    index build. Output (vec_id, pc0_e6, pc1_e6): the two leading
+    principal coordinates as micro-scaled integers (floats would make
+    the driver's value hash rounding-sensitive). Rows-only — an
+    eigendecomposition is not SQL-expressible; numerical equivalence vs
+    a single-machine numpy PCA is gated in tests/test_ann_pca.py."""
+    from .ann import pca_fit, pca_project
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    mean, comps = pca_fit(emb, n_components=2)
+    proj = pca_project(emb, mean, comps)
+
+    def scale(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].astype("int64").values,
+                "pc0_e6": np.floor(batch["pc0"].to_numpy() * 1e6).astype("int64"),
+                "pc1_e6": np.floor(batch["pc1"].to_numpy() * 1e6).astype("int64"),
+            }
+        )
+
+    return proj.map_batches(scale, batch_format="pandas")
 
 
 def q_emb_label_counts(sf_dir: str):
@@ -2240,6 +2431,8 @@ QUERIES = {
     "events_running_total": q_events_running_total,
     "join_orders_customer": q_join_orders_customer,
     "join_supplier_nation": q_join_supplier_nation,
+    "orders_cust_nation": q_orders_cust_nation,
+    "events_interarrival": q_events_interarrival,
     "cust_left_orders": q_cust_left_orders,
     "cust_full_orders": q_cust_full_orders,
     "asof_purchase_click": q_asof_purchase_click,
@@ -2248,11 +2441,13 @@ QUERIES = {
     "doc_token_counts": q_doc_token_counts,
     "doc_quality": q_doc_quality,
     "doc_fingerprint": q_doc_fingerprint,
+    "doc_compress_ratio": q_doc_compress_ratio,
     "doc_winnow": q_doc_winnow,
     "doc_dedup_exact": q_doc_dedup_exact,
     "doc_decontaminate": q_doc_decontaminate,
     "doc_ngram_decontaminate": q_doc_ngram_decontaminate,
     "doc_length_histogram": q_doc_length_histogram,
+    "doc_curation_pipeline": q_doc_curation_pipeline,
     "doc_repetition": q_doc_repetition,
     "doc_top_longest": q_doc_top_longest,
     "doc_distinct_langs": q_doc_distinct_langs,
@@ -2265,6 +2460,7 @@ QUERIES = {
     "emb_knn_brute": q_emb_knn_brute,
     "emb_knn_ivf": q_emb_knn_ivf,
     "emb_knn_ivf_recall": q_emb_knn_ivf_recall,
+    "emb_pca_project": q_emb_pca_project,
     "emb_label_counts": q_emb_label_counts,
     "emb_neardup": q_emb_neardup,
     "emb_neardup_exact": q_emb_neardup_exact,
@@ -2376,6 +2572,23 @@ ORACLE_SQL = {
     "join_supplier_nation": """
         SELECT s.s_suppkey, s.s_name, s.s_nationkey, n.n_name
         FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+    "orders_cust_nation": """
+        SELECT o.o_orderkey, n.n_name
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_totalprice > 150000.0
+    """,
+    "events_interarrival": """
+        SELECT event_id, user_id,
+               CAST(COALESCE(
+                 datediff('microseconds',
+                          LAG(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id),
+                          ts),
+                 -1) AS BIGINT) AS delta_us
+        FROM events
     """,
     "cust_left_orders": """
         SELECT c.c_custkey, c.c_name,
@@ -2497,6 +2710,33 @@ ORACLE_SQL = {
         SELECT CAST(length(text) // 256 AS BIGINT) AS bucket,
                COUNT(*) AS n_docs
         FROM documents GROUP BY 1
+    """,
+    "doc_curation_pipeline": r"""
+        WITH sig AS (
+          SELECT doc_id, lang, md5(text) AS fp,
+                 CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+                 CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_word_chars,
+                 CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                      x -> x IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'that'))) AS BIGINT) AS n_stop_hits
+          FROM documents
+        ),
+        kept AS (
+          SELECT * FROM sig
+          WHERE n_words >= 50 AND n_words <= 100000
+            AND 3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words
+            AND n_stop_hits >= 2
+        ),
+        dedup AS (
+          SELECT * FROM kept
+          QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+        ),
+        ev AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 97 = 0)
+        SELECT d.doc_id, d.lang, d.n_words,
+               CASE WHEN substr(d.fp, 1, 1) = '0' THEN 'test'
+                    WHEN substr(d.fp, 1, 1) IN ('1', '2') THEN 'val'
+                    ELSE 'train' END AS split
+        FROM dedup d
+        WHERE NOT EXISTS (SELECT 1 FROM ev WHERE ev.fp = d.fp)
     """,
     "doc_repetition": r"""
         SELECT doc_id,

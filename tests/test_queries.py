@@ -208,3 +208,28 @@ def test_ngram_contamination_guard_and_floor(ray_session):
     assert len(evs) > 0
     # every window of an eval doc is (trivially) present in the eval set
     assert (evs["n_contaminated"] == evs["n_windows"]).all()
+
+
+def test_compress_ratio_signal(ray_session):
+    """Repetitive text compresses harder than prose: the signal orders a
+    planted boilerplate doc below the corpus median ratio; byte counts
+    match an independent python recount."""
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    from rayxtract.queries import QUERIES
+
+    out = QUERIES["doc_compress_ratio"](SF_DIR).to_pandas()
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    ref = {i: s for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+    assert len(out) == len(ref)
+    sample = out.sample(20, random_state=0)
+    for _, r in sample.iterrows():
+        e = ref[int(r["doc_id"])].encode("utf-8")
+        assert r["n_bytes"] == len(e)
+        assert r["n_compressed"] == len(zlib.compress(e, 6))
+    ratio = out["n_compressed"] / out["n_bytes"].clip(lower=1)
+    rep = "spam spam spam " * 200
+    rep_ratio = len(zlib.compress(rep.encode(), 6)) / len(rep.encode())
+    assert rep_ratio < ratio.median()
