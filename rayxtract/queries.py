@@ -2417,6 +2417,364 @@ def q_doc_postings(sf_dir: str):
     return dw.groupby("word").map_groups(postings, batch_format="pandas")
 
 
+# ---------------------------------------------------------------------------
+# relational/window breadth: frame windows, sequence funnels, pivot,
+# range join, deep join chains, rollup, cross-source overlap
+
+
+def q_events_moving_avg(sf_dir: str):
+    """FRAME WINDOW (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW): per-user
+    moving sum + count of integer cents in event-time order — the rolling
+    per-key feature a streaming featurizer emits. Hash-partition by user,
+    deterministic sort-within-group on (ts, event_id), then a vectorized
+    shifted-cumsum (cs[i+1] - cs[max(i-2, 0)]); integer cents keep the
+    window sum order-independent so the hash matches the SQL frame window
+    exactly (the avg is win_cents/win_n, left to the consumer to divide)."""
+
+    def moving(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        cents = _floor_cents(g["value"].to_numpy())
+        cs = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(cents)])
+        n = len(cents)
+        lo = np.maximum(np.arange(n) - 2, 0)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64").values,
+                "user_id": g["user_id"].astype("int64").values,
+                "win_cents": (cs[np.arange(n) + 1] - cs[lo]).astype("int64"),
+                "win_n": (np.arange(n) - lo + 1).astype("int64"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        .groupby("user_id")
+        .map_groups(moving, batch_format="pandas")
+    )
+
+
+def q_events_funnel(sf_dir: str):
+    """Ordered-sequence FUNNEL (view -> click -> purchase): per user, the
+    deepest stage reachable with STRICTLY increasing timestamps. The
+    greedy earliest-event scan is optimal for increasing-subsequence
+    existence, so stage = f(min view ts, min click ts after that, min
+    purchase ts after that) — three vectorized min-scans per group, no
+    sort. Hash-partition by user; per-user event counts are bounded
+    (sessionize's contract), so map_groups is the honest shape."""
+
+    def funnel(group: pd.DataFrame) -> pd.DataFrame:
+        ts = group["ts"].to_numpy("datetime64[us]").astype("int64")
+        et = group["event_type"].to_numpy()
+        stage = 0
+        v = ts[et == "view"]
+        if len(v):
+            stage = 1
+            c = ts[(et == "click") & (ts > v.min())]
+            if len(c):
+                stage = 2
+                if ((et == "purchase") & (ts > c.min())).any():
+                    stage = 3
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(
+                    [int(group["user_id"].iloc[0])], dtype="int64"
+                ),
+                "funnel_stage": pd.Series([stage], dtype="int64"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+        .groupby("user_id")
+        .map_groups(funnel, batch_format="pandas")
+    )
+
+
+def q_events_pivot_daily(sf_dir: str):
+    """PIVOT (long -> wide): events per calendar day cross event type as
+    one wide row per day. Per-batch crosstab partials -> bounded tree
+    aggregate — the exchange carries <= occupied-days rows per batch with
+    six int64 columns, never events. The 5-type schema is fixed at plan
+    time so columns are static (SQL's COUNT FILTER idiom); an
+    unknown-at-plan-time type set would use doc_top_terms' bucketed-merge
+    long shape instead."""
+    from .agg import tree_aggregate
+
+    types = ("click", "error", "purchase", "signup", "view")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            batch["ts"]
+            .to_numpy("datetime64[us]")
+            .astype("datetime64[D]")
+            .astype("datetime64[us]")
+        )
+        et = batch["event_type"].to_numpy()
+        df = pd.DataFrame({"day": day})
+        for t in types:
+            df[f"n_{t}"] = (et == t).astype("int64")
+        df["n_total"] = np.ones(len(batch), dtype="int64")
+        return df.groupby("day", as_index=False).sum()
+
+    aggs = {f"n_{t}": (f"n_{t}", "sum") for t in types}
+    aggs["n_total"] = ("n_total", "sum")
+    return tree_aggregate(
+        _read(sf_dir, "events", ["ts", "event_type"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        keys=["day"],
+        aggs=aggs,
+    )
+
+
+def q_events_range_join(sf_dir: str):
+    """BROADCAST RANGE (interval) JOIN: 12 OVERLAPPING time bands derived
+    from the corpus min/max ts — each band spans 1.5x the base width, so
+    an event can match two bands: a genuine 1-to-many non-equi join, not
+    bucketing. Scale shape: the band table is tiny -> boundaries ship in
+    the task closure; per batch a vectorized membership mask per band
+    emits aggregate PARTIALS (band_id, n, cents) into a bounded tree
+    aggregate — matched rows never materialize. A big-big range join
+    would instead co-partition both sides by coarse time block and pair
+    within block. The events table is read twice (tiny bounds pass over
+    one pruned column + main pass) — re-reading beats materializing.
+    All band arithmetic is int64 microseconds (Python int == BIGINT), so
+    boundaries match the SQL derivation exactly."""
+    from .agg import tree_aggregate
+
+    bounds = (
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(
+            lambda b: pd.DataFrame({"lo": [b["ts"].min()], "hi": [b["ts"].max()]}),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    a = int(bounds["lo"].to_numpy("datetime64[us]").astype("int64").min())
+    z = int(bounds["hi"].to_numpy("datetime64[us]").astype("int64").max())
+    w = (z - a) // 12
+    bands = [(a + i * w, a + i * w + w + w // 2) for i in range(12)]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        us = batch["ts"].to_numpy("datetime64[us]").astype("int64")
+        cents = _floor_cents(batch["value"].to_numpy())
+        bid, n, s = [], [], []
+        for i, (lo, hi) in enumerate(bands):
+            m = (us >= lo) & (us < hi)
+            if m.any():
+                bid.append(i)
+                n.append(int(m.sum()))
+                s.append(int(cents[m].sum()))
+        return pd.DataFrame(
+            {
+                "band_id": pd.Series(bid, dtype="int64"),
+                "n_events": pd.Series(n, dtype="int64"),
+                "sum_cents": pd.Series(s, dtype="int64"),
+            }
+        )
+
+    return tree_aggregate(
+        _read(sf_dir, "events", ["ts", "value"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        keys=["band_id"],
+        aggs={"n_events": ("n_events", "sum"), "sum_cents": ("sum_cents", "sum")},
+    )
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5 SHAPE — the 6-table "local supplier" revenue chain:
+    lineitem x orders x customer x supplier x nation x region, revenue
+    per nation for orders in 1996 where the customer and supplier share
+    a nation in ASIA. Shape: ONE bucketed big-big shuffle (lineitem x
+    date-filtered orders on orderkey); customer/supplier/nation/region
+    attach map-side from a single ray.put broadcast (np-array LUTs
+    indexed by key — vectorized fancy-index probe, no per-row dict) and
+    the c_nationkey == s_nationkey predicate is a vectorized equality on
+    the two looked-up arrays. At real scale customer swaps to a second
+    bucketed join on custkey; supplier/nation/region stay broadcast.
+    Revenue in integer floor-cents keeps the sum order-independent."""
+    import ray
+
+    from .agg import tree_aggregate
+    from .joins import bucketed_join
+
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+
+    def date_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["o_orderdate"].to_numpy("datetime64[us]")
+        return batch[(d >= lo) & (d < hi)][["o_orderkey", "o_custkey"]]
+
+    o = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(date_filter, batch_format="pandas")
+    l = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    j = bucketed_join(l, o, "l_orderkey", "o_orderkey", n_buckets=16)
+
+    def np_lut(keys: np.ndarray, vals: np.ndarray, fill=-1) -> np.ndarray:
+        arr = np.full(int(keys.max()) + 1, fill, dtype=np.int64)
+        arr[keys.astype(np.int64)] = vals.astype(np.int64)
+        return arr
+
+    c = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    s = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    n = _read(
+        sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pandas()
+    r = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    asia = int(r[r["r_name"] == "ASIA"]["r_regionkey"].iloc[0])
+    lut_ref = ray.put(
+        {
+            "cust_nat": np_lut(
+                c["c_custkey"].to_numpy(), c["c_nationkey"].to_numpy()
+            ),
+            "supp_nat": np_lut(
+                s["s_suppkey"].to_numpy(), s["s_nationkey"].to_numpy()
+            ),
+            "nat_region": np_lut(
+                n["n_nationkey"].to_numpy(), n["n_regionkey"].to_numpy()
+            ),
+            "nat_name": dict(
+                zip(n["n_nationkey"].astype(int), n["n_name"])
+            ),
+            "asia": asia,
+        }
+    )
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(lut_ref)
+        cn = lut["cust_nat"][batch["o_custkey"].to_numpy(np.int64)]
+        sn = lut["supp_nat"][batch["l_suppkey"].to_numpy(np.int64)]
+        keep = (cn == sn) & (lut["nat_region"][sn] == lut["asia"])
+        b = batch[keep]
+        cents = _floor_cents(
+            b["l_extendedprice"].to_numpy()
+            * (1.0 - b["l_discount"].to_numpy())
+        )
+        out = pd.DataFrame(
+            {
+                "n_name": pd.Series(
+                    [lut["nat_name"][int(k)] for k in sn[keep]],
+                    dtype="object",
+                ),
+                "revenue_cents": cents,
+                "n_rows": np.ones(len(b), dtype="int64"),
+            }
+        )
+        return out.groupby("n_name", as_index=False).sum()
+
+    return tree_aggregate(
+        j.map_batches(attach, batch_format="pandas"),
+        keys=["n_name"],
+        aggs={
+            "revenue_cents": ("revenue_cents", "sum"),
+            "n_rows": ("n_rows", "sum"),
+        },
+    )
+
+
+def q_doc_stats_rollup(sf_dir: str):
+    """ROLLUP (hierarchical subtotals) over (lang, source): doc counts and
+    char sums at detail, per-lang, and grand-total levels in ONE pass —
+    each batch's partial emits all three levels ('*' sentinel for the
+    rolled-up dimension, sums being associative) and a single bounded
+    tree aggregate merges them; no second scan per level."""
+    from .agg import tree_aggregate
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "lang": batch["lang"].values,
+                "source": batch["source"].values,
+                "n_docs": np.ones(len(batch), dtype="int64"),
+                "sum_chars": batch["n_chars"].astype("int64").values,
+            }
+        )
+        detail = d.groupby(["lang", "source"], as_index=False).sum()
+        lang_lvl = detail.groupby("lang", as_index=False)[
+            ["n_docs", "sum_chars"]
+        ].sum()
+        lang_lvl["source"] = "*"
+        total = pd.DataFrame(
+            {
+                "lang": pd.Series(["*"], dtype="object"),
+                "source": pd.Series(["*"], dtype="object"),
+                "n_docs": pd.Series(
+                    [int(detail["n_docs"].sum())], dtype="int64"
+                ),
+                "sum_chars": pd.Series(
+                    [int(detail["sum_chars"].sum())], dtype="int64"
+                ),
+            }
+        )
+        cols = ["lang", "source", "n_docs", "sum_chars"]
+        return pd.concat(
+            [detail[cols], lang_lvl[cols], total[cols]], ignore_index=True
+        )
+
+    return tree_aggregate(
+        _read(sf_dir, "documents", ["lang", "source", "n_chars"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        keys=["lang", "source"],
+        aggs={"n_docs": ("n_docs", "sum"), "sum_chars": ("sum_chars", "sum")},
+    )
+
+
+def q_doc_source_overlap(sf_dir: str):
+    """CROSS-SOURCE OVERLAP MATRIX: shared distinct vocabulary per source
+    pair — the corpus-mixing diagnostic (how much do my crawl slices
+    overlap before I weight them?). Shape: per-batch DISTINCT
+    (word, source) partials (texts never leave their batch) -> one
+    vocabulary-sized word exchange -> per-word source-set pair expansion
+    (<= C(20,2)=190 rows/word) -> bounded tree aggregate per pair. Word
+    split is single-space (matches SQL string_split) with empty tokens
+    dropped."""
+    from .agg import tree_aggregate
+
+    def word_source(batch: pd.DataFrame) -> pd.DataFrame:
+        words: list[str] = []
+        srcs: list[str] = []
+        for src, t in zip(batch["source"].values, batch["text"].values):
+            for tok in set(t.split(" ")):
+                if tok:
+                    words.append(tok)
+                    srcs.append(src)
+        return pd.DataFrame(
+            {
+                "word": pd.Series(words, dtype="object"),
+                "source": pd.Series(srcs, dtype="object"),
+            }
+        ).drop_duplicates()
+
+    ws = _read(sf_dir, "documents", ["source", "text"]).map_batches(
+        word_source, batch_format="pandas"
+    )
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        srcs = sorted(set(group["source"]))
+        a = [x for i, x in enumerate(srcs) for _ in srcs[i + 1 :]]
+        b = [y for i, _ in enumerate(srcs) for y in srcs[i + 1 :]]
+        return pd.DataFrame(
+            {
+                "source_a": pd.Series(a, dtype="object"),
+                "source_b": pd.Series(b, dtype="object"),
+                "n_shared": np.ones(len(a), dtype="int64"),
+            }
+        )
+
+    return tree_aggregate(
+        ws.groupby("word").map_groups(pairs, batch_format="pandas"),
+        keys=["source_a", "source_b"],
+        aggs={"n_shared": ("n_shared", "sum")},
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "filter_revenue": q_filter_revenue,
@@ -2429,6 +2787,13 @@ QUERIES = {
     "events_quantiles_by_type": q_events_quantiles_by_type,
     "events_quantiles_sketch": q_events_quantiles_sketch,
     "events_running_total": q_events_running_total,
+    "events_moving_avg": q_events_moving_avg,
+    "events_funnel": q_events_funnel,
+    "events_pivot_daily": q_events_pivot_daily,
+    "events_range_join": q_events_range_join,
+    "revenue_by_nation": q_revenue_by_nation,
+    "doc_stats_rollup": q_doc_stats_rollup,
+    "doc_source_overlap": q_doc_source_overlap,
     "join_orders_customer": q_join_orders_customer,
     "join_supplier_nation": q_join_supplier_nation,
     "orders_cust_nation": q_orders_cust_nation,
@@ -2647,6 +3012,99 @@ ORACLE_SQL = {
                     OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
         FROM events
+    """,
+    "events_moving_avg": """
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT))
+                    OVER w AS BIGINT) AS win_cents,
+               CAST(COUNT(*) OVER w AS BIGINT) AS win_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    "events_funnel": """
+        WITH v AS (SELECT user_id, MIN(ts) AS vts FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(e.ts) AS cts FROM events e
+              JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.vts
+              GROUP BY e.user_id),
+        p AS (SELECT e.user_id, MIN(e.ts) AS pts FROM events e
+              JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.cts
+              GROUP BY e.user_id)
+        SELECT u.user_id,
+               CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                         WHEN c.user_id IS NOT NULL THEN 2
+                         WHEN v.user_id IS NOT NULL THEN 1
+                         ELSE 0 END AS BIGINT) AS funnel_stage
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN v ON u.user_id = v.user_id
+        LEFT JOIN c ON u.user_id = c.user_id
+        LEFT JOIN p ON u.user_id = p.user_id
+    """,
+    "events_pivot_daily": """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+               CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM events GROUP BY 1
+    """,
+    "events_range_join": """
+        WITH b AS (SELECT epoch_us(MIN(ts)) AS a, epoch_us(MAX(ts)) AS z
+                   FROM events),
+        bands AS (
+            SELECT i.i AS band_id,
+                   b.a + i.i * ((b.z - b.a) // 12) AS lo,
+                   b.a + i.i * ((b.z - b.a) // 12)
+                       + ((b.z - b.a) // 12)
+                       + ((b.z - b.a) // 12) // 2 AS hi
+            FROM b, (SELECT UNNEST(range(0, 12)) AS i) i)
+        SELECT CAST(bands.band_id AS BIGINT) AS band_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(FLOOR(e.value * 100.0) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events e JOIN bands
+          ON epoch_us(e.ts) >= bands.lo AND epoch_us(e.ts) < bands.hi
+        GROUP BY 1
+    """,
+    "revenue_by_nation": """
+        SELECT n.n_name,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount)
+                                   * 100.0) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM customer c
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                       AND s.s_nationkey = c.c_nationkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n.n_name
+    """,
+    "doc_stats_rollup": """
+        SELECT COALESCE(lang, '*') AS lang,
+               COALESCE(source, '*') AS source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY ROLLUP(lang, source)
+    """,
+    "doc_source_overlap": """
+        WITH raw AS (
+            SELECT UNNEST(string_split(text, ' ')) AS word, source
+            FROM documents),
+        ws AS (SELECT DISTINCT word, source FROM raw WHERE word <> '')
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM ws a JOIN ws b ON a.word = b.word AND a.source < b.source
+        GROUP BY 1, 2
     """,
     "doc_stats_by_lang": """
         SELECT lang, COUNT(*) AS n_docs,
