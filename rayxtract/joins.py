@@ -28,7 +28,13 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["hash_join", "bucketed_join", "asof_join"]
+__all__ = [
+    "hash_join",
+    "bucketed_join",
+    "asof_join",
+    "find_hot_keys",
+    "salted_bucket_ids",
+]
 
 
 def hash_join(
@@ -104,6 +110,45 @@ def _dtype_map(*datasets) -> dict[str, str]:
     return out
 
 
+def salted_bucket_ids(
+    keys: np.ndarray, n_buckets: int, hot: np.ndarray, salt: int
+) -> np.ndarray:
+    """Composite bucket ids for the SPREAD side of a salted join: normal
+    keys land in ``base_bucket * salt`` (salt shard 0); rows of a hot key
+    are spread round-robin across its ``salt`` shards
+    ``base_bucket * salt + 0..salt-1``. Which shard a given hot row lands
+    in is deliberately arbitrary (round-robin within the batch): the probe
+    side replicates hot rows to ALL shards, so shard assignment cannot
+    change the join result — only the per-task load. Pure helper so the
+    distribution contract is unit-testable without running a join."""
+    base = _bucket_of_int(keys, n_buckets)
+    ids = base * np.int64(salt)
+    if len(hot):
+        m = np.isin(keys, hot)
+        ids[m] += np.arange(int(m.sum()), dtype=np.int64) % np.int64(salt)
+    return ids
+
+
+def find_hot_keys(ds, key: str, min_frac: float = 0.05, n_buckets: int = 16):
+    """Distributed hot-key detector: bucketed per-key counts (partial
+    combine first — only (key, count) partials move), then filter to keys
+    holding >= ``min_frac`` of all rows. Returns a plain Python set of
+    ints — by construction at most ``1/min_frac`` keys, so always small
+    enough to broadcast. The input is consumed twice (count + detect);
+    pass a cheap pruned re-readable dataset."""
+    from .agg import bucketed_aggregate
+
+    total = ds.count()
+    thresh = max(1, int(total * min_frac))
+    counts = bucketed_aggregate(
+        ds, keys=[key], aggs={"n": (key, "count")}, n_buckets=n_buckets
+    )
+    hot = counts.map_batches(
+        lambda b: b[b["n"] >= thresh][[key]], batch_format="pandas"
+    ).to_pandas()
+    return set(hot[key].astype(int))
+
+
 def bucketed_join(
     left,
     right,
@@ -111,15 +156,33 @@ def bucketed_join(
     right_key: str,
     n_buckets: int = 32,
     how: str = "inner",
+    hot_keys=None,
+    salt: int = 8,
 ):
     """Explicit partitioned hash join: tag + union + groupby(bucket) +
     per-bucket pandas merge. ``how`` in inner|left|outer (left preserves
     every left row; outer preserves both sides, with the left key column
     coalesced from the right key so unmatched right rows keep their key);
     integer keys. Missing-side columns travel as typed nulls (nullable
-    Int64 etc.) so the union's block schemas agree."""
+    Int64 etc.) so the union's block schemas agree.
+
+    SKEW SALTING (``hot_keys``): a hot key hashes every one of its rows
+    into ONE bucket — one merge task carries the whole key (the
+    degenerate-key hazard VERDICT r2 flagged for LSH buckets applies to
+    joins identically). Passing ``hot_keys`` (an explicit set, e.g. from
+    :func:`find_hot_keys`) splits each hot key's LEFT rows round-robin
+    across ``salt`` shards and REPLICATES the hot key's right rows to all
+    shards, bounding any merge task at ~|hot|/salt left rows. Composite
+    bucket ids (``base * salt + shard``) keep shards collision-free, so
+    replicated right rows can never meet twice. Inner|left only: an outer
+    join would emit one unmatched-right row per shard."""
     if how not in ("inner", "left", "outer"):
         raise ValueError(f"unsupported join type {how!r}")
+    hot_arr = np.array(sorted(hot_keys or ()), dtype=np.int64)
+    if len(hot_arr) and how == "outer":
+        raise ValueError("hot-key salting supports how='inner'|'left' only")
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
     left_cols = [c for c in left.schema().names]
     right_cols = [c for c in right.schema().names]
     out_cols = left_cols + [c for c in right_cols if c != right_key]
@@ -136,11 +199,31 @@ def bucketed_join(
                     )
                 else:
                     b[c] = b[c].astype(dtypes[c])
-            b["__bucket"] = _bucket_of_int(
-                batch[key].to_numpy().astype(np.int64), n_buckets
-            )
-            b["__side"] = np.int8(side)
-            return b[all_cols + ["__bucket", "__side"]]
+            keys = batch[key].to_numpy().astype(np.int64)
+            if not len(hot_arr):
+                b["__bucket"] = _bucket_of_int(keys, n_buckets)
+                b["__side"] = np.int8(side)
+                return b[all_cols + ["__bucket", "__side"]]
+            if side == 0:  # spread side
+                b["__bucket"] = salted_bucket_ids(
+                    keys, n_buckets, hot_arr, salt
+                )
+                b["__side"] = np.int8(side)
+                return b[all_cols + ["__bucket", "__side"]]
+            # probe side: replicate hot rows to every salt shard
+            base = _bucket_of_int(keys, n_buckets) * np.int64(salt)
+            m = np.isin(keys, hot_arr)
+            cold = b[~m].copy()
+            cold["__bucket"] = base[~m]
+            parts = [cold]
+            hot_rows = b[m]
+            for s in range(salt):
+                rep = hot_rows.copy()
+                rep["__bucket"] = base[m] + np.int64(s)
+                parts.append(rep)
+            out = pd.concat(parts, ignore_index=True)
+            out["__side"] = np.int8(side)
+            return out[all_cols + ["__bucket", "__side"]]
 
         return fn
 

@@ -2678,6 +2678,65 @@ def q_revenue_by_nation(sf_dir: str):
     )
 
 
+def q_events_salted_join(sf_dir: str):
+    """SKEW-SALTED JOIN with a PLANTED hot key: every user_id divisible by
+    3 collapses to key 0, so ~1/3 of all events share one join key — the
+    degenerate-key shape that floods a single merge task in a plain
+    hash-partitioned join. The chain runs the full treatment: distributed
+    hot-key DETECTION (find_hot_keys: bucketed counts, only (key, n)
+    partials move) -> bucketed_join with the hot key's left rows spread
+    round-robin over 4 salt shards and the dim side's hot row replicated
+    to each -> tree aggregate back to per-key totals. The keyed events
+    projection is re-read per pass (detection + join) — two pruned int
+    columns, cheaper than materializing. Salting equivalence vs the
+    unsalted path is asserted in tests/test_property.py."""
+    import ray.data
+
+    from .agg import tree_aggregate
+    from .joins import bucketed_join, find_hot_keys
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        u = batch["user_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "k": np.where(u % 3 == 0, 0, u).astype("int64"),
+                "cents": _floor_cents(batch["value"].to_numpy()),
+            }
+        )
+
+    def ev():
+        return _read(sf_dir, "events", ["user_id", "value"]).map_batches(
+            keyed, batch_format="pandas"
+        )
+
+    hot = find_hot_keys(ev(), "k", min_frac=0.2)
+    dim_pd = tree_aggregate(
+        ev(), keys=["k"], aggs={"n": ("k", "count")}
+    ).to_pandas()
+    ks = dim_pd["k"].to_numpy(np.int64)
+    dim = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "kd": ks,
+                "weight": (ks % 7 + 1).astype("int64"),
+            }
+        )
+    )
+    j = bucketed_join(
+        ev(), dim, "k", "kd", n_buckets=8, hot_keys=hot, salt=4
+    )
+
+    def cast(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["weight"] = batch["weight"].astype("int64")
+        return batch
+
+    return tree_aggregate(
+        j.map_batches(cast, batch_format="pandas"),
+        keys=["k", "weight"],
+        aggs={"n_events": ("k", "count"), "sum_cents": ("cents", "sum")},
+    )
+
+
 def q_doc_stats_rollup(sf_dir: str):
     """ROLLUP (hierarchical subtotals) over (lang, source): doc counts and
     char sums at detail, per-lang, and grand-total levels in ONE pass —
@@ -2792,6 +2851,7 @@ QUERIES = {
     "events_pivot_daily": q_events_pivot_daily,
     "events_range_join": q_events_range_join,
     "revenue_by_nation": q_revenue_by_nation,
+    "events_salted_join": q_events_salted_join,
     "doc_stats_rollup": q_doc_stats_rollup,
     "doc_source_overlap": q_doc_source_overlap,
     "join_orders_customer": q_join_orders_customer,
@@ -3088,6 +3148,18 @@ ORACLE_SQL = {
           AND o.o_orderdate >= TIMESTAMP '1996-01-01'
           AND o.o_orderdate <  TIMESTAMP '1997-01-01'
         GROUP BY n.n_name
+    """,
+    "events_salted_join": """
+        WITH ev AS (
+            SELECT CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS k,
+                   CAST(FLOOR(value * 100.0) AS BIGINT) AS cents
+            FROM events),
+        dim AS (SELECT DISTINCT k AS kd, k % 7 + 1 AS weight FROM ev)
+        SELECT ev.k, CAST(dim.weight AS BIGINT) AS weight,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(ev.cents) AS BIGINT) AS sum_cents
+        FROM ev JOIN dim ON ev.k = dim.kd
+        GROUP BY 1, 2
     """,
     "doc_stats_rollup": """
         SELECT COALESCE(lang, '*') AS lang,

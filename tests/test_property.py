@@ -167,6 +167,78 @@ def test_bucketed_join_matches_pandas_merge_randomized(ray_session):
             )
 
 
+def test_salted_bucket_ids_distribution():
+    """The spread-side contract: cold keys land on shard 0 of their base
+    bucket; a hot key's rows spread across exactly ``salt`` composite ids
+    with near-even load (round-robin: max-min <= 1)."""
+    from rayxtract.joins import _bucket_of_int, salted_bucket_ids
+
+    n_buckets, salt = 8, 4
+    keys = np.array([0] * 1001 + [5, 9, 13] * 10, dtype=np.int64)
+    hot = np.array([0], dtype=np.int64)
+    ids = salted_bucket_ids(keys, n_buckets, hot, salt)
+    base0 = int(_bucket_of_int(np.array([0], dtype=np.int64), n_buckets)[0])
+    hot_ids, hot_counts = np.unique(ids[keys == 0], return_counts=True)
+    assert sorted(hot_ids) == [base0 * salt + s for s in range(salt)]
+    assert hot_counts.max() - hot_counts.min() <= 1
+    for k in (5, 9, 13):
+        basek = int(
+            _bucket_of_int(np.array([k], dtype=np.int64), n_buckets)[0]
+        )
+        assert set(ids[keys == k]) == {basek * salt}
+
+
+def test_salted_join_matches_unsalted_with_planted_hot_key(ray_session):
+    """Correctness invariance: salting changes task load, never output.
+    One key holds ~60% of left rows; right has multiple rows for it (so
+    replication must not double-count matches)."""
+    import ray.data
+
+    from rayxtract.joins import bucketed_join, find_hot_keys
+
+    rng = np.random.RandomState(3)
+    left = pd.DataFrame(
+        {
+            "k": np.concatenate(
+                [np.zeros(600, dtype=np.int64), rng.randint(1, 40, 400)]
+            ).astype("int64")
+        }
+    )
+    left["lv"] = np.arange(len(left), dtype="int64")
+    right = pd.DataFrame(
+        {"rk": np.concatenate([[0, 0, 0], np.arange(1, 40)]).astype("int64")}
+    )
+    right["rv"] = np.arange(len(right), dtype="int64")
+
+    hot = find_hot_keys(ray.data.from_pandas(left), "k", min_frac=0.3)
+    assert hot == {0}, hot
+
+    for how in ("inner", "left"):
+        plain = bucketed_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            "k",
+            "rk",
+            n_buckets=4,
+            how=how,
+        ).to_pandas()
+        salted = bucketed_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            "k",
+            "rk",
+            n_buckets=4,
+            how=how,
+            hot_keys=hot,
+            salt=5,
+        ).to_pandas()
+        key_cols = ["k", "lv", "rv"]
+        a = plain[key_cols].astype("float64").sort_values(key_cols).reset_index(drop=True)
+        b = salted[key_cols].astype("float64").sort_values(key_cols).reset_index(drop=True)
+        assert len(a) == len(b), how
+        pd.testing.assert_frame_equal(a, b, obj=how)
+
+
 def test_topk_matches_full_sort_randomized(ray_session):
     import ray.data
 
