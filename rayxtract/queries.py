@@ -2785,6 +2785,106 @@ def q_doc_stats_rollup(sf_dir: str):
     )
 
 
+def q_events_daily_active(sf_dir: str):
+    """DISTINCT-COUNT per window (daily active users): per-batch DISTINCT
+    (day, user) pairs shrink the exchange to unique pairs per batch, then
+    one groupby(day) nunique. Exact by construction — the scale path for
+    corpus-sized user sets swaps the exchange for a per-day HLL sketch
+    (sketch.HyperLogLog is mergeable) at ~2% error; exact is kept here
+    for oracle-checkability (the same trade documented on
+    events_quantiles_by_type)."""
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            batch["ts"]
+            .to_numpy("datetime64[us]")
+            .astype("datetime64[D]")
+            .astype("datetime64[us]")
+        )
+        return pd.DataFrame(
+            {"day": day, "user_id": batch["user_id"].astype("int64").values}
+        ).drop_duplicates()
+
+    def nuniq(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": group["day"].iloc[:1].values,
+                "n_users": pd.Series(
+                    [int(group["user_id"].nunique())], dtype="int64"
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["ts", "user_id"])
+        .map_batches(pairs, batch_format="pandas")
+        .groupby("day")
+        .map_groups(nuniq, batch_format="pandas")
+    )
+
+
+def q_events_winsorize(sf_dir: str):
+    """WINSORIZATION (outlier clipping at grouped p05/p95): per event
+    type, clip every value to the group's discrete quantiles — the
+    feature-cleaning step before any scale-sensitive model. One shuffle
+    on type; quantile pick uses quantile_disc semantics
+    (sorted[ceil(q*n)-1], same as events_quantiles_by_type). At
+    corpus-sized groups the quantiles would come from a KLL combiner
+    tree broadcast back over a second stateless pass; the one-shuffle
+    exact form is kept for oracle-checkability."""
+
+    def clip(group: pd.DataFrame) -> pd.DataFrame:
+        cents = _floor_cents(group["value"].to_numpy())
+        s = np.sort(cents)
+        n = len(s)
+        lo = int(s[max(0, int(np.ceil(0.05 * n)) - 1)])
+        hi = int(s[max(0, int(np.ceil(0.95 * n)) - 1)])
+        return pd.DataFrame(
+            {
+                "event_id": group["event_id"].astype("int64").values,
+                "clipped_cents": np.clip(cents, lo, hi).astype("int64"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "event_type", "value"])
+        .groupby("event_type")
+        .map_groups(clip, batch_format="pandas")
+    )
+
+
+def q_doc_lang_mode(sf_dir: str):
+    """GROUPED MODE (argmax): the most common source per language with a
+    deterministic tiebreak (smallest source string) — the per-stratum
+    plurality pick. Counts flow through the bounded tree aggregate (one
+    (lang, source, n) partial per batch); the argmax runs on the tiny
+    merged result inside the same DAG, never on the driver."""
+    from .agg import tree_aggregate
+
+    counts = tree_aggregate(
+        _read(sf_dir, "documents", ["lang", "source"]),
+        keys=["lang", "source"],
+        aggs={"n_docs": ("lang", "count")},
+    )
+
+    def argmax(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.sort_values(
+            ["lang", "n_docs", "source"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = b.groupby("lang", as_index=False).head(1)
+        return pd.DataFrame(
+            {
+                "lang": top["lang"].values,
+                "top_source": top["source"].values,
+                "n_docs": top["n_docs"].astype("int64").values,
+            }
+        )
+
+    return counts.map_batches(argmax, batch_format="pandas", batch_size=None)
+
+
 def q_doc_source_overlap(sf_dir: str):
     """CROSS-SOURCE OVERLAP MATRIX: shared distinct vocabulary per source
     pair — the corpus-mixing diagnostic (how much do my crawl slices
@@ -2852,6 +2952,9 @@ QUERIES = {
     "events_range_join": q_events_range_join,
     "revenue_by_nation": q_revenue_by_nation,
     "events_salted_join": q_events_salted_join,
+    "events_daily_active": q_events_daily_active,
+    "events_winsorize": q_events_winsorize,
+    "doc_lang_mode": q_doc_lang_mode,
     "doc_stats_rollup": q_doc_stats_rollup,
     "doc_source_overlap": q_doc_source_overlap,
     "join_orders_customer": q_join_orders_customer,
@@ -3160,6 +3263,34 @@ ORACLE_SQL = {
                CAST(SUM(ev.cents) AS BIGINT) AS sum_cents
         FROM ev JOIN dim ON ev.k = dim.kd
         GROUP BY 1, 2
+    """,
+    "events_daily_active": """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1
+    """,
+    "events_winsorize": """
+        WITH q AS (
+            SELECT event_type,
+                   quantile_disc(CAST(FLOOR(value * 100.0) AS BIGINT), 0.05)
+                       AS lo,
+                   quantile_disc(CAST(FLOOR(value * 100.0) AS BIGINT), 0.95)
+                       AS hi
+            FROM events GROUP BY 1)
+        SELECT e.event_id,
+               CAST(LEAST(GREATEST(CAST(FLOOR(e.value * 100.0) AS BIGINT),
+                                   q.lo), q.hi) AS BIGINT) AS clipped_cents
+        FROM events e JOIN q USING (event_type)
+    """,
+    "doc_lang_mode": """
+        WITH c AS (SELECT lang, source, COUNT(*) AS n
+                   FROM documents GROUP BY 1, 2),
+        r AS (SELECT lang, source, n,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY n DESC, source) AS rn
+              FROM c)
+        SELECT lang, source AS top_source, CAST(n AS BIGINT) AS n_docs
+        FROM r WHERE rn = 1
     """,
     "doc_stats_rollup": """
         SELECT COALESCE(lang, '*') AS lang,
