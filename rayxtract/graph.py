@@ -1,0 +1,393 @@
+"""Link-graph operators: href extraction and distributed PageRank.
+
+The reference extracts *text* from documents and never looks at links
+(reference: utils.py:58-118 drops tags wholesale); a web-scale curation
+pipeline additionally needs the LINK GRAPH — which pages point where — for
+crawl frontier ranking, spam demotion and quality priors (PageRank-style
+scores are a standard quality signal for training-data selection).
+
+Two operators, both Ray-Data-native:
+
+  * :func:`extract_link_edges` — per-batch DOM-tree walk (the engine's own
+    tolerant tokenizer, dom._build_tree_fast) collecting ``<a href>``
+    targets in document order, aggregated to (src_url, href, n_links)
+    weighted edges. Embarrassingly parallel; the only exchange is the
+    bounded (src, href) count combine.
+  * :func:`pagerank` — damped power iteration expressed as Dataset rounds:
+    per-iteration bucketed hash join of ranks onto edges (src side),
+    contribution sum per dst, dangling mass folded back uniformly. Nothing
+    node- or edge-sized ever lands on the driver; per-round driver traffic
+    is ONE scalar (the dangling-mass aggregate). Same shape as
+    neardup.label_propagation_clusters — rounds of join + tiny aggregate.
+
+Partitioning assumption (documented per the custom-operator contract):
+edges are hash-bucketed on src / dst per round; a hot dst (a page every
+page links to — guaranteed on real crawls) concentrates its contribution
+SUM, which is an aggregate (combiner-friendly), not a pair explosion, so
+skew degrades one task's input linearly, never quadratically.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+__all__ = [
+    "extract_link_edges",
+    "pagerank",
+    "pagerank_reference",
+    "url_node_id",
+]
+
+# href attribute in raw attr text — same lazy-parse pattern as
+# dom._CLASS_ID_RE (quoted double/single/unquoted forms)
+_HREF_RE = re.compile(
+    r"(?<![\w-])href\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))",
+    re.IGNORECASE,
+)
+
+_DOCTYPE_PREFIX = b"<!DOCTYPE"
+
+
+def _hrefs_of_tree(root) -> list[str]:
+    """All <a href> values in document order (iterative DFS — a 4000-para
+    page nests shallow but long; recursion depth is bounded anyway, this
+    avoids per-node Python frames)."""
+    out: list[str] = []
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        for ch in reversed(node.children):
+            if isinstance(ch, str):
+                continue
+            if ch.tag == "a":
+                attrs = ch.attrs
+                if isinstance(attrs, str):
+                    m = _HREF_RE.search(attrs)
+                    if m:
+                        out.append(m.group(1) or m.group(2) or m.group(3) or "")
+                else:
+                    for k, v in attrs:
+                        if k == "href" and v is not None:
+                            out.append(v)
+                            break
+            stack.append(ch)
+    return out
+
+
+class LinkExtractBatch:
+    """Actor-pool stage: (url, html) -> (src_url, href) link rows.
+
+    Only DIRECT html payloads (raw bytes starting with ``<!DOCTYPE``) are
+    parsed — the byte-prefix filter is deliberately the exact predicate a
+    SQL oracle can replicate on the blob column (transport-gzip pages would
+    need a gunzip the oracle side lacks; they are a bounded synth slice).
+    The tree builder is the engine's own tolerant tokenizer, so link
+    extraction sees the SAME tree as content extraction."""
+
+    def __init__(self) -> None:
+        from .dom import _build_tree_fast
+
+        self._build = _build_tree_fast
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        srcs: list[str] = []
+        hrefs: list[str] = []
+        for url, payload in zip(batch["url"], batch["html"]):
+            raw = bytes(payload)
+            if not raw.startswith(_DOCTYPE_PREFIX):
+                continue
+            try:
+                root = self._build(raw.decode("utf-8"))
+            except UnicodeDecodeError:
+                continue
+            found = _hrefs_of_tree(root)
+            srcs.extend([url] * len(found))
+            hrefs.extend(found)
+        return pd.DataFrame(
+            {
+                "src_url": pd.Series(srcs, dtype="object"),
+                "href": pd.Series(hrefs, dtype="object"),
+            }
+        )
+
+
+def extract_link_edges(pages_ds, n_buckets: int = 16):
+    """Weighted link edges (src_url, href, n_links) from a pages Dataset.
+
+    Input needs (url, html); pass a column-pruned read. The count combine
+    is bucketed on hash(src_url) so no single block ever holds the whole
+    edge set (large-cardinality groupby discipline, same as
+    agg.bucketed_aggregate but keyed on a string pair)."""
+
+    links = pages_ds.map_batches(
+        LinkExtractBatch,
+        batch_format="pandas",
+        concurrency=(1, 8),
+        batch_size=64,
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["src_url", "href"], as_index=False).size()
+        g = g.rename(columns={"size": "n_links"})
+        g["n_links"] = g["n_links"].astype("int64")
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(s.encode(), digest_size=4).digest(), "big"
+                )
+                for s in g["src_url"]
+            ),
+            dtype=np.int64,
+            count=len(g),
+        )
+        g["__bucket"] = h % np.int64(n_buckets)
+        return g
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby(["src_url", "href"], as_index=False)["n_links"].sum()
+        out["n_links"] = out["n_links"].astype("int64")
+        return out
+
+    return (
+        links.map_batches(partial, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def url_node_id(urls) -> np.ndarray:
+    """Stable 64-bit node id per url (blake2b-8; collision odds ~n^2/2^64 —
+    negligible below ~10^8 nodes, and a collision only merges two nodes'
+    rank mass, it cannot crash the iteration). Keeping ids integer lets
+    every round reuse the engine's int-keyed bucketed_join."""
+    return np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(u.encode(), digest_size=8).digest(), "big"
+            )
+            - (1 << 63)
+            for u in urls
+        ),
+        dtype=np.int64,
+        count=len(urls),
+    )
+
+
+def _resolve(src: str, href: str) -> str:
+    """Minimal URL resolution: absolute hrefs pass through; path-absolute
+    hrefs resolve against the src scheme+host. (Synth links are always
+    path-absolute; query/fragment handling deliberately out of scope.)"""
+    if "://" in href:
+        return href
+    scheme_end = src.find("://")
+    host_end = src.find("/", scheme_end + 3)
+    base = src if host_end == -1 else src[:host_end]
+    return base + (href if href.startswith("/") else "/" + href)
+
+
+def pagerank(
+    edges,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    n_buckets: int = 16,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    weight_col: str | None = None,
+):
+    """Distributed PageRank over (src, dst[, weight]) string-url edges.
+
+    Returns a Dataset (url, rank) over every node that appears as a src or
+    dst. Fixed ``n_iter`` damped power iterations with uniform
+    dangling-mass redistribution — the textbook formulation (Page et al.
+    1999), validated against :func:`pagerank_reference` (dense numpy) in
+    tests.
+
+    Per iteration: ranks bucket-join onto edges by src (int node ids), each
+    edge carries rank(src) * w/out_w(src), contributions combine per dst
+    (bucketed sum), dangling mass is one tiny scalar aggregate. All state
+    between rounds is a (node, rank) Dataset, materialized per round so the
+    lazy chain never re-executes (the ADVICE-r2 cluster_pairs lesson).
+    """
+    from .agg import bucketed_aggregate
+    from .joins import bucketed_join
+
+    w_expr = weight_col
+
+    def to_ids(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "src": url_node_id(batch[src_col].tolist()),
+                "dst": url_node_id(batch[dst_col].tolist()),
+                "w": (
+                    batch[w_expr].astype("float64").values
+                    if w_expr
+                    else np.ones(len(batch))
+                ),
+            }
+        )
+        return out
+
+    id_edges = edges.map_batches(to_ids, batch_format="pandas").materialize()
+
+    def node_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        urls = pd.concat(
+            [batch[src_col].astype(str), batch[dst_col].astype(str)],
+            ignore_index=True,
+        )
+        ids = url_node_id(urls.tolist())
+        return pd.DataFrame({"node": ids, "url": urls}).drop_duplicates("node")
+
+    nodes = (
+        edges.map_batches(node_rows, batch_format="pandas")
+        .groupby("node")
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .materialize()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        import ray.data
+
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {"url": pd.Series(dtype="object"),
+                 "rank": pd.Series(dtype="float64")}
+            )
+        )
+
+    out_w = bucketed_aggregate(
+        id_edges, keys=["src"], aggs={"out_w": ("w", "sum")}, n_buckets=n_buckets
+    )
+
+    # state: (node, rank, out_w) — out_w is NaN for dangling nodes
+    state = bucketed_join(
+        nodes.select_columns(["node"]), out_w, "node", "src",
+        n_buckets=n_buckets, how="left",
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "node": b["node"].astype("int64").values,
+                "rank": np.full(len(b), 1.0 / n_nodes),
+                "out_w": b["out_w"].astype("float64").values,
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    base = (1.0 - damping) / n_nodes
+    for _ in range(n_iter):
+        dangling = (
+            state.map_batches(
+                lambda b: pd.DataFrame(
+                    {"d": [b.loc[b["out_w"].isna(), "rank"].sum()]}
+                ),
+                batch_format="pandas",
+            ).sum("d")
+            or 0.0
+        )
+        joined = bucketed_join(
+            id_edges, state, "src", "node", n_buckets=n_buckets
+        )
+
+        def contrib(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "dst": batch["dst"].astype("int64").values,
+                    "c": (
+                        batch["rank"].astype(float)
+                        * batch["w"].astype(float)
+                        / batch["out_w"].astype(float)
+                    ).values,
+                }
+            )
+
+        sums = bucketed_aggregate(
+            joined.map_batches(contrib, batch_format="pandas"),
+            keys=["dst"],
+            aggs={"c": ("c", "sum")},
+            n_buckets=n_buckets,
+        )
+        uniform = base + damping * dangling / n_nodes
+
+        def update(batch: pd.DataFrame) -> pd.DataFrame:
+            c = batch["c"].astype("float64").fillna(0.0).values
+            return pd.DataFrame(
+                {
+                    "node": batch["node"].astype("int64").values,
+                    "rank": uniform + damping * c,
+                    "out_w": batch["out_w"].astype("float64").values,
+                }
+            )
+
+        # repartition caps the state's block count: the join's union emits
+        # blocks(left)+blocks(right), so WITHOUT this the per-round block
+        # count doubles (measured 3 -> 511 over 8 rounds, and sort cost
+        # with it) — the iterative-Dataset analogue of lineage growth
+        state = (
+            bucketed_join(
+                state.select_columns(["node", "out_w"]), sums, "node", "dst",
+                n_buckets=n_buckets, how="left",
+            )
+            .map_batches(update, batch_format="pandas")
+            .repartition(n_buckets)
+            .materialize()
+        )
+
+    ranked = bucketed_join(
+        nodes, state.select_columns(["node", "rank"]), "node", "node",
+        n_buckets=n_buckets,
+    )
+    return ranked.select_columns(["url", "rank"])
+
+
+def pagerank_reference(
+    edges: pd.DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    weight_col: str | None = None,
+) -> pd.DataFrame:
+    """Dense numpy PageRank — the golden oracle for :func:`pagerank`
+    (same formulation, same iteration count; driver-side, test scale)."""
+    urls = sorted(set(edges[src_col]) | set(edges[dst_col]))
+    idx = {u: i for i, u in enumerate(urls)}
+    n = len(urls)
+    if n == 0:
+        return pd.DataFrame(
+            {"url": pd.Series(dtype="object"),
+             "rank": pd.Series(dtype="float64")}
+        )
+    w = (
+        edges[weight_col].astype(float).to_numpy()
+        if weight_col
+        else np.ones(len(edges))
+    )
+    si = edges[src_col].map(idx).to_numpy()
+    di = edges[dst_col].map(idx).to_numpy()
+    out_w = np.zeros(n)
+    np.add.at(out_w, si, w)
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        dangling = r[out_w == 0].sum()
+        c = np.zeros(n)
+        np.add.at(c, di, r[si] * w / np.where(out_w[si] == 0, 1, out_w[si]))
+        r = (1 - damping) / n + damping * (c + dangling / n)
+    return pd.DataFrame({"url": urls, "rank": r})
+
+
+def resolve_edges(edges_ds, src_col: str = "src_url", href_col: str = "href"):
+    """(src_url, href[, n_links]) -> (src_url, dst_url[, n_links]) with
+    path-absolute hrefs resolved against the src scheme+host."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["dst_url"] = [
+            _resolve(s, h) for s, h in zip(batch[src_col], batch[href_col])
+        ]
+        return out.drop(columns=[href_col])
+
+    return edges_ds.map_batches(fn, batch_format="pandas")

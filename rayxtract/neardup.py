@@ -1039,10 +1039,15 @@ def label_propagation_clusters(pairs, max_rounds: int = 64):
             )
 
         msgs = prop.map_batches(msg, batch_format="pandas")
+        # repartition bounds the label table's block count: union emits
+        # blocks(labels)+blocks(msgs), so without it each round DOUBLES the
+        # block count and sort cost grows geometrically (measured in the
+        # pagerank twin of this loop: 3 -> 511 blocks over 8 rounds)
         labels = (
             labels.union(msgs)
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
+            .repartition(8)
             .materialize()
         )
         cur_sum = labels.sum("label")

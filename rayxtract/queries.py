@@ -1447,6 +1447,78 @@ def q_pages_domain_cap(sf_dir: str):
     )
 
 
+def q_pages_link_edges(sf_dir: str):
+    """LINK-GRAPH EXTRACTION: weighted (src_url, href, n_links) edges from
+    the <a href> targets of every direct-HTML page, parsed by the engine's
+    own tolerant DOM tokenizer (the tree content extraction sees). The
+    crawl-graph primitive under frontier ranking / spam demotion /
+    PageRank quality priors. ORACLE-CHECKED: DuckDB re-derives the same
+    edges with regexp_extract_all over the decoded blob (synth hrefs are
+    double-quoted and only ever on <a> tags, so regex == tree walk);
+    the byte-prefix filter (payload starts '<!DOCTYPE') is the exact
+    predicate both sides share — transport-gzip pages are out of scope
+    for the SQL side (no gunzip in DuckDB)."""
+    import ray.data
+
+    from .graph import extract_link_edges
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    ds = ray.data.read_parquet(pages_dir, columns=["url", "html"])
+    edges = extract_link_edges(ds)
+
+    def rename(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src_url": batch["src_url"].values,
+                "href": batch["href"].values,
+                "n_links": batch["n_links"].astype("int64").values,
+            }
+        )
+
+    return edges.map_batches(rename, batch_format="pandas")
+
+
+def q_pages_pagerank(sf_dir: str):
+    """DISTRIBUTED PAGERANK over the extracted link graph: 10 damped power
+    iterations as Dataset rounds (per-round: bucketed join of ranks onto
+    edges, per-dst contribution sum, one scalar dangling aggregate) — the
+    page-quality prior training-data selection pipelines weight sampling
+    by. Top-100 by rank with micro-unit rounding + url tiebreak for a
+    deterministic result set. No SQL oracle (iterative float fixpoint);
+    the kernel is golden-tested against a dense numpy reference
+    (tests/test_graph.py) and the edge input is itself oracle-checked
+    (pages_link_edges)."""
+    import ray.data
+
+    from .agg import topk
+    from .graph import extract_link_edges, pagerank, resolve_edges
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    ds = ray.data.read_parquet(pages_dir, columns=["url", "html"])
+    edges = resolve_edges(extract_link_edges(ds))
+    ranks = pagerank(
+        edges, damping=0.85, n_iter=10, src_col="src_url",
+        dst_col="dst_url", weight_col="n_links",
+    )
+
+    def micro(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "url": batch["url"].values,
+                "rank_micro": np.rint(
+                    batch["rank"].astype("float64") * 1e9
+                ).astype("int64"),
+            }
+        )
+
+    return topk(
+        ranks.map_batches(micro, batch_format="pandas"),
+        ["rank_micro", "url"],
+        descending=[True, False],
+        k=100,
+    )
+
+
 def q_pages_media_features(sf_dir: str):
     """Multimodal plumbing: treat page payloads as opaque media binaries,
     run the actor-pool fake-decode stage (small batch_size for big blobs).
@@ -2853,6 +2925,51 @@ def q_events_winsorize(sf_dir: str):
     )
 
 
+def q_events_late_data(sf_dir: str):
+    """WATERMARK / LATE-DATA accounting: tumbling 1-minute event-time
+    windows with a 120 s allowed-lateness watermark. Arrival time is
+    event time plus a DETERMINISTIC md5-derived network delay (first hex
+    digit of md5(event_id) x 20 s, 0-300 s) so the oracle reproduces it
+    exactly — the streaming-semantics scenario (on-time vs dropped-late
+    counts per window) the batch engine must express to replace a real
+    stream job. Bounded window cardinality -> combiner tree, one tiny
+    exchange."""
+    import hashlib as _h
+
+    from .agg import tree_aggregate
+
+    _MIN_US = 60_000_000
+    _LATENESS_US = 120_000_000
+
+    def flags(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_us = batch["ts"].to_numpy("datetime64[us]").astype("int64")
+        delay_us = np.fromiter(
+            (
+                int(_h.md5(str(int(e)).encode()).hexdigest()[0], 16)
+                for e in batch["event_id"]
+            ),
+            dtype=np.int64,
+            count=len(batch),
+        ) * 20_000_000
+        w_us = ts_us - ts_us % _MIN_US
+        ontime = (ts_us + delay_us) <= (w_us + _MIN_US + _LATENESS_US)
+        return pd.DataFrame(
+            {
+                "window_start": w_us.astype("datetime64[us]"),
+                "n_ontime": ontime.astype("int64"),
+                "n_late": (~ontime).astype("int64"),
+            }
+        )
+
+    return tree_aggregate(
+        _read(sf_dir, "events", ["event_id", "ts"]).map_batches(
+            flags, batch_format="pandas"
+        ),
+        keys=["window_start"],
+        aggs={"n_ontime": ("n_ontime", "sum"), "n_late": ("n_late", "sum")},
+    )
+
+
 def q_doc_lang_mode(sf_dir: str):
     """GROUPED MODE (argmax): the most common source per language with a
     deterministic tiebreak (smallest source string) — the per-stratum
@@ -2954,6 +3071,7 @@ QUERIES = {
     "events_salted_join": q_events_salted_join,
     "events_daily_active": q_events_daily_active,
     "events_winsorize": q_events_winsorize,
+    "events_late_data": q_events_late_data,
     "doc_lang_mode": q_doc_lang_mode,
     "doc_stats_rollup": q_doc_stats_rollup,
     "doc_source_overlap": q_doc_source_overlap,
@@ -3023,6 +3141,8 @@ QUERIES = {
     "pages_recrawl_winners": q_pages_recrawl_winners,
     "pages_top_domains": q_pages_top_domains,
     "pages_domain_cap": q_pages_domain_cap,
+    "pages_link_edges": q_pages_link_edges,
+    "pages_pagerank": q_pages_pagerank,
     "pages_extract": q_pages_extract,
     "pages_prompt_format": q_pages_prompt_format,
     "pages_langid": q_pages_langid,
@@ -3767,6 +3887,24 @@ ORACLE_SQL = {
           FROM events
         ) WHERE rn <= 3
     """,
+    "events_late_data": """
+        WITH e AS (
+          SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS window_start,
+                 ts + to_microseconds(
+                   (position(substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                             IN '0123456789abcdef') - 1) * 20000000
+                 ) AS arrival
+          FROM events
+        )
+        SELECT window_start,
+               CAST(SUM(CASE WHEN arrival <= window_start
+                                  + INTERVAL 180 SECOND
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_ontime,
+               CAST(SUM(CASE WHEN arrival <= window_start
+                                  + INTERVAL 180 SECOND
+                             THEN 0 ELSE 1 END) AS BIGINT) AS n_late
+        FROM e GROUP BY 1
+    """,
 }
 
 
@@ -3862,6 +4000,23 @@ def _pages_oracles(sf_dir: str) -> dict[str, str]:
                      ) AS rn
               FROM (SELECT DISTINCT url FROM read_parquet('{pages}'))
             ) WHERE rn <= 3
+        """,
+        # link-graph edges: regex re-derivation of the tree-walk extraction
+        # (synth hrefs are double-quoted, only on <a> tags, entity-free);
+        # the hex-prefix CASE keeps decode() off non-UTF-8 payloads
+        "pages_link_edges": f"""
+            WITH raw AS (
+              SELECT url,
+                     CASE WHEN substr(hex(html), 1, 18) = '3C21444F4354595045'
+                          THEN decode(html) END AS doc
+              FROM read_parquet('{pages}')
+            ), links AS (
+              SELECT url AS src_url,
+                     unnest(regexp_extract_all(doc, 'href="([^"]*)"', 1)) AS href
+              FROM raw WHERE doc IS NOT NULL
+            )
+            SELECT src_url, href, CAST(COUNT(*) AS BIGINT) AS n_links
+            FROM links GROUP BY 1, 2
         """,
         # media plumbing oracles (r3): DuckDB has no md5(BLOB) — both sides
         # compute md5(hex(payload)); integers via octet_length arithmetic

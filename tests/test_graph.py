@@ -1,0 +1,134 @@
+"""Link-graph + PageRank: kernel equivalence and extraction parity."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _rand_edges(rng, n_nodes=40, n_edges=160):
+    src = rng.randint(0, n_nodes, n_edges)
+    dst = rng.randint(0, n_nodes, n_edges)
+    m = src != dst
+    return pd.DataFrame(
+        {
+            "src_url": [f"https://h{s}.example/p/{s}" for s in src[m]],
+            "dst_url": [f"https://h{d}.example/p/{d}" for d in dst[m]],
+            "n_links": rng.randint(1, 4, int(m.sum())).astype("int64"),
+        }
+    )
+
+
+def test_pagerank_matches_dense_reference(ray_session):
+    import ray.data
+
+    from rayxtract.graph import pagerank, pagerank_reference
+
+    edges = _rand_edges(np.random.RandomState(3))
+    got = (
+        pagerank(
+            ray.data.from_pandas(edges),
+            n_iter=8,
+            weight_col="n_links",
+        )
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pagerank_reference(edges, n_iter=8, weight_col="n_links")
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert list(got["url"]) == list(exp["url"])
+    np.testing.assert_allclose(got["rank"], exp["rank"], rtol=0, atol=1e-12)
+    # probability mass is conserved (dangling handled)
+    assert got["rank"].sum() == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_star_graph_center_wins(ray_session):
+    import ray.data
+
+    from rayxtract.graph import pagerank
+
+    # N spokes all link to the hub; hub is dangling
+    edges = pd.DataFrame(
+        {
+            "src_url": [f"https://s.example/spoke/{i}" for i in range(20)],
+            "dst_url": ["https://s.example/hub"] * 20,
+        }
+    )
+    got = pagerank(ray.data.from_pandas(edges), n_iter=12).to_pandas()
+    hub = got.loc[got["url"] == "https://s.example/hub", "rank"].iloc[0]
+    spokes = got.loc[got["url"] != "https://s.example/hub", "rank"]
+    assert hub > spokes.max() * 5
+    assert got["rank"].sum() == pytest.approx(1.0, abs=1e-9)
+
+
+def test_hrefs_tree_walk_matches_regex_on_malformed():
+    import re
+
+    from rayxtract.dom import _build_tree_fast
+    from rayxtract.graph import _hrefs_of_tree
+
+    html = (
+        '<!DOCTYPE html><html><body><nav><ul>'
+        '<li><a href="/home/1">home</a></li>'
+        '<li><a href="/about/2">about</a></li></ul></nav>'
+        '<div class="content-body">'
+        "<p>alpha <a href=\"/l/42\">beta</a> gamma"  # unclosed <p>
+        '<p>delta</p></div>'
+        '<footer><a href="/press/9">press</a></footer></body></html>'
+    )
+    got = _hrefs_of_tree(_build_tree_fast(html))
+    exp = re.findall(r'href="([^"]*)"', html)
+    assert got == exp
+
+
+def test_resolve_edges_paths():
+    from rayxtract.graph import _resolve
+
+    assert (
+        _resolve("https://site1.example/p/0001", "/l/5")
+        == "https://site1.example/l/5"
+    )
+    assert (
+        _resolve("https://site1.example/p/0001", "https://other.example/x")
+        == "https://other.example/x"
+    )
+    assert _resolve("https://site1.example", "/l/5") == "https://site1.example/l/5"
+
+
+def test_link_edges_parity_with_regex_oracle(ray_session, small_corpus):
+    """Engine tree-walk extraction == DuckDB regex over decoded payloads
+    on the full 1000-page synth corpus (gzip/garbage/PDFL rows excluded
+    by the shared byte-prefix predicate)."""
+    import duckdb
+    import ray.data
+
+    from rayxtract.graph import extract_link_edges
+
+    pages_dir, _ = small_corpus
+    ds = ray.data.read_parquet(pages_dir, columns=["url", "html"])
+    got = (
+        extract_link_edges(ds)
+        .to_pandas()
+        .sort_values(["src_url", "href"])
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""
+        WITH raw AS (
+          SELECT url,
+                 CASE WHEN substr(hex(html), 1, 18) = '3C21444F4354595045'
+                      THEN decode(html) END AS doc
+          FROM read_parquet('{pages_dir}/*.parquet')
+        ), links AS (
+          SELECT url AS src_url,
+                 unnest(regexp_extract_all(doc, 'href="([^"]*)"', 1)) AS href
+          FROM raw WHERE doc IS NOT NULL
+        )
+        SELECT src_url, href, CAST(COUNT(*) AS BIGINT) AS n_links
+        FROM links GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, exp)
