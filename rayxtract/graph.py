@@ -206,11 +206,15 @@ def pagerank(
     1999), validated against :func:`pagerank_reference` (dense numpy) in
     tests.
 
-    Per iteration: ranks bucket-join onto edges by src (int node ids), each
-    edge carries rank(src) * w/out_w(src), contributions combine per dst
-    (bucketed sum), dangling mass is one tiny scalar aggregate. All state
-    between rounds is a (node, rank) Dataset, materialized per round so the
-    lazy chain never re-executes (the ADVICE-r2 cluster_pairs lesson).
+    Shape: edge weights are normalized ONCE up front (w_norm = w/out_w(src),
+    one join) so the loop state is just (node, rank). Per iteration: ranks
+    bucket-join onto edges by src, each edge carries rank(src) * w_norm,
+    contributions combine per dst (bucketed sum, MATERIALIZED — a lazy sums
+    table would re-execute under the next join's schema probe), and the
+    dangling mass falls out for free as 1 - sum(contributions) (per-round
+    rank mass is exactly 1, and non-dangling nodes forward all of theirs).
+    The per-round repartition caps block growth (union doubles it
+    otherwise); driver traffic per round is ONE scalar.
     """
     from .agg import bucketed_aggregate
     from .joins import bucketed_join
@@ -231,7 +235,27 @@ def pagerank(
         )
         return out
 
-    id_edges = edges.map_batches(to_ids, batch_format="pandas").materialize()
+    raw_edges = edges.map_batches(to_ids, batch_format="pandas").materialize()
+    out_w = bucketed_aggregate(
+        raw_edges, keys=["src"], aggs={"out_w": ("w", "sum")},
+        n_buckets=n_buckets,
+    )
+    id_edges = (
+        bucketed_join(raw_edges, out_w, "src", "src", n_buckets=n_buckets)
+        .map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "src": b["src"].astype("int64").values,
+                    "dst": b["dst"].astype("int64").values,
+                    "w_norm": (
+                        b["w"].astype(float) / b["out_w"].astype(float)
+                    ).values,
+                }
+            ),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
 
     def node_rows(batch: pd.DataFrame) -> pd.DataFrame:
         urls = pd.concat(
@@ -258,67 +282,49 @@ def pagerank(
             )
         )
 
-    out_w = bucketed_aggregate(
-        id_edges, keys=["src"], aggs={"out_w": ("w", "sum")}, n_buckets=n_buckets
-    )
-
-    # state: (node, rank, out_w) — out_w is NaN for dangling nodes
-    state = bucketed_join(
-        nodes.select_columns(["node"]), out_w, "node", "src",
-        n_buckets=n_buckets, how="left",
-    ).map_batches(
+    node_ids = nodes.select_columns(["node"]).materialize()
+    state = node_ids.map_batches(
         lambda b: pd.DataFrame(
             {
                 "node": b["node"].astype("int64").values,
                 "rank": np.full(len(b), 1.0 / n_nodes),
-                "out_w": b["out_w"].astype("float64").values,
             }
         ),
         batch_format="pandas",
     ).materialize()
 
+    def contrib(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "dst": batch["dst"].astype("int64").values,
+                "c": (
+                    batch["rank"].astype(float) * batch["w_norm"].astype(float)
+                ).values,
+            }
+        )
+
     base = (1.0 - damping) / n_nodes
     for _ in range(n_iter):
-        dangling = (
-            state.map_batches(
-                lambda b: pd.DataFrame(
-                    {"d": [b.loc[b["out_w"].isna(), "rank"].sum()]}
-                ),
-                batch_format="pandas",
-            ).sum("d")
-            or 0.0
-        )
         joined = bucketed_join(
             id_edges, state, "src", "node", n_buckets=n_buckets
         )
-
-        def contrib(batch: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "dst": batch["dst"].astype("int64").values,
-                    "c": (
-                        batch["rank"].astype(float)
-                        * batch["w"].astype(float)
-                        / batch["out_w"].astype(float)
-                    ).values,
-                }
-            )
-
         sums = bucketed_aggregate(
             joined.map_batches(contrib, batch_format="pandas"),
             keys=["dst"],
             aggs={"c": ("c", "sum")},
             n_buckets=n_buckets,
-        )
+        ).materialize()
+        # rank mass is exactly 1 per round; non-dangling nodes forward all
+        # of theirs, so the dangling mass is the remainder — no extra pass
+        dangling = max(0.0, 1.0 - (sums.sum("c") or 0.0))
         uniform = base + damping * dangling / n_nodes
 
-        def update(batch: pd.DataFrame) -> pd.DataFrame:
+        def update(batch: pd.DataFrame, u=uniform) -> pd.DataFrame:
             c = batch["c"].astype("float64").fillna(0.0).values
             return pd.DataFrame(
                 {
                     "node": batch["node"].astype("int64").values,
-                    "rank": uniform + damping * c,
-                    "out_w": batch["out_w"].astype("float64").values,
+                    "rank": u + damping * c,
                 }
             )
 
@@ -328,7 +334,7 @@ def pagerank(
         # with it) — the iterative-Dataset analogue of lineage growth
         state = (
             bucketed_join(
-                state.select_columns(["node", "out_w"]), sums, "node", "dst",
+                node_ids, sums, "node", "dst",
                 n_buckets=n_buckets, how="left",
             )
             .map_batches(update, batch_format="pandas")
