@@ -1479,13 +1479,16 @@ def q_pages_link_edges(sf_dir: str):
 
 
 def q_pages_pagerank(sf_dir: str):
-    """DISTRIBUTED PAGERANK over the extracted link graph: 10 damped power
-    iterations as Dataset rounds (per-round: bucketed join of ranks onto
-    edges, per-dst contribution sum, one scalar dangling aggregate) — the
-    page-quality prior training-data selection pipelines weight sampling
-    by. Top-100 by rank with micro-unit rounding + url tiebreak for a
+    """PAGERANK over the extracted link graph: 10 damped power iterations
+    — the page-quality prior training-data selection pipelines weight
+    sampling by. Hybrid execution (graph.pagerank): dense numpy on the
+    driver at/below 2M edges (a graph that small fits one machine; the
+    Dataset-round loop pays ~30 shuffle barriers to compute what numpy
+    does in ms), Dataset rounds (bucketed rank-onto-edges join, per-dst
+    contribution sum, one scalar dangling aggregate per round) above it.
+    Top-100 by rank with micro-unit rounding + url tiebreak for a
     deterministic result set. No SQL oracle (iterative float fixpoint);
-    the kernel is golden-tested against a dense numpy reference
+    the two kernels are golden-tested equivalent to 1e-12
     (tests/test_graph.py) and the edge input is itself oracle-checked
     (pages_link_edges)."""
     import ray.data

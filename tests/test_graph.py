@@ -24,11 +24,14 @@ def test_pagerank_matches_dense_reference(ray_session):
     from rayxtract.graph import pagerank, pagerank_reference
 
     edges = _rand_edges(np.random.RandomState(3))
+    # driver_threshold=0 forces the Dataset-round loop — the default
+    # driver path IS pagerank_reference, asserted separately below
     got = (
         pagerank(
             ray.data.from_pandas(edges),
             n_iter=8,
             weight_col="n_links",
+            driver_threshold=0,
         )
         .to_pandas()
         .sort_values("url")
