@@ -18,7 +18,15 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["knn_bruteforce", "knn_ivf", "pca_fit", "pca_project"]
+__all__ = [
+    "knn_bruteforce",
+    "knn_ivf",
+    "pca_fit",
+    "pca_project",
+    "kmeans_fit",
+    "kmeans_assign",
+    "kmeans_reference",
+]
 
 
 def _unit(m: np.ndarray) -> np.ndarray:
@@ -144,6 +152,150 @@ def knn_ivf(
     return ds.map_batches(partial, batch_format="pandas").groupby(
         "query_id"
     ).map_groups(final_topk, batch_format="pandas")
+
+
+def _kmeans_init(ds, k: int, seed: int, id_col: str, vec_col: str,
+                 train_sample: int = 2048) -> np.ndarray:
+    """Deterministic seeded init: bounded sample -> sort by id (block-order
+    independent) -> k distinct seeded picks. Same bounded-sample discipline
+    as knn_ivf's quantizer training."""
+    sample = ds.random_sample(
+        min(1.0, train_sample / max(1, ds.count())), seed=seed
+    ).take_all()
+    sample.sort(key=lambda r: r[id_col])
+    mat = np.stack([np.asarray(r[vec_col]) for r in sample]).astype(np.float64)
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(mat), size=min(k, len(mat)), replace=False)
+    return mat[idx].copy()
+
+
+def kmeans_fit(
+    ds,
+    k: int = 8,
+    n_iter: int = 10,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Distributed Lloyd k-means over an embedding column — the standard
+    corpus-clustering primitive (topic bucketing, diversity sampling,
+    quality stratification of training data).
+
+    Per round: centroids broadcast ONCE via ``ray.put`` (never re-shipped
+    per batch), every batch computes nearest-centroid assignments with one
+    (n, k) distance matmul and emits ONE pickled moment partial
+    (counts[k], sums[k, d], sse) — k*(d+1)+1 floats, the corpus' vectors
+    never leave their blocks — partials merge through the same
+    repartition tree as ``pca_fit``, and the driver updates k*d floats.
+    Empty clusters keep their previous centroid. Driver traffic per round
+    is exactly one moment row; golden-tested against
+    :func:`kmeans_reference` (dense numpy, same init).
+
+    Returns ``(centroids: float64[k, d], inertia: float)``.
+    """
+    import pickle
+
+    import ray
+
+    cents = _kmeans_init(ds, k, seed, id_col, vec_col)
+    inertia = float("nan")
+    for _ in range(n_iter):
+        cents_ref = ray.put(cents)
+
+        def partial(batch: pd.DataFrame, _ref=cents_ref) -> pd.DataFrame:
+            c = ray.get(_ref)
+            x = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+            # squared L2 via the expansion: ||x||^2 - 2 x.c + ||c||^2
+            d2 = (
+                (x * x).sum(axis=1)[:, None]
+                - 2.0 * (x @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+            )
+            assign = np.argmin(d2, axis=1)
+            counts = np.bincount(assign, minlength=c.shape[0]).astype(np.int64)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, x)
+            sse = float(d2[np.arange(len(x)), assign].sum())
+            blob = pickle.dumps((counts, sums, sse))
+            return pd.DataFrame({"__m": pd.Series([blob], dtype="object")})
+
+        def merge(batch: pd.DataFrame) -> pd.DataFrame:
+            counts, sums, sse = pickle.loads(batch["__m"].iloc[0])
+            for blob in batch["__m"].iloc[1:]:
+                c2, s2, e2 = pickle.loads(blob)
+                counts, sums, sse = counts + c2, sums + s2, sse + e2
+            return pd.DataFrame(
+                {"__m": pd.Series([pickle.dumps((counts, sums, sse))],
+                                  dtype="object")}
+            )
+
+        rows = (
+            ds.map_batches(partial, batch_format="pandas")
+            .repartition(16)
+            .map_batches(merge, batch_format="pandas", batch_size=None)
+            .repartition(1)
+            .map_batches(merge, batch_format="pandas", batch_size=None)
+            .take_all()
+        )
+        counts, sums, inertia = pickle.loads(rows[0]["__m"])
+        nz = counts > 0
+        cents[nz] = sums[nz] / counts[nz, None]
+    return cents, float(inertia)
+
+
+def kmeans_assign(
+    ds,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Nearest-centroid assignment: one ``ray.put`` broadcast, one distance
+    matmul per batch. Output: (id_col, cluster: int64, dist2: float64)."""
+    import ray
+
+    c_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(c_ref)
+        x = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        d2 = (
+            (x * x).sum(axis=1)[:, None]
+            - 2.0 * (x @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        a = np.argmin(d2, axis=1)
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].astype("int64").values,
+                "cluster": a.astype("int64"),
+                "dist2": d2[np.arange(len(x)), a],
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+def kmeans_reference(
+    mat: np.ndarray, init: np.ndarray, n_iter: int = 10
+) -> tuple[np.ndarray, float]:
+    """Dense numpy Lloyd — the golden oracle for :func:`kmeans_fit` (same
+    formulation, same update rule, driver-side, test scale)."""
+    cents = init.astype(np.float64).copy()
+    x = mat.astype(np.float64)
+    inertia = float("nan")
+    for _ in range(n_iter):
+        d2 = (
+            (x * x).sum(axis=1)[:, None]
+            - 2.0 * (x @ cents.T)
+            + (cents * cents).sum(axis=1)[None, :]
+        )
+        assign = np.argmin(d2, axis=1)
+        inertia = float(d2[np.arange(len(x)), assign].sum())
+        for c in range(cents.shape[0]):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents, inertia
 
 
 def pca_fit(ds, vec_col: str = "embedding", n_components: int = 8):

@@ -1295,6 +1295,29 @@ def q_emb_pca_project(sf_dir: str):
     return proj.map_batches(scale, batch_format="pandas")
 
 
+def q_emb_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means (ann.kmeans_fit: per-round centroid
+    broadcast + one pickled moment partial per batch + tree merge) followed
+    by a broadcast nearest-centroid assignment — the corpus-clustering
+    primitive behind topic bucketing / diversity sampling of training
+    data. Output (cluster, n_vecs, min_vec_id): per-cluster sizes with a
+    deterministic per-cluster witness id. Rows-only — an iterative float
+    fixpoint is not SQL-expressible; the distributed kernel is
+    golden-tested against a dense numpy Lloyd with identical init
+    (tests/test_ann_pca.py)."""
+    from .agg import tree_aggregate
+    from .ann import kmeans_assign, kmeans_fit
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents, _inertia = kmeans_fit(emb, k=8, n_iter=8, seed=13)
+    assigned = kmeans_assign(emb, cents)
+    return tree_aggregate(
+        assigned,
+        keys=["cluster"],
+        aggs={"n_vecs": ("vec_id", "count"), "min_vec_id": ("vec_id", "min")},
+    )
+
+
 def q_emb_label_counts(sf_dir: str):
     from .agg import tree_aggregate
 
@@ -3110,6 +3133,7 @@ QUERIES = {
     "emb_knn_ivf": q_emb_knn_ivf,
     "emb_knn_ivf_recall": q_emb_knn_ivf_recall,
     "emb_pca_project": q_emb_pca_project,
+    "emb_kmeans": q_emb_kmeans,
     "emb_label_counts": q_emb_label_counts,
     "emb_neardup": q_emb_neardup,
     "emb_neardup_exact": q_emb_neardup_exact,

@@ -4,6 +4,7 @@ query must match an all-in-memory reference projection."""
 
 import numpy as np
 import pandas as pd
+import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -71,3 +72,47 @@ def test_emb_pca_project_query(ray_session):
     pd.testing.assert_frame_equal(
         a.reset_index(drop=True), b.reset_index(drop=True)
     )
+
+
+def test_kmeans_matches_dense_reference(ray_session):
+    """Distributed Lloyd == dense numpy Lloyd with identical init: same
+    centroids (atol bounded by float-sum reorder) and same inertia."""
+    import ray.data
+
+    from rayxtract.ann import _kmeans_init, kmeans_fit, kmeans_reference
+
+    ds = ray.data.read_parquet(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cents, inertia = kmeans_fit(ds, k=6, n_iter=6, seed=13)
+    init = _kmeans_init(ds, 6, 13, "vec_id", "embedding")
+    x = np.stack(ds.to_pandas()["embedding"].to_numpy()).astype(np.float64)
+    ref_cents, ref_inertia = kmeans_reference(x, init, n_iter=6)
+    np.testing.assert_allclose(cents, ref_cents, rtol=0, atol=1e-9)
+    assert inertia == pytest.approx(ref_inertia, rel=1e-12)
+
+
+def test_kmeans_assign_partitions_all_rows(ray_session):
+    """Every vector lands in exactly one cluster; assignment is the argmin
+    of true squared distances (spot-checked densely)."""
+    import ray.data
+
+    from rayxtract.ann import kmeans_assign, kmeans_fit
+
+    ds = ray.data.read_parquet(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cents, _ = kmeans_fit(ds, k=5, n_iter=4, seed=7)
+    out = kmeans_assign(ds, cents).to_pandas()
+    pdf = ds.to_pandas()
+    assert len(out) == len(pdf)
+    assert out["cluster"].between(0, 4).all()
+    x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    d2 = (
+        (x * x).sum(axis=1)[:, None]
+        - 2.0 * (x @ cents.T)
+        + (cents * cents).sum(axis=1)[None, :]
+    )
+    exp = d2.argmin(axis=1)
+    got = out.set_index("vec_id").loc[pdf["vec_id"]]["cluster"].to_numpy()
+    np.testing.assert_array_equal(got, exp)
