@@ -353,6 +353,7 @@ def minhash_candidate_pairs(
     bucket_size_cap: int = _BUCKET_SIZE_CAP,
     bucket_max_reps: int = _BUCKET_MAX_REPS,
     sig_spill_dir: str | None = None,
+    est_spill_dir: str | None = None,
 ):
     """Verified near-duplicate pairs (doc_a < doc_b, jaccard_est >= thr).
 
@@ -371,8 +372,34 @@ def minhash_candidate_pairs(
     written to parquet once (marker-gated, race-tolerant) and re-read,
     matching the corpus-spill pattern of q_pages_neardup_exact
     (VERDICT r2 "What's wrong" #5).
+
+    ``est_spill_dir`` caches the THRESHOLD-INDEPENDENT estimated pair set
+    (doc_a, doc_b, jaccard_est for every LSH candidate): the entire
+    signature + banding + bucket-groupby + re-join chain is skipped on a
+    cache hit and only the final threshold filter runs — callers that
+    differ only in ``jaccard_threshold`` (pages_neardup_pairs at 0.45 vs
+    pages_neardup_exact at 0.35) share one computation per corpus. The
+    cache is candidate-pair-sized (LSH-collided pairs, already hot-bucket
+    capped), not corpus-sized.
     """
+    import os
+
+    import ray.data
+
     from .joins import bucketed_join
+
+    def _thresholded(est_ds):
+        def filt(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[batch["jaccard_est"] >= jaccard_threshold]
+
+        return est_ds.map_batches(filt, batch_format="pandas")
+
+    if est_spill_dir and os.path.exists(
+        os.path.join(est_spill_dir, "_SPILL_COMPLETE")
+    ):
+        return _thresholded(
+            ray.data.read_parquet(est_spill_dir, file_extensions=["parquet"])
+        )
 
     sigs = ds.map_batches(
         MinHashBatch,
@@ -451,7 +478,7 @@ def minhash_candidate_pairs(
         with_a, sigs_b, "doc_b", "doc_id", n_buckets=n_join_buckets
     ).map_batches(_rename_sig("sig_b"), batch_format="pandas")
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+    def estimate(batch: pd.DataFrame) -> pd.DataFrame:
         if not len(batch):
             return pd.DataFrame(
                 {"doc_a": pd.Series([], dtype="int64"),
@@ -460,16 +487,18 @@ def minhash_candidate_pairs(
             )
         sa = np.stack([np.frombuffer(s, dtype=np.int64) for s in batch["sig_a"]])
         sb = np.stack([np.frombuffer(s, dtype=np.int64) for s in batch["sig_b"]])
-        out = pd.DataFrame(
+        return pd.DataFrame(
             {
                 "doc_a": batch["doc_a"].astype("int64").values,
                 "doc_b": batch["doc_b"].astype("int64").values,
                 "jaccard_est": (sa == sb).mean(axis=1),
             }
         )
-        return out[out["jaccard_est"] >= jaccard_threshold]
 
-    return with_ab.map_batches(verify, batch_format="pandas")
+    est = with_ab.map_batches(estimate, batch_format="pandas")
+    if est_spill_dir:
+        est = _spill_and_reread(est, est_spill_dir)
+    return _thresholded(est)
 
 
 def ngram_jaccard_verify(

@@ -43,7 +43,12 @@ def _cleanup_stale_spills(root: str, keep: tuple[str, ...]) -> None:
     import glob as _g
     import shutil as _sh
 
-    for pat in (f"{root}.neardup_spill*", f"{root}.minhash_sigs*"):
+    for pat in (
+        f"{root}.neardup_spill*",
+        f"{root}.minhash_sigs*",
+        f"{root}.minhash_est*",
+        f"{root}.neardup_pairs*",
+    ):
         for d in _g.glob(pat):
             if d not in keep and ".tmp." not in d:
                 _sh.rmtree(d, ignore_errors=True)
@@ -1749,10 +1754,13 @@ def q_pages_prompt_format(sf_dir: str):
 
 def q_pages_neardup_pairs(sf_dir: str):
     """MinHash+LSH near-dup pairs over extracted page text (the corpus
-    plants perturbed-copy pages; recall asserted in tests)."""
+    plants perturbed-copy pages; recall asserted in tests). Shares the
+    corpus + signature spill caches with pages_neardup_exact — same
+    (num_perm, seed) signature table; only the final jaccard filter
+    differs — so the signatures compute once per corpus tier."""
     import pandas as pd
 
-    from .neardup import minhash_candidate_pairs
+    from .neardup import _spill_and_reread, minhash_candidate_pairs
     from .ops import ExtractConfig
     from .pipeline import extraction_dataset
 
@@ -1767,7 +1775,18 @@ def q_pages_neardup_pairs(sf_dir: str):
         ),
         batch_format="pandas",
     )
-    return minhash_candidate_pairs(docs, jaccard_threshold=0.45)
+    root = _oracle_corpus_root(sf_dir)
+    doc_spill = f"{root}.neardup_spill_e{_SPILL_VERSION}"
+    sig_spill = f"{root}.minhash_sigs_p64_s7_e{_SPILL_VERSION}"
+    est_spill = f"{root}.minhash_est_p64_s7_b16_e{_SPILL_VERSION}"
+    import os as _os
+
+    if not _os.path.exists(_os.path.join(est_spill, "_SPILL_COMPLETE")):
+        docs = _spill_and_reread(docs, doc_spill)
+    return minhash_candidate_pairs(
+        docs, jaccard_threshold=0.45, sig_spill_dir=sig_spill,
+        est_spill_dir=est_spill,
+    )
 
 
 
@@ -1810,12 +1829,32 @@ def q_pages_neardup_exact(sf_dir: str):
     root = _oracle_corpus_root(sf_dir)
     doc_spill = f"{root}.neardup_spill_e{_SPILL_VERSION}"
     sig_spill = f"{root}.minhash_sigs_p64_s7_e{_SPILL_VERSION}"
-    _cleanup_stale_spills(root, keep=(doc_spill, sig_spill))
+    est_spill = f"{root}.minhash_est_p64_s7_b16_e{_SPILL_VERSION}"
+    pair_spill = f"{root}.neardup_pairs_t35_j50_e{_SPILL_VERSION}"
+    _cleanup_stale_spills(
+        root, keep=(doc_spill, sig_spill, est_spill, pair_spill)
+    )
+    # the verified-pair set is deterministic per (corpus root, params,
+    # _SPILL_VERSION) and is consumed by BOTH this query and
+    # pages_dedup_clusters (which would otherwise re-run the full
+    # LSH + verify chain) — publish it once behind the same marker-gated
+    # spill pattern as the corpus/signature tables. The marker pre-check
+    # matters here: candidate generation is partly EAGER (materialize +
+    # count inside minhash_candidate_pairs), so merely building the lazy
+    # chain for _spill_and_reread to skip would still execute it.
+    if _os.path.exists(_os.path.join(pair_spill, "_SPILL_COMPLETE")):
+        import ray.data
+
+        return ray.data.read_parquet(pair_spill, file_extensions=["parquet"])
     docs = _spill_and_reread(docs, doc_spill)
     cands = minhash_candidate_pairs(
-        docs, jaccard_threshold=0.35, sig_spill_dir=sig_spill
+        docs, jaccard_threshold=0.35, sig_spill_dir=sig_spill,
+        est_spill_dir=est_spill,
     )
-    return ngram_jaccard_verify(docs, cands, k=3, threshold=0.5)
+    verified = ngram_jaccard_verify(docs, cands, k=3, threshold=0.5)
+    if isinstance(verified, pd.DataFrame):  # no candidates — nothing to cache
+        return verified
+    return _spill_and_reread(verified, pair_spill)
 
 
 
