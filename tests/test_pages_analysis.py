@@ -80,3 +80,45 @@ def test_exact_jaccard_verify(small_corpus):
             planted.add((min(src, idx), max(src, idx)))
     found = {(int(a), int(b)) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
     assert len(planted & found) / len(planted) >= 0.7
+
+
+def test_minhash_est_spill_cache_equivalence(small_corpus, tmp_path):
+    """The est_spill_dir cache path returns the SAME pairs as the direct
+    computation, for a threshold different from the one that built the
+    cache (the cached estimate table is threshold-independent)."""
+    import pandas as pd
+
+    from rayxtract.neardup import minhash_candidate_pairs
+    from rayxtract.ops import ExtractConfig
+    from rayxtract.pipeline import extraction_dataset
+
+    pages_dir, _ = small_corpus
+    ds = extraction_dataset(pages_dir, ExtractConfig()).filter(expr="error == ''")
+    docs = ds.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "doc_id": b["url"].str.slice(-8).astype("int64"),
+                "text": b["text"],
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def canon(res):
+        df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    est_dir = str(tmp_path / "est_cache")
+    # build the cache at threshold 0.45 ...
+    cold = canon(
+        minhash_candidate_pairs(docs, jaccard_threshold=0.45, est_spill_dir=est_dir)
+    )
+    direct = canon(minhash_candidate_pairs(docs, jaccard_threshold=0.45))
+    pd.testing.assert_frame_equal(cold, direct)
+    # ... and serve a DIFFERENT threshold from it
+    warm_035 = canon(
+        minhash_candidate_pairs(docs, jaccard_threshold=0.35, est_spill_dir=est_dir)
+    )
+    direct_035 = canon(minhash_candidate_pairs(docs, jaccard_threshold=0.35))
+    pd.testing.assert_frame_equal(warm_035, direct_035)
+    assert len(warm_035) >= len(cold)
