@@ -30,6 +30,7 @@ __all__ = [
     "export_jsonl",
     "read_jsonl",
     "import_jsonl",
+    "compact_output",
 ]
 
 
@@ -154,3 +155,52 @@ def status_report(out_dir: str, limit: int = 50):
         descending=[True, False],
         k=limit,
     )
+
+
+def compact_output(
+    out_dir: str,
+    dest_dir: str,
+    target_rows_per_file: int = 200_000,
+    columns: list[str] | None = None,
+) -> dict:
+    """Small-file compaction for partitioned extraction output.
+
+    A resumable run at partition granularity (the engine's checkpoint
+    contract) legitimately leaves MANY small parquet files — one-plus per
+    partition — and at 10^12-doc scale, downstream readers pay per-file
+    open/footer costs that dwarf the data. Compaction is the standard ops
+    answer: stream the whole output back through Ray Data and rewrite it
+    as files sized for readers. Content identity (not layout identity) is
+    the contract — row order is NOT preserved; validate with an
+    order-insensitive comparison (tests do url-sorted frame equality).
+
+    ``min_rows_per_file`` steers the writer; Ray still writes at block
+    granularity, so the input is repartitioned to ceil(n/target) blocks
+    first (an all-to-all move of the payload — compaction IS a rewrite;
+    run it once, after the incremental phase settles).
+
+    Returns {"rows", "files_before", "files_after"}.
+    """
+    import math
+
+    import ray.data
+
+    def _count_parquet(d: str) -> int:
+        n = 0
+        for root, _dirs, files in os.walk(d):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    ds = ray.data.read_parquet(out_dir, columns=columns)
+    n = ds.count()
+    files_before = _count_parquet(out_dir)
+    n_blocks = max(1, math.ceil(n / max(1, target_rows_per_file)))
+    os.makedirs(dest_dir, exist_ok=True)
+    ds.repartition(n_blocks).write_parquet(
+        dest_dir, min_rows_per_file=target_rows_per_file
+    )
+    return {
+        "rows": n,
+        "files_before": files_before,
+        "files_after": _count_parquet(dest_dir),
+    }

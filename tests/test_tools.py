@@ -97,3 +97,37 @@ def test_reextract_pushdown_reads_few_shards(extracted_small):
     rec = reextract_url(pages_dir, g["url"])
     assert rec["shards_total"] > 1
     assert 1 <= rec["shards_payload_read"] <= 2  # hit shards only
+
+
+def test_compact_output_content_identity(extracted_small, tmp_path):
+    """Compaction rewrites many small per-partition files into few
+    target-sized ones with EXACT content identity (order-insensitive)."""
+    _, _, out = extracted_small
+    import ray.data
+
+    from rayxtract.tools import compact_output
+
+    a = (
+        ray.data.read_parquet(out)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    dest = str(tmp_path / "compacted")
+    # target >= total rows -> exactly one output file
+    rep = compact_output(out, dest, target_rows_per_file=len(a))
+    assert rep["rows"] == len(a)
+    assert rep["files_after"] < rep["files_before"]
+    assert rep["files_after"] == 1
+
+    b = (
+        ray.data.read_parquet(dest)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    # hive partition column comes back as extra col on the source side only
+    common = [c for c in a.columns if c in set(b.columns)]
+    pd.testing.assert_frame_equal(
+        a[common], b[common], check_dtype=False
+    )
