@@ -40,6 +40,7 @@ import pandas as pd
 __all__ = [
     "split_assign",
     "stratified_sample",
+    "weighted_sample",
     "chunk_words",
     "gopher_signals",
     "redact_pii",
@@ -324,3 +325,56 @@ def paragraph_dedup(
         .groupby(id_col)
         .map_groups(reassemble, batch_format="pandas")
     )
+
+
+def weighted_sample(
+    ds,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    out_cols: list[str] | None = None,
+):
+    """Weighted sampling without replacement — Efraimidis–Spirakis A-Res
+    (Inf. Proc. Letters 97(5), 2006) with DETERMINISTIC hash uniforms.
+
+    Each row draws u in (0,1) from md5(id) (not an RNG — re-runs, resumed
+    partitions and the SQL oracle agree bit-for-bit) and scores
+    key = u^(1/w); the global top-k keys are a weighted sample without
+    replacement. Distributed cost is the agg.topk combiner: <= k rows per
+    batch reach the final sort — nothing corpus-sized moves. Rows with
+    w <= 0 are excluded (their key is 0). The training-data use is
+    weighted mixture draws (sample proportional to token count / quality
+    score) with resume-stable output.
+    """
+    from .agg import topk
+
+    keep = list(out_cols or [id_col, weight_col])
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch[weight_col].astype("float64").to_numpy()
+        ids = batch[id_col].astype("int64").to_numpy()
+        v = np.fromiter(
+            (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+                for i in ids
+            ),
+            dtype=np.uint64,
+            count=len(ids),
+        )
+        # 16^13 = 2^52: u in (0, 1], never 0, representable exactly
+        u = (v.astype(np.float64) + 1.0) / 4503599627370497.0
+        out = batch[keep].copy()
+        out["__key"] = np.where(w > 0, u ** (1.0 / np.maximum(w, 1e-300)), 0.0)
+        return out[out["__key"] > 0.0]
+
+    picked = topk(
+        ds.map_batches(score, batch_format="pandas"),
+        ["__key", id_col],
+        descending=[True, False],
+        k=k,
+    )
+
+    def strip(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[keep]
+
+    return picked.map_batches(strip, batch_format="pandas")

@@ -1996,6 +1996,29 @@ def q_doc_stratified_sample(sf_dir: str):
     return out.select_columns(["doc_id", "lang"])
 
 
+def q_doc_weighted_sample(sf_dir: str):
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
+    50 docs drawn proportional to character length via DETERMINISTIC
+    md5(doc_id) uniforms and key = u^(1/w) — weighted mixture draws with
+    resume-stable output. Distributed cost is the agg.topk combiner
+    (<= 50 rows per batch reach the final sort). Oracle-checked: DuckDB
+    recomputes the identical hash uniforms and power keys."""
+    from .curation import weighted_sample
+
+    def with_len(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64").values,
+                "n_chars_w": batch["text"].str.len().astype("int64").values,
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        with_len, batch_format="pandas"
+    )
+    return weighted_sample(ds, k=50, weight_col="n_chars_w")
+
+
 def q_doc_chunk(sf_dir: str):
     """Fixed-64-word chunking flat-map (pre-tokenization sharding before
     sequence packing); one output row per chunk with its digest."""
@@ -3183,6 +3206,7 @@ QUERIES = {
     "doc_top_terms": q_doc_top_terms,
     "doc_split_assign": q_doc_split_assign,
     "doc_stratified_sample": q_doc_stratified_sample,
+    "doc_weighted_sample": q_doc_weighted_sample,
     "doc_chunk": q_doc_chunk,
     "doc_gopher_quality": q_doc_gopher_quality,
     "doc_pii_redact": q_doc_pii_redact,
@@ -3670,6 +3694,17 @@ ORACLE_SQL = {
                     WHEN substr(md5(text), 1, 1) IN ('1', '2') THEN 'val'
                     ELSE 'train' END AS split
         FROM documents
+    """,
+    "doc_weighted_sample": """
+        WITH t AS (
+          SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars_w,
+                 (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS UBIGINT) + 1.0)
+                   / 4503599627370497.0 AS u
+          FROM documents
+          WHERE LENGTH(text) > 0
+        )
+        SELECT doc_id, n_chars_w FROM t
+        ORDER BY power(u, 1.0 / n_chars_w) DESC, doc_id ASC LIMIT 50
     """,
     "doc_stratified_sample": """
         SELECT doc_id, lang FROM (
