@@ -1323,6 +1323,40 @@ def q_emb_kmeans(sf_dir: str):
     )
 
 
+def q_emb_cluster_medoids(sf_dir: str):
+    """SemDeDup-style diversity selection (Abbas et al. 2023 shape): k-means
+    cluster the embedding space, then keep each cluster's 3 most-central
+    vectors — the per-cluster representatives a semantic-dedup /
+    diversity-sampling pass retains. Composition: ann.kmeans_fit +
+    kmeans_assign + the grouped-top-k combiner on (dist2 asc, vec_id asc).
+    Rows-only (k-means fixpoint upstream); the kmeans kernel itself is
+    golden-tested and the grouped-top-k pattern is oracle-checked
+    elsewhere (doc_grouped_topk)."""
+    from .ann import kmeans_assign, kmeans_fit
+    from .curation import stratified_sample
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents, _ = kmeans_fit(emb, k=8, n_iter=8, seed=13)
+    assigned = kmeans_assign(emb, cents)
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].astype("int64").values,
+                "cluster": batch["cluster"].astype("int64").values,
+                # micro-rounded distance keeps the output hash float-free
+                "dist2_micro": np.rint(
+                    batch["dist2"].astype("float64") * 1e6
+                ).astype("int64"),
+            }
+        )
+
+    keyed_ds = assigned.map_batches(keyed, batch_format="pandas")
+    return stratified_sample(
+        keyed_ds, "cluster", ["dist2_micro", "vec_id"], k=3
+    )
+
+
 def q_emb_label_counts(sf_dir: str):
     from .agg import tree_aggregate
 
@@ -3196,6 +3230,7 @@ QUERIES = {
     "emb_knn_ivf_recall": q_emb_knn_ivf_recall,
     "emb_pca_project": q_emb_pca_project,
     "emb_kmeans": q_emb_kmeans,
+    "emb_cluster_medoids": q_emb_cluster_medoids,
     "emb_label_counts": q_emb_label_counts,
     "emb_neardup": q_emb_neardup,
     "emb_neardup_exact": q_emb_neardup_exact,
