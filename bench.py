@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "doc_shuffle_order",
     "top_customers",
     "emb_knn_brute",
+    "emb_kmeans",
+    "doc_weighted_sample",
 ]
 
 
