@@ -96,10 +96,11 @@ def knn_ivf(
     centroid partitions per query. Returns (query_id, vec_id, cosine)."""
     import ray
 
-    # train coarse quantizer on a driver-side sample (small by construction)
-    sample = ds.random_sample(
-        min(1.0, train_sample / max(1, ds.count())), seed=seed
-    ).take_all()
+    # train coarse quantizer on a driver-side sample (small by
+    # construction; hash-ranked so the sampled SET is block-layout
+    # independent — Ray's random_sample seeds per task and would return
+    # different rows at different read parallelism)
+    sample = _hash_sample(ds, train_sample, seed, id_col, [id_col, vec_col])
     mat = _unit(np.stack([np.asarray(r[vec_col]) for r in sample]).astype(np.float64))
     rng = np.random.RandomState(seed)
     cents = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
@@ -154,15 +155,43 @@ def knn_ivf(
     ).map_groups(final_topk, batch_format="pandas")
 
 
+def _hash_sample(ds, n: int, seed: int, id_col: str, columns: list[str]):
+    """Bounded pseudo-random sample that does NOT depend on block/task
+    layout: rank rows by md5(seed:id) and keep the n smallest (agg.topk
+    combiner — <= n rows per batch reach the final sort). Ray's
+    ``random_sample`` seeds per [task_idx, seed], so its sampled SET
+    changes with read parallelism — unusable for results that must be
+    identical across cluster sizes. Returns rows sorted by the hash rank
+    (a deterministic shuffled order)."""
+    import hashlib
+
+    from .agg import topk
+
+    def rank(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[columns].copy()
+        out["__r"] = [
+            int.from_bytes(
+                hashlib.md5(f"{seed}:{i}".encode()).digest()[:8], "big"
+            ) - (1 << 63)
+            for i in batch[id_col].astype("int64")
+        ]
+        return out
+
+    rows = topk(
+        ds.map_batches(rank, batch_format="pandas"),
+        ["__r", id_col],
+        descending=[False, False],
+        k=n,
+    ).take_all()
+    rows.sort(key=lambda r: (r["__r"], r[id_col]))
+    return rows
+
+
 def _kmeans_init(ds, k: int, seed: int, id_col: str, vec_col: str,
                  train_sample: int = 2048) -> np.ndarray:
-    """Deterministic seeded init: bounded sample -> sort by id (block-order
-    independent) -> k distinct seeded picks. Same bounded-sample discipline
-    as knn_ivf's quantizer training."""
-    sample = ds.random_sample(
-        min(1.0, train_sample / max(1, ds.count())), seed=seed
-    ).take_all()
-    sample.sort(key=lambda r: r[id_col])
+    """Deterministic init: hash-ranked bounded sample (block-layout
+    independent — see _hash_sample) -> k seeded picks."""
+    sample = _hash_sample(ds, train_sample, seed, id_col, [id_col, vec_col])
     mat = np.stack([np.asarray(r[vec_col]) for r in sample]).astype(np.float64)
     rng = np.random.RandomState(seed)
     idx = rng.choice(len(mat), size=min(k, len(mat)), replace=False)
@@ -197,6 +226,14 @@ def kmeans_fit(
 
     import ray
 
+    # one materialization up front: the init sample + every Lloyd round +
+    # the caller's assignment pass would otherwise re-execute the input
+    # pipeline once each (~n_iter+2 full re-reads). Pass a column-pruned
+    # (id, vector) dataset — that is what gets pinned (spillable).
+    from ray.data.dataset import MaterializedDataset
+
+    if not isinstance(ds, MaterializedDataset):
+        ds = ds.materialize()
     cents = _kmeans_init(ds, k, seed, id_col, vec_col)
     inertia = float("nan")
     for _ in range(n_iter):

@@ -340,15 +340,20 @@ def weighted_sample(
     Each row draws u in (0,1) from md5(id) (not an RNG — re-runs, resumed
     partitions and the SQL oracle agree bit-for-bit) and scores
     key = u^(1/w); the global top-k keys are a weighted sample without
-    replacement. Distributed cost is the agg.topk combiner: <= k rows per
-    batch reach the final sort — nothing corpus-sized moves. Rows with
-    w <= 0 are excluded (their key is 0). The training-data use is
+    replacement. The key is computed in LOG space — ln(u)/w, order-
+    equivalent to u^(1/w) and immune to the pow underflow that would
+    otherwise silently (and biasedly) drop tiny-weight rows whose
+    u^(1/w) rounds to 0.0. Distributed cost is the agg.topk combiner:
+    <= k rows per batch reach the final sort — nothing corpus-sized
+    moves. Rows with w <= 0 are excluded. The training-data use is
     weighted mixture draws (sample proportional to token count / quality
     score) with resume-stable output.
     """
     from .agg import topk
 
     keep = list(out_cols or [id_col, weight_col])
+    if id_col not in keep:  # topk's total-order tiebreak is mandatory
+        keep.insert(0, id_col)
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         w = batch[weight_col].astype("float64").to_numpy()
@@ -364,8 +369,9 @@ def weighted_sample(
         # 16^13 = 2^52: u in (0, 1], never 0, representable exactly
         u = (v.astype(np.float64) + 1.0) / 4503599627370497.0
         out = batch[keep].copy()
-        out["__key"] = np.where(w > 0, u ** (1.0 / np.maximum(w, 1e-300)), 0.0)
-        return out[out["__key"] > 0.0]
+        with np.errstate(divide="ignore"):
+            out["__key"] = np.log(u) / np.where(w > 0, w, np.nan)
+        return out[np.isfinite(out["__key"].to_numpy())]
 
     picked = topk(
         ds.map_batches(score, batch_format="pandas"),

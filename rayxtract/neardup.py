@@ -108,10 +108,35 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     return partial.groupby("fp").aggregate(Min(id_col, alias_name=id_col))
 
 
-def _spill_and_reread(ds, spill_dir: str):
+def _validate_spill_params(spill_dir: str, params: dict | None) -> None:
+    """Guard against serving a spill cache built with DIFFERENT operator
+    parameters (correctness would otherwise rest on every caller
+    hand-encoding every parameter into the directory name). A published
+    cache with no _PARAMS.json predates this check and is accepted."""
+    import json
+    import os
+
+    if not params:
+        return
+    pfile = os.path.join(spill_dir, "_PARAMS.json")
+    if os.path.exists(pfile):
+        with open(pfile) as f:
+            found = json.load(f)
+        if found != params:
+            raise ValueError(
+                f"spill cache {spill_dir} was built with {found}, "
+                f"requested {params} — use a distinct spill dir per "
+                "parameter set"
+            )
+
+
+def _spill_and_reread(ds, spill_dir: str, params: dict | None = None):
     """Write a Dataset to parquet once (marker-gated, publish-race
     tolerant) and return a fresh read of it — the disk-backed alternative
-    to pinning a large intermediate in the object store."""
+    to pinning a large intermediate in the object store. ``params``
+    records the operator parameters inside the published dir and is
+    validated on every cache hit."""
+    import json
     import os
     import shutil
 
@@ -122,6 +147,9 @@ def _spill_and_reread(ds, spill_dir: str):
         tmp = f"{spill_dir}.tmp.{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
         ds.write_parquet(tmp)
+        if params:
+            with open(os.path.join(tmp, "_PARAMS.json"), "w") as f:
+                json.dump(params, f)
         with open(os.path.join(tmp, "_SPILL_COMPLETE"), "w") as f:
             f.write("ok\n")
         try:
@@ -130,6 +158,7 @@ def _spill_and_reread(ds, spill_dir: str):
             shutil.rmtree(tmp, ignore_errors=True)
             if not os.path.exists(marker):
                 raise RuntimeError(f"spill publish failed for {spill_dir}") from None
+    _validate_spill_params(spill_dir, params)
     return ray.data.read_parquet(spill_dir, file_extensions=["parquet"])
 
 
@@ -388,6 +417,16 @@ def minhash_candidate_pairs(
 
     from .joins import bucketed_join
 
+    est_params = {
+        "kind": "minhash_est",
+        "num_perm": num_perm,
+        "n_bands": n_bands,
+        "seed": seed,
+        "size_cap": bucket_size_cap,
+        "max_reps": bucket_max_reps,
+    }
+    sig_params = {"kind": "minhash_sigs", "num_perm": num_perm, "seed": seed}
+
     def _thresholded(est_ds):
         def filt(batch: pd.DataFrame) -> pd.DataFrame:
             return batch[batch["jaccard_est"] >= jaccard_threshold]
@@ -397,6 +436,7 @@ def minhash_candidate_pairs(
     if est_spill_dir and os.path.exists(
         os.path.join(est_spill_dir, "_SPILL_COMPLETE")
     ):
+        _validate_spill_params(est_spill_dir, est_params)
         return _thresholded(
             ray.data.read_parquet(est_spill_dir, file_extensions=["parquet"])
         )
@@ -429,7 +469,9 @@ def minhash_candidate_pairs(
             )
 
         sigs = _spill_and_reread(
-            sigs.map_batches(_sig_arrow, batch_format="pandas"), sig_spill_dir
+            sigs.map_batches(_sig_arrow, batch_format="pandas"),
+            sig_spill_dir,
+            params=sig_params,
         )
     else:
         sigs = sigs.materialize()
@@ -497,7 +539,7 @@ def minhash_candidate_pairs(
 
     est = with_ab.map_batches(estimate, batch_format="pandas")
     if est_spill_dir:
-        est = _spill_and_reread(est, est_spill_dir)
+        est = _spill_and_reread(est, est_spill_dir, params=est_params)
     return _thresholded(est)
 
 

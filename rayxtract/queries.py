@@ -1313,7 +1313,9 @@ def q_emb_kmeans(sf_dir: str):
     from .agg import tree_aggregate
     from .ann import kmeans_assign, kmeans_fit
 
-    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # materialized ONCE, shared by init/rounds/assignment (kmeans_fit
+    # would otherwise re-read the parquet every Lloyd round)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
     cents, _inertia = kmeans_fit(emb, k=8, n_iter=8, seed=13)
     assigned = kmeans_assign(emb, cents)
     return tree_aggregate(
@@ -1335,7 +1337,7 @@ def q_emb_cluster_medoids(sf_dir: str):
     from .ann import kmeans_assign, kmeans_fit
     from .curation import stratified_sample
 
-    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
     cents, _ = kmeans_fit(emb, k=8, n_iter=8, seed=13)
     assigned = kmeans_assign(emb, cents)
 
@@ -2033,10 +2035,13 @@ def q_doc_stratified_sample(sf_dir: str):
 def q_doc_weighted_sample(sf_dir: str):
     """Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
     50 docs drawn proportional to character length via DETERMINISTIC
-    md5(doc_id) uniforms and key = u^(1/w) — weighted mixture draws with
+    md5(doc_id) uniforms and key = u^(1/w) (computed as ln(u)/w — order-
+    equivalent, underflow-immune) — weighted mixture draws with
     resume-stable output. Distributed cost is the agg.topk combiner
     (<= 50 rows per batch reach the final sort). Oracle-checked: DuckDB
-    recomputes the identical hash uniforms and power keys."""
+    recomputes BIT-IDENTICAL hash uniforms (the all-DOUBLE cast form;
+    the naive +1.0/literal path is 1 ulp off for ~10% of ids) and ranks
+    by power(u, 1/w), order-equivalent to the engine's log-space key."""
     from .curation import weighted_sample
 
     def with_len(batch: pd.DataFrame) -> pd.DataFrame:
@@ -3733,8 +3738,8 @@ ORACLE_SQL = {
     "doc_weighted_sample": """
         WITH t AS (
           SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars_w,
-                 (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS UBIGINT) + 1.0)
-                   / 4503599627370497.0 AS u
+                 (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS UBIGINT) AS DOUBLE)
+                    + CAST(1 AS DOUBLE)) / CAST(4503599627370497 AS DOUBLE) AS u
           FROM documents
           WHERE LENGTH(text) > 0
         )

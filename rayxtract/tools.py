@@ -195,10 +195,24 @@ def compact_output(
     n = ds.count()
     files_before = _count_parquet(out_dir)
     n_blocks = max(1, math.ceil(n / max(1, target_rows_per_file)))
-    os.makedirs(dest_dir, exist_ok=True)
-    ds.repartition(n_blocks).write_parquet(
-        dest_dir, min_rows_per_file=target_rows_per_file
-    )
+    # write-to-tmp + atomic rename (the _spill_and_reread publish
+    # discipline): a re-run must not append duplicate files into a
+    # previously-published dest, and a crash mid-write must not leave a
+    # partial dest that looks complete
+    if os.path.exists(dest_dir):
+        raise FileExistsError(
+            f"compact_output dest already exists: {dest_dir} "
+            "(remove it or compact to a fresh path)"
+        )
+    tmp = f"{dest_dir}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        ds.repartition(n_blocks).write_parquet(
+            tmp, min_rows_per_file=target_rows_per_file
+        )
+        os.rename(tmp, dest_dir)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return {
         "rows": n,
         "files_before": files_before,

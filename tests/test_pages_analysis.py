@@ -122,3 +122,32 @@ def test_minhash_est_spill_cache_equivalence(small_corpus, tmp_path):
     direct_035 = canon(minhash_candidate_pairs(docs, jaccard_threshold=0.35))
     pd.testing.assert_frame_equal(warm_035, direct_035)
     assert len(warm_035) >= len(cold)
+
+
+def test_minhash_est_spill_rejects_mismatched_params(small_corpus, tmp_path):
+    """A cache built with one LSH parameter set must not silently serve a
+    request with different parameters."""
+    import pandas as pd
+    import pytest
+
+    from rayxtract.neardup import minhash_candidate_pairs
+    from rayxtract.ops import ExtractConfig
+    from rayxtract.pipeline import extraction_dataset
+
+    pages_dir, _ = small_corpus
+    ds = extraction_dataset(pages_dir, ExtractConfig()).filter(expr="error == ''")
+    docs = ds.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "doc_id": b["url"].str.slice(-8).astype("int64"),
+                "text": b["text"],
+            }
+        ),
+        batch_format="pandas",
+    )
+    est_dir = str(tmp_path / "est")
+    minhash_candidate_pairs(docs, jaccard_threshold=0.45, est_spill_dir=est_dir)
+    with pytest.raises(ValueError, match="built with"):
+        minhash_candidate_pairs(
+            docs, jaccard_threshold=0.45, est_spill_dir=est_dir, num_perm=128
+        )

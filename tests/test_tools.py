@@ -131,3 +131,13 @@ def test_compact_output_content_identity(extracted_small, tmp_path):
     pd.testing.assert_frame_equal(
         a[common], b[common], check_dtype=False
     )
+
+
+def test_compact_output_rerun_refuses(extracted_small, tmp_path):
+    from rayxtract.tools import compact_output
+
+    _, _, out = extracted_small
+    dest = str(tmp_path / "c2")
+    compact_output(out, dest, target_rows_per_file=100000)
+    with pytest.raises(FileExistsError):
+        compact_output(out, dest, target_rows_per_file=100000)
