@@ -1,0 +1,81 @@
+"""WARC source: parser round-trip, gzip members, skip/truncation rules."""
+
+import gzip
+
+import pandas as pd
+
+from rayxtract.warc import parse_warc_records, read_warc, warc_bytes
+
+RECS = [
+    {
+        "url": "https://a.example/p/1",
+        "warc_ts_us": 1_700_000_000_000_000,
+        "html": b'<!DOCTYPE html><html><body><div class="content-body"><p>alpha beta gamma delta epsilon zeta eta theta alpha beta gamma delta epsilon zeta eta theta alpha beta gamma delta epsilon zeta eta theta alpha beta gamma delta epsilon zeta eta theta alpha beta gamma delta epsilon zeta eta theta alpha beta gamma delta epsilon zeta eta theta alpha beta gamma delta epsilon zeta eta theta alpha beta gamma delta epsilon zeta eta theta </p></div></body></html>',
+    },
+    {
+        "url": "https://b.example/p/2",
+        "warc_ts_us": 1_700_000_060_000_000,
+        "html": b'<!DOCTYPE html><html><body><div class="content-body"><p>omega beta gamma delta epsilon zeta eta theta omega beta gamma delta epsilon zeta eta theta omega beta gamma delta epsilon zeta eta theta omega beta gamma delta epsilon zeta eta theta omega beta gamma delta epsilon zeta eta theta omega beta gamma delta epsilon zeta eta theta omega beta gamma delta epsilon zeta eta theta omega beta gamma delta epsilon zeta eta theta </p></div></body></html>',
+    },
+]
+
+
+def test_roundtrip_plain_and_gzip_members():
+    for gz in (False, True):
+        got = parse_warc_records(warc_bytes(RECS, gzip_members=gz))
+        assert got == RECS, f"gzip_members={gz}"
+
+
+def test_whole_file_gzip():
+    got = parse_warc_records(gzip.compress(warc_bytes(RECS)))
+    assert got == RECS
+
+
+def test_non_response_records_skipped():
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nabcd\r\n\r\n"
+    )
+    req = (
+        b"WARC/1.0\r\nWARC-Type: request\r\n"
+        b"WARC-Target-URI: https://a.example/p/1\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n"
+    )
+    buf = info + warc_bytes(RECS[:1]) + req + warc_bytes(RECS[1:])
+    assert parse_warc_records(buf) == RECS
+
+
+def test_truncated_trailing_record_dropped():
+    full = warc_bytes(RECS)
+    # cut into the middle of the second record's payload
+    cut = full[: len(warc_bytes(RECS[:1])) + 80]
+    assert parse_warc_records(cut) == RECS[:1]
+
+
+def test_read_warc_dataset(ray_session, tmp_path):
+    (tmp_path / "shard0.warc").write_bytes(warc_bytes(RECS))
+    (tmp_path / "shard1.warc.gz").write_bytes(
+        gzip.compress(warc_bytes([RECS[0] | {"url": "https://c.example/p/3"}]))
+    )
+    df = (
+        read_warc([str(tmp_path / "shard0.warc"), str(tmp_path / "shard1.warc.gz")])
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert list(df["url"]) == [
+        "https://a.example/p/1",
+        "https://b.example/p/2",
+        "https://c.example/p/3",
+    ]
+    assert df["warc_ts_us"].dtype == "int64"
+    assert bytes(df["html"][0]).startswith(b"<!DOCTYPE html>")
+
+
+def test_warc_feeds_extraction(ray_session, tmp_path):
+    """WARC rows drive the engine's DOM extraction end-to-end."""
+    from rayxtract.dom import extract_main_content
+
+    (tmp_path / "s.warc").write_bytes(warc_bytes(RECS))
+    df = read_warc([str(tmp_path / "s.warc")]).to_pandas()
+    texts = [extract_main_content(bytes(h).decode("utf-8"))[0] for h in df["html"]]
+    assert texts[0].startswith("alpha beta") and texts[1].startswith("omega beta")
+    assert len(texts[0]) > 300
