@@ -79,3 +79,33 @@ def test_warc_feeds_extraction(ray_session, tmp_path):
     texts = [extract_main_content(bytes(h).decode("utf-8"))[0] for h in df["html"]]
     assert texts[0].startswith("alpha beta") and texts[1].startswith("omega beta")
     assert len(texts[0]) > 300
+
+
+def test_warc_roundtrip_property():
+    """Property: arbitrary binary bodies — including ones embedding the
+    record delimiter and 'WARC/' magic — round-trip exactly (the parser
+    frames on Content-Length, never on content)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    body = st.binary(min_size=0, max_size=200)
+    adversarial = st.sampled_from(
+        [b"\r\n\r\nWARC/1.0\r\n", b"WARC/", b"\r\n\r\n", b"HTTP/1.1 200 OK"]
+    )
+    record = st.builds(
+        lambda i, b, adv: {
+            "url": f"https://h{i}.example/p/{i}",
+            "warc_ts_us": 1_700_000_000_000_000 + i * 1_000_000,
+            "html": adv + b + adv,
+        },
+        st.integers(0, 99),
+        body,
+        adversarial,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(record, min_size=0, max_size=5), st.booleans())
+    def check(recs, gz):
+        assert parse_warc_records(warc_bytes(recs, gzip_members=gz)) == recs
+
+    check()
