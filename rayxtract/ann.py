@@ -169,11 +169,12 @@ def _hash_sample(ds, n: int, seed: int, id_col: str, columns: list[str]):
 
     def rank(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch[columns].copy()
+        # hash the id's string form — works for int AND string id columns
         out["__r"] = [
             int.from_bytes(
                 hashlib.md5(f"{seed}:{i}".encode()).digest()[:8], "big"
             ) - (1 << 63)
-            for i in batch[id_col].astype("int64")
+            for i in batch[id_col]
         ]
         return out
 
@@ -226,14 +227,14 @@ def kmeans_fit(
 
     import ray
 
-    # one materialization up front: the init sample + every Lloyd round +
-    # the caller's assignment pass would otherwise re-execute the input
-    # pipeline once each (~n_iter+2 full re-reads). Pass a column-pruned
-    # (id, vector) dataset — that is what gets pinned (spillable).
+    # one materialization up front: the init sample + every Lloyd round
+    # would otherwise re-execute the input pipeline once each (~n_iter+1
+    # full re-reads). Pruned to (id, vector) BEFORE pinning so a wide
+    # caller dataset never parks its payload columns in the object store.
     from ray.data.dataset import MaterializedDataset
 
     if not isinstance(ds, MaterializedDataset):
-        ds = ds.materialize()
+        ds = ds.select_columns([id_col, vec_col]).materialize()
     cents = _kmeans_init(ds, k, seed, id_col, vec_col)
     inertia = float("nan")
     for _ in range(n_iter):

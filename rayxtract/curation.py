@@ -351,7 +351,8 @@ def weighted_sample(
     """
     from .agg import topk
 
-    keep = list(out_cols or [id_col, weight_col])
+    out_keep = list(out_cols or [id_col, weight_col])
+    keep = list(out_keep)
     if id_col not in keep:  # topk's total-order tiebreak is mandatory
         keep.insert(0, id_col)
 
@@ -381,6 +382,8 @@ def weighted_sample(
     )
 
     def strip(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[keep]
+        # exactly the caller's requested columns — the injected id was
+        # only ever topk's internal tiebreak
+        return batch[out_keep]
 
     return picked.map_batches(strip, batch_format="pandas")

@@ -66,19 +66,59 @@ def test_read_warc_dataset(ray_session, tmp_path):
         "https://b.example/p/2",
         "https://c.example/p/3",
     ]
-    assert df["warc_ts_us"].dtype == "int64"
+    # PAGES_SCHEMA contract: timestamp[us] + text/lang present
+    assert str(df["warc_ts"].dtype).startswith("datetime64")
+    assert list(df.columns) == ["url", "warc_ts", "html", "text", "lang"]
     assert bytes(df["html"][0]).startswith(b"<!DOCTYPE html>")
 
 
-def test_warc_feeds_extraction(ray_session, tmp_path):
-    """WARC rows drive the engine's DOM extraction end-to-end."""
-    from rayxtract.dom import extract_main_content
+def test_damaged_record_skipped_not_fatal():
+    """A corrupted Content-Length mid-shard loses THAT record only."""
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://bad.example/x\r\n"
+        b"WARC-Date: 2023-11-14T22:13:20Z\r\n"
+        b"Content-Length: oops\r\n\r\njunk\r\n\r\n"
+    )
+    buf = warc_bytes(RECS[:1]) + bad + warc_bytes(RECS[1:])
+    assert parse_warc_records(buf) == RECS
+
+
+def test_unparseable_date_skipped_not_fatal():
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://bad.example/x\r\n"
+        b"WARC-Date: not-a-date\r\n"
+        b"Content-Length: 4\r\n\r\njunk\r\n\r\n"
+    )
+    buf = bad + warc_bytes(RECS)
+    assert parse_warc_records(buf) == RECS
+
+
+def test_fractional_date_and_unicode_url_roundtrip():
+    recs = [
+        RECS[0]
+        | {"url": "https://exämple.com/p/ü", "warc_ts_us": 1_700_000_000_123_456}
+    ]
+    assert parse_warc_records(warc_bytes(recs)) == recs
+
+
+def test_warc_feeds_extraction_pipeline(ray_session, tmp_path):
+    """The advertised path: WARC -> write_parquet -> run_extraction."""
+    from rayxtract.ops import ExtractConfig
+    from rayxtract.pipeline import run_extraction
 
     (tmp_path / "s.warc").write_bytes(warc_bytes(RECS))
-    df = read_warc([str(tmp_path / "s.warc")]).to_pandas()
-    texts = [extract_main_content(bytes(h).decode("utf-8"))[0] for h in df["html"]]
-    assert texts[0].startswith("alpha beta") and texts[1].startswith("omega beta")
-    assert len(texts[0]) > 300
+    pages_dir = str(tmp_path / "pages")
+    read_warc([str(tmp_path / "s.warc")]).write_parquet(pages_dir)
+    out = str(tmp_path / "out")
+    report = run_extraction(pages_dir, out, ExtractConfig(), resume=False)
+    assert report["rows"] == 2
+    import ray.data
+
+    df = ray.data.read_parquet(out).to_pandas().sort_values("url")
+    assert df["text"].iloc[0].startswith("alpha beta")
+    assert df["text"].iloc[1].startswith("omega beta")
 
 
 def test_warc_roundtrip_property():
@@ -93,14 +133,16 @@ def test_warc_roundtrip_property():
         [b"\r\n\r\nWARC/1.0\r\n", b"WARC/", b"\r\n\r\n", b"HTTP/1.1 200 OK"]
     )
     record = st.builds(
-        lambda i, b, adv: {
-            "url": f"https://h{i}.example/p/{i}",
-            "warc_ts_us": 1_700_000_000_000_000 + i * 1_000_000,
+        lambda i, b, adv, us, uni: {
+            "url": f"https://h{i}{uni}.example/p/{i}",
+            "warc_ts_us": 1_700_000_000_000_000 + i * 1_000_000 + us,
             "html": adv + b + adv,
         },
         st.integers(0, 99),
         body,
         adversarial,
+        st.integers(0, 999_999),  # sub-second microseconds
+        st.sampled_from(["", "ä", "中"]),  # unicode in the url
     )
 
     @settings(max_examples=50, deadline=None)
