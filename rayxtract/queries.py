@@ -1586,6 +1586,120 @@ def q_pages_pagerank(sf_dir: str):
     )
 
 
+def _warc_shards_root(sf_dir: str) -> str:
+    """Deterministic WARC twin of the corpus' md5(url)-prefix-'0' slice
+    (~1/16 of recrawl rows), built ONCE behind the marker-gated publish
+    pattern: rows pull to the driver (bounded — a 1/16 slice of one tier),
+    serialize via warc.warc_bytes into 4 gzip-member shards, rename-
+    publish. Pure function of the tier, so the SQL oracle can predicate
+    the parquet identically."""
+    import os
+    import shutil
+
+    from .warc import warc_bytes
+
+    root = _oracle_corpus_root(sf_dir)
+    out = f"{root}.warc_shards_v1"
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    import hashlib as _hl
+
+    import ray.data
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    rows = [
+        r
+        for r in ray.data.read_parquet(
+            pages_dir, columns=["url", "warc_ts", "html"]
+        ).iter_rows()
+        if _hl.md5(r["url"].encode()).hexdigest()[0] == "0"
+    ]
+    rows.sort(key=lambda r: (r["url"], r["warc_ts"]))
+    recs = [
+        {
+            "url": r["url"],
+            "warc_ts_us": int(pd.Timestamp(r["warc_ts"]).value // 1000),
+            "html": bytes(r["html"]),
+        }
+        for r in rows
+    ]
+    tmp = f"{out}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    n_shards = 4
+    for s in range(n_shards):
+        with open(os.path.join(tmp, f"shard{s}.warc.gz"), "wb") as f:
+            f.write(warc_bytes(recs[s::n_shards], gzip_members=True))
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+        f.write("ok\n")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise
+    return out
+
+
+def q_pages_warc_ingest(sf_dir: str):
+    """WARC INGEST, oracle-checked: a deterministic WARC twin of the
+    corpus' md5(url)-prefix-'0' slice parses back through the engine's
+    read_warc source (gzip members, Content-Length framing) and must
+    byte-agree with the parquet it was built from — (url, warc_ts max,
+    n_rows, payload md5 of the latest row's bytes) per url; DuckDB
+    recomputes all four from the pages parquet under the same predicate.
+    Proves the CC-container path end-to-end in the driver gate, not just
+    in pytest."""
+    import os
+
+    from .warc import read_warc
+
+    root = _warc_shards_root(sf_dir)
+    paths = sorted(
+        os.path.join(root, f)
+        for f in os.listdir(root)
+        if f.endswith(".warc.gz")
+    )
+    ds = read_warc(paths)
+
+    def digest(batch: pd.DataFrame) -> pd.DataFrame:
+        import binascii
+        import hashlib as _hl
+
+        return pd.DataFrame(
+            {
+                "url": batch["url"].astype(str).values,
+                "ts_us": batch["warc_ts"]
+                .values.astype("datetime64[us]")
+                .astype("int64"),
+                # md5 over the UPPERCASE hex form — the form DuckDB's
+                # hex(blob) emits (the media-oracle convention)
+                "payload_md5": [
+                    _hl.md5(binascii.hexlify(bytes(h)).upper()).hexdigest()
+                    for h in batch["html"]
+                ],
+            }
+        )
+
+    keyed = ds.map_batches(digest, batch_format="pandas")
+
+    def per_url(group: pd.DataFrame) -> pd.DataFrame:
+        # (ts, md5) sort: synth recrawls CAN tie on exact ts — the md5
+        # tiebreak keeps 'latest' deterministic and SQL-replicable
+        g = group.sort_values(["ts_us", "payload_md5"], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "url": [g["url"].iloc[0]],
+                "max_ts_us": pd.Series([g["ts_us"].max()], dtype="int64"),
+                "n_rows": pd.Series([len(g)], dtype="int64"),
+                "latest_md5": [g["payload_md5"].iloc[-1]],
+            }
+        )
+
+    return keyed.groupby("url").map_groups(per_url, batch_format="pandas")
+
+
 def q_pages_media_features(sf_dir: str):
     """Multimodal plumbing: treat page payloads as opaque media binaries,
     run the actor-pool fake-decode stage (small batch_size for big blobs).
@@ -3282,6 +3396,7 @@ QUERIES = {
     "pages_neardup_exact": q_pages_neardup_exact,
     "pages_dedup_clusters": q_pages_dedup_clusters,
     "pages_media_features": q_pages_media_features,
+    "pages_warc_ingest": q_pages_warc_ingest,
     "media_audio_features": q_media_audio_features,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
@@ -4059,6 +4174,23 @@ def _pages_oracles(sf_dir: str) -> dict[str, str]:
     media = f"{_media_root(sf_dir)}/*.parquet"
     prefix, suffix = _prompt_parts()
     return {
+        "pages_warc_ingest": f"""
+            WITH s AS (
+              SELECT url, CAST(epoch_us(warc_ts) AS BIGINT) AS ts_us,
+                     md5(hex(html)) AS payload_md5
+              FROM read_parquet('{pages}')
+              WHERE substr(md5(url), 1, 1) = '0'
+            )
+            , agg AS (
+              SELECT url, MAX(ts_us) AS max_ts_us,
+                     CAST(COUNT(*) AS BIGINT) AS n_rows
+              FROM s GROUP BY url
+            )
+            SELECT a.url, a.max_ts_us, a.n_rows,
+                   MAX(s.payload_md5) AS latest_md5
+            FROM agg a JOIN s ON s.url = a.url AND s.ts_us = a.max_ts_us
+            GROUP BY a.url, a.max_ts_us, a.n_rows
+        """,
         "pages_recrawl_winners": f"""
             SELECT url, CAST(epoch_us(MAX(warc_ts)) AS BIGINT) AS max_ts_us
             FROM read_parquet('{pages}')
