@@ -1608,13 +1608,20 @@ def _warc_shards_root(sf_dir: str) -> str:
     import ray.data
 
     pages_dir, _ = _pages_corpus(sf_dir)
-    rows = [
-        r
-        for r in ray.data.read_parquet(
-            pages_dir, columns=["url", "warc_ts", "html"]
-        ).iter_rows()
-        if _hl.md5(r["url"].encode()).hexdigest()[0] == "0"
-    ]
+
+    def keep_slice(batch: pd.DataFrame) -> pd.DataFrame:
+        m = [
+            _hl.md5(u.encode()).hexdigest()[0] == "0" for u in batch["url"]
+        ]
+        return batch.loc[m]
+
+    # the 1/16 predicate runs IN the read tasks — only the slice's rows
+    # (not the whole tier's payloads) ever cross to the driver builder
+    rows = list(
+        ray.data.read_parquet(pages_dir, columns=["url", "warc_ts", "html"])
+        .map_batches(keep_slice, batch_format="pandas")
+        .iter_rows()
+    )
     rows.sort(key=lambda r: (r["url"], r["warc_ts"]))
     recs = [
         {
