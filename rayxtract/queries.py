@@ -2153,6 +2153,40 @@ def q_doc_stratified_sample(sf_dir: str):
     return out.select_columns(["doc_id", "lang"])
 
 
+def q_doc_canonical_urls(sf_dir: str):
+    """URL CANONICALIZATION — the dedup-key normalization every web
+    pipeline runs before url-level dedup. Three deterministic messy-url
+    shapes (mixed-case scheme/host, default and explicit ports, duplicate
+    path slashes, fragments, query-embedded '//') derive from doc_id;
+    the engine canonicalizes with textops.canonicalize_url and the DuckDB
+    oracle reconstructs AND canonicalizes the same urls with an
+    independent SQL implementation (split_part/lower/regexp_replace)."""
+    from .textops import canonicalize_url
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].astype("int64")
+        messy = [
+            (
+                f"HTTPS://Site{i % 97:04d}.Example.COM:443//p//{i}?q=//x#f{i}"
+                if i % 3 == 0
+                else f"http://site{i % 97:04d}.example.com:80/a/{i}"
+                if i % 3 == 1
+                else f"https://site{i % 97:04d}.example.com:8443/B//{i}#x"
+            )
+            for i in ids
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": ids.values,
+                "canonical_url": [canonicalize_url(u) for u in messy],
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
 def q_doc_weighted_sample(sf_dir: str):
     """Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
     50 docs drawn proportional to character length via DETERMINISTIC
@@ -3368,6 +3402,7 @@ QUERIES = {
     "doc_split_assign": q_doc_split_assign,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_weighted_sample": q_doc_weighted_sample,
+    "doc_canonical_urls": q_doc_canonical_urls,
     "doc_chunk": q_doc_chunk,
     "doc_gopher_quality": q_doc_gopher_quality,
     "doc_pii_redact": q_doc_pii_redact,
@@ -3856,6 +3891,45 @@ ORACLE_SQL = {
                     WHEN substr(md5(text), 1, 1) IN ('1', '2') THEN 'val'
                     ELSE 'train' END AS split
         FROM documents
+    """,
+    "doc_canonical_urls": """
+        WITH m AS (
+          SELECT doc_id,
+                 CASE CAST(doc_id % 3 AS INTEGER)
+                   WHEN 0 THEN 'HTTPS://Site' || lpad(CAST(doc_id % 97 AS VARCHAR), 4, '0')
+                             || '.Example.COM:443//p//' || CAST(doc_id AS VARCHAR)
+                             || '?q=//x#f' || CAST(doc_id AS VARCHAR)
+                   WHEN 1 THEN 'http://site' || lpad(CAST(doc_id % 97 AS VARCHAR), 4, '0')
+                             || '.example.com:80/a/' || CAST(doc_id AS VARCHAR)
+                   ELSE 'https://site' || lpad(CAST(doc_id % 97 AS VARCHAR), 4, '0')
+                             || '.example.com:8443/B//' || CAST(doc_id AS VARCHAR) || '#x'
+                 END AS u
+          FROM documents
+        ), parts AS (
+          SELECT doc_id,
+                 lower(split_part(split_part(u, '#', 1), '://', 1)) AS scheme,
+                 substr(split_part(u, '#', 1), strpos(u, '://') + 3) AS rest
+          FROM m
+        ), auth AS (
+          SELECT doc_id, scheme,
+                 lower(split_part(rest, '/', 1)) AS authority,
+                 substr(rest, length(split_part(rest, '/', 1)) + 1) AS path
+          FROM parts
+        ), norm AS (
+          SELECT doc_id, scheme,
+                 CASE WHEN scheme = 'https' AND authority LIKE '%:443'
+                        THEN left(authority, length(authority) - 4)
+                      WHEN scheme = 'http' AND authority LIKE '%:80'
+                        THEN left(authority, length(authority) - 3)
+                      ELSE authority END AS authority,
+                 regexp_replace(split_part(path, '?', 1), '/{2,}', '/', 'g')
+                   AS p,
+                 CASE WHEN strpos(path, '?') > 0
+                      THEN '?' || split_part(path, '?', 2) ELSE '' END AS q
+          FROM auth
+        )
+        SELECT doc_id, scheme || '://' || authority || p || q AS canonical_url
+        FROM norm
     """,
     "doc_weighted_sample": """
         WITH t AS (

@@ -20,6 +20,8 @@ import numpy as np
 import pandas as pd
 
 __all__ = [
+    "canonicalize_url",
+    "add_canonical_url",
     "add_token_counts",
     "add_quality_counts",
     "add_fingerprints",
@@ -271,3 +273,52 @@ class HashClassifierBatch:
                 "label": scores > 0,
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization — the dedup key normalization every web pipeline
+# runs before url-level dedup (recrawl winners, link-graph node identity).
+
+_DEFAULT_PORTS = {"http": ":80", "https": ":443"}
+
+
+def canonicalize_url(url: str) -> str:
+    """Canonical form: strip the fragment, lowercase scheme and host, drop
+    the scheme's default port, collapse duplicate path slashes. Path CASE
+    and query string are preserved (case-significant per RFC 3986; a
+    trailing-slash fold is deliberately NOT applied — /a and /a/ can be
+    different resources). Deliberately regex-light so the DuckDB oracle
+    replicates it exactly."""
+    url = url.split("#", 1)[0]
+    sep = url.find("://")
+    if sep == -1:
+        return url
+    scheme = url[:sep].lower()
+    rest = url[sep + 3 :]
+    slash = rest.find("/")
+    if slash == -1:
+        authority, path = rest, ""
+    else:
+        authority, path = rest[:slash], rest[slash:]
+    authority = authority.lower()
+    dp = _DEFAULT_PORTS.get(scheme)
+    if dp and authority.endswith(dp):
+        authority = authority[: -len(dp)]
+    # collapse duplicate slashes in the PATH only — a query string may
+    # legitimately embed '//' (redirect URLs etc.)
+    q = path.find("?")
+    if q == -1:
+        p, query = path, ""
+    else:
+        p, query = path[:q], path[q:]
+    while "//" in p:
+        p = p.replace("//", "/")
+    return f"{scheme}://{authority}{p}{query}"
+
+
+def add_canonical_url(
+    batch: pd.DataFrame, col: str = "url", out: str = "canonical_url"
+) -> pd.DataFrame:
+    res = batch.copy()
+    res[out] = [canonicalize_url(u) for u in batch[col]]
+    return res

@@ -553,3 +553,17 @@ def test_hash_classifier_kernel():
         hashlib.md5(b"hello").hexdigest()[:8], 16
     ) % 2001 - 1000
     assert -1000 <= _hash_weight("anything") <= 1000
+
+
+def test_canonicalize_url_kernel():
+    from rayxtract.textops import canonicalize_url as c
+
+    assert (
+        c("HTTPS://WWW.Example.COM:443/Path//To///x?Q=Mixed#frag")
+        == "https://www.example.com/Path/To/x?Q=Mixed"
+    )
+    assert c("http://Host:80/a//b?u=//cdn") == "http://host/a/b?u=//cdn"
+    assert c("http://Host:8080/a") == "http://host:8080/a"  # non-default kept
+    assert c("https://h.example") == "https://h.example"  # no path
+    assert c("mailto:x@y") == "mailto:x@y"  # no authority -> untouched
+    assert c("https://h.example/a/") == "https://h.example/a/"  # trailing kept
