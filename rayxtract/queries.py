@@ -2153,6 +2153,51 @@ def q_doc_stratified_sample(sf_dir: str):
     return out.select_columns(["doc_id", "lang"])
 
 
+def q_pages_url_rules(sf_dir: str):
+    """URL RULE FILTERING — the blocklist stage (spam domains, disallowed
+    path prefixes) every crawl pipeline runs before extraction. The rule
+    table is the classic broadcast small side: shipped once via ray.put,
+    applied per batch with vectorized str ops (host exact-match against a
+    set + path-prefix startswith). Deterministic rules derive from the
+    synth host space (hosts siteNNNN with NNNN %% 37 == 0; path prefix
+    /p/0000004) so the DuckDB oracle applies identical predicates.
+    Output: (url, verdict) for every distinct url."""
+    import ray
+
+    # hosts siteNNNN with NNNN % 37 == 0 are "spam"; /press/ paths are
+    # disallowed — both deterministic, both SQL-replicable
+    blocked_hosts = frozenset(
+        f"site{i:04d}.example" for i in range(0, 1200) if i % 37 == 0
+    )
+    rules_ref = ray.put((blocked_hosts, ("/p/0000004",)))
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    import ray.data
+
+    ds = ray.data.read_parquet(pages_dir, columns=["url"])
+
+    def verdict(batch: pd.DataFrame) -> pd.DataFrame:
+        hosts_block, path_prefixes = ray.get(rules_ref)
+        urls = batch["url"].astype(str)
+        hosts = urls.str.split("/").str[2]
+        paths = "/" + urls.str.split("/", n=3).str[3].fillna("")
+        v = np.where(
+            hosts.isin(hosts_block),
+            "blocked_host",
+            np.where(
+                paths.str.startswith(tuple(path_prefixes)),
+                "blocked_path",
+                "allowed",
+            ),
+        )
+        return pd.DataFrame({"url": urls.values, "verdict": v})
+
+    out = ds.map_batches(verdict, batch_format="pandas")
+    return out.groupby("url").map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
 def q_doc_canonical_urls(sf_dir: str):
     """URL CANONICALIZATION — the dedup-key normalization every web
     pipeline runs before url-level dedup. Three deterministic messy-url
@@ -3439,6 +3484,7 @@ QUERIES = {
     "pages_dedup_clusters": q_pages_dedup_clusters,
     "pages_media_features": q_pages_media_features,
     "pages_warc_ingest": q_pages_warc_ingest,
+    "pages_url_rules": q_pages_url_rules,
     "media_audio_features": q_media_audio_features,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
@@ -4255,6 +4301,16 @@ def _pages_oracles(sf_dir: str) -> dict[str, str]:
     media = f"{_media_root(sf_dir)}/*.parquet"
     prefix, suffix = _prompt_parts()
     return {
+        "pages_url_rules": f"""
+            SELECT DISTINCT url,
+                   CASE WHEN CAST(substr(split_part(url, '/', 3), 5, 4) AS INTEGER) % 37 = 0
+                          THEN 'blocked_host'
+                        WHEN regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1)
+                               LIKE '/p/0000004%'
+                          THEN 'blocked_path'
+                        ELSE 'allowed' END AS verdict
+            FROM read_parquet('{pages}')
+        """,
         "pages_warc_ingest": f"""
             WITH s AS (
               SELECT url, CAST(epoch_us(warc_ts) AS BIGINT) AS ts_us,
