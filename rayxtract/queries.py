@@ -2153,6 +2153,74 @@ def q_doc_stratified_sample(sf_dir: str):
     return out.select_columns(["doc_id", "lang"])
 
 
+def q_events_ntile_buckets(sf_dir: str):
+    """GLOBAL NTILE / RANGE PARTITIONER: assign every event to one of 8
+    equal-count buckets by global (value, event_id) rank — the explicit
+    form of the range partitioning a distributed sort performs internally
+    (boundary-balanced output partitions for downstream locality).
+    Distributed as the classic two-phase rank: micro-cent value-range
+    histogram (tree_aggregate — one tiny row per range) -> O(ranges)
+    driver prefix offsets -> per-range local sort + offset rank -> exact
+    SQL ntile() bucket arithmetic. No corpus-sized sort; the only
+    exchange is the range groupby. Oracle: ntile(8) OVER (ORDER BY
+    value, event_id)."""
+    from .agg import tree_aggregate
+
+    K = 8
+    # micro-cents avoid float-range boundary ambiguity; synth values are
+    # round to cents so the int cast is exact
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        v = np.rint(batch["value"].astype("float64") * 100).astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"].astype("int64").values,
+                "cents": v,
+                "__range": v // 1000,
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "value"]).map_batches(
+        keyed, batch_format="pandas"
+    )
+    sums = (
+        tree_aggregate(ds, keys=["__range"], aggs={"n": ("event_id", "count")})
+        .to_pandas()
+        .sort_values("__range")
+    )
+    csum = np.cumsum(sums["n"].to_numpy(dtype=np.int64))
+    total = int(csum[-1]) if len(csum) else 0
+    offsets = dict(
+        zip(
+            sums["__range"].astype("int64"),
+            np.concatenate([[np.int64(0)], csum[:-1]]),
+        )
+    )
+
+    def rank_and_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cents", "event_id"], kind="mergesort")
+        r0 = int(offsets[int(g["__range"].iloc[0])])
+        rank = r0 + np.arange(len(g), dtype=np.int64)
+        # exact SQL ntile(K): first n%K buckets hold n//K + 1 rows
+        big = total // K + 1
+        n_big = total % K
+        cut = n_big * big
+        bucket = np.where(
+            rank < cut,
+            rank // big,
+            n_big + (rank - cut) // max(1, total // K),
+        )
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].values,
+                "bucket": (bucket + 1).astype("int64"),  # ntile is 1-based
+            }
+        )
+
+    return ds.groupby("__range").map_groups(
+        rank_and_bucket, batch_format="pandas"
+    )
+
+
 def q_pages_url_rules(sf_dir: str):
     """URL RULE FILTERING — the blocklist stage (spam domains, disallowed
     path prefixes) every crawl pipeline runs before extraction. The rule
@@ -3398,6 +3466,7 @@ QUERIES = {
     "events_salted_join": q_events_salted_join,
     "events_daily_active": q_events_daily_active,
     "events_winsorize": q_events_winsorize,
+    "events_ntile_buckets": q_events_ntile_buckets,
     "events_late_data": q_events_late_data,
     "doc_lang_mode": q_doc_lang_mode,
     "doc_stats_rollup": q_doc_stats_rollup,
@@ -3937,6 +4006,11 @@ ORACLE_SQL = {
                     WHEN substr(md5(text), 1, 1) IN ('1', '2') THEN 'val'
                     ELSE 'train' END AS split
         FROM documents
+    """,
+    "events_ntile_buckets": """
+        SELECT event_id,
+               CAST(ntile(8) OVER (ORDER BY value, event_id) AS BIGINT) AS bucket
+        FROM events
     """,
     "doc_canonical_urls": """
         WITH m AS (
