@@ -2153,6 +2153,48 @@ def q_doc_stratified_sample(sf_dir: str):
     return out.select_columns(["doc_id", "lang"])
 
 
+def q_events_windowed_topk(sf_dir: str):
+    """TRENDING-ITEMS composition: per tumbling 1h window, the top-2 event
+    types by count (ties by type asc) — the windowed grouped-top-k every
+    feed/monitoring pipeline runs. Counts via the combiner tree (bounded
+    by windows x types), then the grouped-top-k combiner per window; the
+    only exchange is one tiny (window, type, n) table."""
+    from .agg import tree_aggregate
+    from .curation import stratified_sample
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_us = batch["ts"].astype("int64")
+        tmp = pd.DataFrame(
+            {
+                "window_id": (ts_us // _HOUR_US).astype("int64").values,
+                "event_type": batch["event_type"].astype(str).values,
+                "n": np.ones(len(batch), dtype="int64"),
+            }
+        )
+        return tmp.groupby(["window_id", "event_type"], as_index=False).sum()
+
+    counts = tree_aggregate(
+        _read(sf_dir, "events", ["ts", "event_type"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        keys=["window_id", "event_type"],
+        aggs={"n": ("n", "sum")},
+    )
+
+    def negate(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.copy()
+        b["neg_n"] = -b["n"].astype("int64")
+        return b
+
+    picked = stratified_sample(
+        counts.map_batches(negate, batch_format="pandas"),
+        "window_id",
+        ["neg_n", "event_type"],
+        k=2,
+    )
+    return picked.select_columns(["window_id", "event_type", "n"])
+
+
 def q_events_ntile_buckets(sf_dir: str):
     """GLOBAL NTILE / RANGE PARTITIONER: assign every event to one of 8
     equal-count buckets by global (value, event_id) rank — the explicit
@@ -3467,6 +3509,7 @@ QUERIES = {
     "events_daily_active": q_events_daily_active,
     "events_winsorize": q_events_winsorize,
     "events_ntile_buckets": q_events_ntile_buckets,
+    "events_windowed_topk": q_events_windowed_topk,
     "events_late_data": q_events_late_data,
     "doc_lang_mode": q_doc_lang_mode,
     "doc_stats_rollup": q_doc_stats_rollup,
@@ -4006,6 +4049,18 @@ ORACLE_SQL = {
                     WHEN substr(md5(text), 1, 1) IN ('1', '2') THEN 'val'
                     ELSE 'train' END AS split
         FROM documents
+    """,
+    "events_windowed_topk": """
+        WITH c AS (
+          SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS window_id,
+                 event_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        )
+        SELECT window_id, event_type, n FROM (
+          SELECT window_id, event_type, n,
+                 row_number() OVER (PARTITION BY window_id ORDER BY n DESC, event_type ASC) AS rn
+          FROM c
+        ) WHERE rn <= 2
     """,
     "events_ntile_buckets": """
         SELECT event_id,
