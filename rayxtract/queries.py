@@ -2153,6 +2153,83 @@ def q_doc_stratified_sample(sf_dir: str):
     return out.select_columns(["doc_id", "lang"])
 
 
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape (shipping priority): BUILDING-segment customers'
+    unshipped orders ranked by revenue. Plan: the qualifying custkey set
+    broadcasts (ray.put, map-side filter — customer is the small side),
+    date-filtered lineitem bucket-joins date-filtered orders on orderkey
+    (ONE shuffle), per-batch partial cent-sums combine in the tree
+    (bounded by qualifying orders), top-10 via the local-top-k combiner.
+    Revenue follows the repo's float convention: per-row
+    floor(ep*(1-disc)*100) then integer sum, mirrored exactly in SQL."""
+    import ray
+
+    from .agg import topk, tree_aggregate
+    from .joins import bucketed_join
+
+    cutoff = pd.Timestamp("1995-03-15")
+
+    c = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = frozenset(
+        c.loc[c["c_mktsegment"] == "BUILDING", "c_custkey"].astype(int)
+    )
+    keys_ref = ray.put(keys)
+
+    def o_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        k = ray.get(keys_ref)
+        m = (pd.to_datetime(batch["o_orderdate"]) < cutoff) & batch[
+            "o_custkey"
+        ].astype("int64").isin(k)
+        out = batch.loc[m, ["o_orderkey", "o_orderdate", "o_orderpriority"]]
+        out = out.copy()
+        out["o_orderdate"] = pd.to_datetime(out["o_orderdate"]).dt.strftime(
+            "%Y-%m-%d"
+        )
+        return out
+
+    o = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(o_filter, batch_format="pandas")
+
+    def l_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        m = pd.to_datetime(batch["l_shipdate"]) > cutoff
+        ep = batch.loc[m, "l_extendedprice"].to_numpy(dtype=np.float64)
+        disc = batch.loc[m, "l_discount"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "l_orderkey": batch.loc[m, "l_orderkey"]
+                .astype("int64")
+                .values,
+                "rev_cents": np.floor(ep * (1.0 - disc) * 100.0).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(l_filter, batch_format="pandas")
+
+    joined = bucketed_join(li, o, "l_orderkey", "o_orderkey", n_buckets=16)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(
+            ["l_orderkey", "o_orderdate", "o_orderpriority"], as_index=False
+        )["rev_cents"].sum()
+
+    agg = tree_aggregate(
+        joined.map_batches(partial, batch_format="pandas"),
+        keys=["l_orderkey", "o_orderdate", "o_orderpriority"],
+        aggs={"rev_cents": ("rev_cents", "sum")},
+    )
+    return topk(
+        agg,
+        ["rev_cents", "o_orderdate", "l_orderkey"],
+        descending=[True, False, False],
+        k=10,
+    )
+
+
 def q_events_windowed_topk(sf_dir: str):
     """TRENDING-ITEMS composition: per tumbling 1h window, the top-2 event
     types by count (ties by type asc) — the windowed grouped-top-k every
@@ -3510,6 +3587,7 @@ QUERIES = {
     "events_winsorize": q_events_winsorize,
     "events_ntile_buckets": q_events_ntile_buckets,
     "events_windowed_topk": q_events_windowed_topk,
+    "q3_shipping_priority": q3_shipping_priority,
     "events_late_data": q_events_late_data,
     "doc_lang_mode": q_doc_lang_mode,
     "doc_stats_rollup": q_doc_stats_rollup,
@@ -4049,6 +4127,21 @@ ORACLE_SQL = {
                     WHEN substr(md5(text), 1, 1) IN ('1', '2') THEN 'val'
                     ELSE 'train' END AS split
         FROM documents
+    """,
+    "q3_shipping_priority": """
+        SELECT l.l_orderkey,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS rev_cents,
+               CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+               o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < DATE '1995-03-15'
+          AND l.l_shipdate > DATE '1995-03-15'
+        GROUP BY l.l_orderkey, CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR), o.o_orderpriority
+        ORDER BY rev_cents DESC, o_orderdate ASC, l_orderkey ASC
+        LIMIT 10
     """,
     "events_windowed_topk": """
         WITH c AS (
