@@ -74,6 +74,7 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 __all__ = [
     "exact_dedup",
     "ngram_jaccard_verify",
+    "prefix_filter_pairs",
     "MinHashBatch",
     "minhash_candidate_pairs",
     "SimHashBatch",
@@ -628,6 +629,136 @@ def ngram_jaccard_verify(
         )
 
     return with_ab.map_batches(verify, batch_format="pandas", batch_size=1024)
+
+
+# ---------------------------------------------------------------------------
+# exact similarity join via prefix filtering (PPJoin-lite)
+
+
+def prefix_filter_pairs(
+    ds,
+    k: int = 3,
+    threshold: float = 0.5,
+    n_buckets: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """EXACT word-k-gram Jaccard similarity join — prefix filtering
+    (Chaudhuri et al. 2006 / PPJoin, Xiao et al. 2008), the
+    guaranteed-recall complement to MinHash LSH (whose recall is
+    probabilistic): every pair with true Jaccard >= threshold IS emitted.
+
+    Prefix lemma: order the gram universe globally by (document
+    frequency, gram); if J(A,B) >= t, A and B must share a gram within
+    each set's first ``p = |S| - ceil(t*|S|) + 1`` grams of that order.
+    So candidates = docs co-occurring under a PREFIX gram only — the df
+    ordering concentrates prefixes on the corpus' RAREST grams, which is
+    what bounds bucket sizes (a df-m gram bucket holds <= m docs).
+
+    Distributed shape: grams explode per batch (vectorized hash) ->
+    bucketed df count -> bucketed df re-join -> per-doc prefix selection
+    (groupby doc) -> per-gram candidate pairs (groupby gram; exact
+    all-pairs — capping would break the recall guarantee, df-ordering is
+    the structural bound; oversized buckets are logged) -> exact
+    ngram_jaccard_verify. Returns (doc_a, doc_b, jaccard >= threshold).
+    """
+    import math
+
+    from .agg import bucketed_aggregate
+    from .joins import bucketed_join
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        gs: list[np.ndarray] = []
+        ids: list[int] = []
+        szs: list[int] = []
+        for i, t in zip(batch[id_col].astype("int64"), batch[text_col]):
+            w = t.split()
+            if len(w) < k:
+                grams = np.array([" ".join(w)], dtype=object) if w else None
+            else:
+                grams = np.array(
+                    [" ".join(w[j : j + k]) for j in range(len(w) - k + 1)],
+                    dtype=object,
+                )
+            if grams is None:
+                continue
+            h = np.unique(_fnv64_batch(list(grams)).view(np.int64))
+            gs.append(h)
+            ids.append(int(i))
+            szs.append(len(h))
+        if not gs:
+            return pd.DataFrame(
+                {"g": pd.Series(dtype="int64"),
+                 id_col: pd.Series(dtype="int64"),
+                 "sz": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(
+            {
+                "g": np.concatenate(gs),
+                id_col: np.repeat(
+                    np.array(ids, dtype="int64"),
+                    np.array(szs, dtype="int64"),
+                ),
+                "sz": np.repeat(
+                    np.array(szs, dtype="int64"),
+                    np.array(szs, dtype="int64"),
+                ),
+            }
+        )
+
+    grams = ds.map_batches(explode, batch_format="pandas").materialize()
+    df = bucketed_aggregate(
+        grams.map_batches(
+            lambda b: pd.DataFrame(
+                {"g": b["g"].astype("int64"), "one": np.ones(len(b), dtype="int64")}
+            ),
+            batch_format="pandas",
+        ),
+        keys=["g"],
+        aggs={"df": ("one", "sum")},
+        n_buckets=n_buckets,
+    )
+    gd = bucketed_join(grams, df, "g", "g", n_buckets=n_buckets)
+
+    def prefix(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["df", "g"], kind="mergesort")
+        sz = int(g["sz"].iloc[0])
+        p = sz - math.ceil(threshold * sz) + 1
+        out = g.head(p)
+        return pd.DataFrame(
+            {
+                "g": out["g"].astype("int64").values,
+                id_col: out[id_col].astype("int64").values,
+            }
+        )
+
+    prefixes = gd.groupby(id_col).map_groups(prefix, batch_format="pandas")
+
+    def gram_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(group[id_col].astype("int64").unique())
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype="int64"),
+                 "doc_b": pd.Series(dtype="int64")}
+            )
+        if len(ids) > 4096:  # structural bound exceeded — log, keep exact
+            _log_hot_bucket("prefix-filter", len(ids), len(ids), len(ids))
+        return _all_pairs(ids)
+
+    cand = (
+        prefixes.groupby("g")
+        .map_groups(gram_pairs, batch_format="pandas")
+    ).materialize()
+    if cand.count() == 0:
+        return _empty_pairs(
+            {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
+        )
+    pairs = cand.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+    return ngram_jaccard_verify(
+        ds, pairs, k=k, threshold=threshold, id_col=id_col, text_col=text_col
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -2153,6 +2153,27 @@ def q_doc_stratified_sample(sf_dir: str):
     return out.select_columns(["doc_id", "lang"])
 
 
+def q_doc_simjoin_exact(sf_dir: str):
+    """EXACT SIMILARITY JOIN via prefix filtering (PPJoin-lite,
+    neardup.prefix_filter_pairs) — guaranteed recall 1.0, the complement
+    to MinHash LSH's probabilistic recall. Runs over the deterministic
+    doc_id % 50 in (0,1) slice (the planted near-dup pair ids; also keeps
+    the O(n^2) SQL oracle feasible) at word-3-gram Jaccard >= 0.5.
+    The oracle IS the brute-force ground truth — DuckDB self-joins every
+    pair in the slice and computes true list-Jaccard — so a green hash
+    proves the prefix filter dropped NOTHING."""
+    from .neardup import prefix_filter_pairs
+
+    def subset(batch: pd.DataFrame) -> pd.DataFrame:
+        m = (batch["doc_id"] % 2 == 0) | (batch["doc_id"] % 50).isin([0, 1])
+        return batch.loc[m, ["doc_id", "text"]]
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        subset, batch_format="pandas"
+    )
+    return prefix_filter_pairs(docs, k=3, threshold=0.5)
+
+
 def q3_shipping_priority(sf_dir: str):
     """TPC-H Q3 shape (shipping priority): BUILDING-segment customers'
     unshipped orders ranked by revenue. Plan: the qualifying custkey set
@@ -3588,6 +3609,7 @@ QUERIES = {
     "events_ntile_buckets": q_events_ntile_buckets,
     "events_windowed_topk": q_events_windowed_topk,
     "q3_shipping_priority": q3_shipping_priority,
+    "doc_simjoin_exact": q_doc_simjoin_exact,
     "events_late_data": q_events_late_data,
     "doc_lang_mode": q_doc_lang_mode,
     "doc_stats_rollup": q_doc_stats_rollup,
@@ -4127,6 +4149,25 @@ ORACLE_SQL = {
                     WHEN substr(md5(text), 1, 1) IN ('1', '2') THEN 'val'
                     ELSE 'train' END AS split
         FROM documents
+    """,
+    "doc_simjoin_exact": r"""
+        WITH w AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+          FROM documents
+          WHERE CAST(doc_id % 2 AS INTEGER) = 0 OR CAST(doc_id % 50 AS INTEGER) IN (0, 1)
+        ), g AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(ws) >= 3
+                   THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                   ELSE [array_to_string(ws, ' ')] END) AS gs
+          FROM w
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.gs, b.gs))
+                   / CAST(len(list_distinct(list_concat(a.gs, b.gs))) AS DOUBLE) AS jaccard
+          FROM g a JOIN g b ON b.doc_id > a.doc_id
+        ) WHERE jaccard >= 0.5
     """,
     "q3_shipping_priority": """
         SELECT l.l_orderkey,
