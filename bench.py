@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "emb_knn_brute",
     "emb_kmeans",
     "doc_weighted_sample",
+    "q3_shipping_priority",
+    "events_ntile_buckets",
 ]
 
 
