@@ -601,10 +601,7 @@ def ngram_jaccard_verify(
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         def grams(s: str) -> set:
-            w = s.split()
-            if len(w) < k:
-                return {" ".join(w)} if w else set()
-            return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+            return word_kgram_set(s, k)
 
         out = {"doc_a": [], "doc_b": [], "jaccard": []}
         for a, b, ta, tb in zip(
@@ -633,6 +630,20 @@ def ngram_jaccard_verify(
 
 # ---------------------------------------------------------------------------
 # exact similarity join via prefix filtering (PPJoin-lite)
+
+
+def word_kgram_set(s: str, k: int) -> set:
+    """THE word-k-gram set definition the exact-Jaccard contract hangs on —
+    one shared copy for candidate generation (prefix_filter_pairs),
+    verification (ngram_jaccard_verify) and the query-side oracles. Docs
+    shorter than k words contribute their single joined-words gram; an
+    EMPTY doc contributes {""} (matching the SQL oracles'
+    array_to_string(ws, ' ') = '' — two empty docs are Jaccard-1.0
+    duplicates, which is the right dedup semantics anyway)."""
+    w = s.split()
+    if len(w) < k:
+        return {" ".join(w)}
+    return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
 
 
 def prefix_filter_pairs(
@@ -672,17 +683,12 @@ def prefix_filter_pairs(
         ids: list[int] = []
         szs: list[int] = []
         for i, t in zip(batch[id_col].astype("int64"), batch[text_col]):
-            w = t.split()
-            if len(w) < k:
-                grams = np.array([" ".join(w)], dtype=object) if w else None
-            else:
-                grams = np.array(
-                    [" ".join(w[j : j + k]) for j in range(len(w) - k + 1)],
-                    dtype=object,
-                )
-            if grams is None:
-                continue
-            h = np.unique(_fnv64_batch(list(grams)).view(np.int64))
+            # the SAME gram universe verification uses (word_kgram_set),
+            # hashed — collisions only raise hashed Jaccard, so recall
+            # survives them (verify re-checks on strings)
+            h = np.unique(
+                _fnv64_batch(list(word_kgram_set(t, k))).view(np.int64)
+            )
             gs.append(h)
             ids.append(int(i))
             szs.append(len(h))
@@ -723,7 +729,11 @@ def prefix_filter_pairs(
     def prefix(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["df", "g"], kind="mergesort")
         sz = int(g["sz"].iloc[0])
-        p = sz - math.ceil(threshold * sz) + 1
+        # recall-safe ceil: float t*sz can land epsilon ABOVE an exact
+        # integer (0.07*100 -> 7.000000000000001, ceil 8), shortening the
+        # prefix and silently dropping true pairs; biasing the ceil DOWN
+        # lengthens the prefix at worst (extra candidates, verified away)
+        p = sz - math.ceil(threshold * sz - 1e-9) + 1
         out = g.head(p)
         return pd.DataFrame(
             {

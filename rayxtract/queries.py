@@ -2033,11 +2033,10 @@ def q_doc_ngram_jaccard(sf_dir: str):
     value-hash float-free."""
     import pandas as pd
 
+    from .neardup import word_kgram_set
+
     def grams(text: str) -> set:
-        w = [t for t in text.split() if t]
-        if len(w) < 3:
-            return {" ".join(w)}
-        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+        return word_kgram_set(text, 3)
 
     def relevant(batch: pd.DataFrame) -> pd.DataFrame:
         m = (batch["doc_id"] % 50).isin([0, 1])
@@ -2198,15 +2197,11 @@ def q3_shipping_priority(sf_dir: str):
 
     def o_filter(batch: pd.DataFrame) -> pd.DataFrame:
         k = ray.get(keys_ref)
-        m = (pd.to_datetime(batch["o_orderdate"]) < cutoff) & batch[
-            "o_custkey"
-        ].astype("int64").isin(k)
-        out = batch.loc[m, ["o_orderkey", "o_orderdate", "o_orderpriority"]]
-        out = out.copy()
-        out["o_orderdate"] = pd.to_datetime(out["o_orderdate"]).dt.strftime(
-            "%Y-%m-%d"
-        )
-        return out
+        d = pd.to_datetime(batch["o_orderdate"])
+        m = (d < cutoff) & batch["o_custkey"].astype("int64").isin(k)
+        out = batch.loc[m, ["o_orderkey", "o_orderpriority"]].copy()
+        out["o_orderdate"] = d[m].dt.strftime("%Y-%m-%d")
+        return out[["o_orderkey", "o_orderdate", "o_orderpriority"]]
 
     o = _read(
         sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
@@ -2372,12 +2367,12 @@ def q_pages_url_rules(sf_dir: str):
     Output: (url, verdict) for every distinct url."""
     import ray
 
-    # hosts siteNNNN with NNNN % 37 == 0 are "spam"; /press/ paths are
-    # disallowed — both deterministic, both SQL-replicable
-    blocked_hosts = frozenset(
-        f"site{i:04d}.example" for i in range(0, 1200) if i % 37 == 0
-    )
-    rules_ref = ray.put((blocked_hosts, ("/p/0000004",)))
+    # hosts siteNNNN with NNNN % 37 == 0 are "spam"; /p/0000004-prefixed
+    # paths are disallowed — both deterministic, both SQL-replicable. The
+    # host rule is computed from the digits (same as the oracle) rather
+    # than a pre-enumerated set, so a synth host-modulus change cannot
+    # silently desync the two sides
+    rules_ref = ray.put((37, ("/p/0000004",)))
 
     pages_dir, _ = _pages_corpus(sf_dir)
     import ray.data
@@ -2385,12 +2380,12 @@ def q_pages_url_rules(sf_dir: str):
     ds = ray.data.read_parquet(pages_dir, columns=["url"])
 
     def verdict(batch: pd.DataFrame) -> pd.DataFrame:
-        hosts_block, path_prefixes = ray.get(rules_ref)
+        host_mod, path_prefixes = ray.get(rules_ref)
         urls = batch["url"].astype(str)
         hosts = urls.str.split("/").str[2]
         paths = "/" + urls.str.split("/", n=3).str[3].fillna("")
         v = np.where(
-            hosts.isin(hosts_block),
+            hosts.str.slice(4, 8).astype(int) % host_mod == 0,
             "blocked_host",
             np.where(
                 paths.str.startswith(tuple(path_prefixes)),

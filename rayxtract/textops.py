@@ -300,7 +300,12 @@ def canonicalize_url(url: str) -> str:
         authority, path = rest, ""
     else:
         authority, path = rest[:slash], rest[slash:]
-    authority = authority.lower()
+    # userinfo (user:pass@) is case-significant — lowercase host[:port] only
+    at = authority.rfind("@")
+    userinfo, hostport = (
+        (authority[: at + 1], authority[at + 1 :]) if at != -1 else ("", authority)
+    )
+    authority = userinfo + hostport.lower()
     dp = _DEFAULT_PORTS.get(scheme)
     if dp and authority.endswith(dp):
         authority = authority[: -len(dp)]
