@@ -29,6 +29,7 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = [
+    "auto_join",
     "hash_join",
     "bucketed_join",
     "asof_join",
@@ -309,3 +310,52 @@ def asof_join(
         return pd.merge_asof(l, r, on=ts_col, by=key, direction="backward")
 
     return both.groupby(key).map_groups(merge_group, batch_format="pandas")
+
+
+def auto_join(
+    left,
+    right,
+    left_key: str,
+    right_key: str,
+    how: str = "inner",
+    broadcast_limit: int = 500_000,
+    n_buckets: int = 32,
+):
+    """Size-adaptive join — the AQE-style physical-plan choice: if the
+    RIGHT side (materialized once; callers pass the smaller/dimension
+    side) is at or under ``broadcast_limit`` rows, ship it ONCE via
+    ``ray.put`` and merge map-side in every left batch (zero shuffle of
+    the fact side); past the limit, fall back to the bucketed hash
+    exchange. Output contract (columns, dtypes, typed nulls for
+    ``how='left'``) is identical on both paths — equivalence is
+    randomized-tested. inner|left only (broadcast cannot see unmatched
+    right rows across batches, so 'outer' must go through the exchange).
+    """
+    import ray
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported join type {how!r}")
+    right = right.materialize()
+    if right.count() > broadcast_limit:
+        return bucketed_join(
+            left, right, left_key, right_key, n_buckets=n_buckets, how=how
+        )
+    right_pd = right.to_pandas()
+    dtypes = _dtype_map(left, right)
+    left_cols = [c for c in left.schema().names]
+    right_cols = list(right_pd.columns)
+    out_cols = left_cols + [c for c in right_cols if c != right_key]
+    r_ref = ray.put(right_pd)
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(r_ref)
+        j = batch[left_cols].merge(
+            r, left_on=left_key, right_on=right_key, how=how
+        )
+        if how == "left":  # typed nulls, same as the exchange path
+            for c in right_cols:
+                if c != right_key:
+                    j[c] = j[c].astype(dtypes[c])
+        return j[out_cols]
+
+    return left.map_batches(merge, batch_format="pandas")

@@ -2152,6 +2152,36 @@ def q_doc_stratified_sample(sf_dir: str):
     return out.select_columns(["doc_id", "lang"])
 
 
+def q_join_lineitem_part(sf_dir: str):
+    """Fact-to-dimension join through the size-ADAPTIVE join (joins.
+    auto_join): part is under the broadcast limit at the gate tiers, so
+    it ships once via ray.put and merges map-side — zero shuffle of the
+    lineitem fact table; past the limit the same call degrades to the
+    bucketed exchange with an identical output contract (randomized
+    equivalence test). Quantity totals by part brand, oracle-checked."""
+    from .agg import tree_aggregate
+    from .joins import auto_join
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    j = auto_join(li, part, "l_partkey", "p_partkey")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "p_brand": batch["p_brand"].astype(str).values,
+                "sum_qty": np.rint(batch["l_quantity"].astype("float64")).astype("int64").values,
+            }
+        )
+        return out.groupby("p_brand", as_index=False).sum()
+
+    return tree_aggregate(
+        j.map_batches(partial, batch_format="pandas"),
+        keys=["p_brand"],
+        aggs={"sum_qty": ("sum_qty", "sum")},
+    )
+
+
 def q_doc_simjoin_exact(sf_dir: str):
     """EXACT SIMILARITY JOIN via prefix filtering (PPJoin-lite,
     neardup.prefix_filter_pairs) — guaranteed recall 1.0, the complement
@@ -3605,6 +3635,7 @@ QUERIES = {
     "events_windowed_topk": q_events_windowed_topk,
     "q3_shipping_priority": q3_shipping_priority,
     "doc_simjoin_exact": q_doc_simjoin_exact,
+    "join_lineitem_part": q_join_lineitem_part,
     "events_late_data": q_events_late_data,
     "doc_lang_mode": q_doc_lang_mode,
     "doc_stats_rollup": q_doc_stats_rollup,
@@ -4144,6 +4175,12 @@ ORACLE_SQL = {
                     WHEN substr(md5(text), 1, 1) IN ('1', '2') THEN 'val'
                     ELSE 'train' END AS split
         FROM documents
+    """,
+    "join_lineitem_part": """
+        SELECT p.p_brand,
+               CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
     """,
     "doc_simjoin_exact": r"""
         WITH w AS (

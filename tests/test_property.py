@@ -258,3 +258,50 @@ def test_topk_matches_full_sort_randomized(ray_session):
         got = topk(ds, ["v", "uid"], descending=[True, False], k=25).to_pandas()
         exp = df.sort_values(["v", "uid"], ascending=[False, True]).head(25)
         assert got["uid"].tolist() == exp["uid"].tolist()
+
+
+def test_auto_join_paths_equivalent_randomized(ray_session):
+    """auto_join's broadcast and exchange paths return identical frames
+    (columns, dtype semantics, typed nulls for how='left') and both match
+    the pandas merge ground truth."""
+    import ray.data
+
+    from rayxtract.joins import auto_join
+
+    rng = np.random.RandomState(23)
+    for how in ("inner", "left"):
+        l = pd.DataFrame(
+            {
+                "k": rng.randint(0, 40, size=300).astype("int64"),
+                "lv": rng.randint(0, 1000, size=300).astype("int64"),
+            }
+        )
+        r = pd.DataFrame(
+            {
+                "rk": np.arange(0, 35, dtype="int64"),  # some keys unmatched
+                "rv": rng.randint(0, 1000, size=35).astype("int64"),
+            }
+        )
+        lds = ray.data.from_pandas(l).map_batches(
+            lambda b: b, batch_format="pandas", batch_size=41
+        )
+        rds = ray.data.from_pandas(r)
+        cols = ["k", "lv", "rv"]
+
+        def canon(df):
+            return (
+                df[cols]
+                .astype("float64")
+                .sort_values(cols)
+                .reset_index(drop=True)
+            )
+
+        bcast = canon(auto_join(lds, rds, "k", "rk", how=how).to_pandas())
+        exch = canon(
+            auto_join(
+                lds, rds, "k", "rk", how=how, broadcast_limit=0
+            ).to_pandas()
+        )
+        exp = canon(l.merge(r, left_on="k", right_on="rk", how=how))
+        pd.testing.assert_frame_equal(bcast, exp, obj=f"bcast-{how}")
+        pd.testing.assert_frame_equal(exch, exp, obj=f"exch-{how}")
