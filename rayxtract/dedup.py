@@ -88,6 +88,7 @@ def decontaminate(
     eval_text_col: str = "text",
     broadcast_limit: int = 5_000_000,
     bloom_bits: int = 1 << 23,
+    check_counts: bool = False,
 ):
     """Remove training rows whose EXACT text appears in a held-out /
     benchmark set — the decontamination step every serious training-data
@@ -214,6 +215,19 @@ def decontaminate(
 
     clean = ds.map_batches(clean_only, batch_format="pandas")
     suspects = ds.map_batches(suspects_only, batch_format="pandas")
+    if check_counts:
+        # The bloom path reads ``ds`` through two independent lazy passes;
+        # a nondeterministic upstream (per-task sampling, batch-dependent
+        # logic) would silently drop or duplicate rows in the union. This
+        # opt-in debug probe pays two counting passes to enforce the
+        # determinism contract: every input row lands in exactly one side.
+        n_clean, n_susp, n_ds = clean.count(), suspects.count(), ds.count()
+        if n_clean + n_susp != n_ds:
+            raise RuntimeError(
+                "decontaminate: nondeterministic input dataset — clean "
+                f"({n_clean}) + suspects ({n_susp}) != total ({n_ds}); the "
+                "bloom path requires a deterministic, re-computable ds"
+            )
     evs = eval_ds.map_batches(fp_eval, batch_format="pandas")
     joined = bucketed_join(suspects, evs, "__fpi", "__fpe", n_buckets=32, how="left")
 

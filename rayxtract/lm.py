@@ -79,7 +79,19 @@ def score_bucket(group: pd.DataFrame) -> pd.DataFrame:
     g = group
     c12 = g.groupby(["w1", "w2"])["occ"].transform("sum").to_numpy(np.int64)
     c1 = g.groupby("w1")["occ"].transform("sum").to_numpy(np.int64)
-    contrib = g["occ"].to_numpy(np.int64) * (c12 * SCALE // c1)
+    if len(c12) and int(c12.max()) > (2**63 - 1) // SCALE:
+        # c12*SCALE would wrap int64 (stopword bigrams past ~9.2e12 global
+        # occurrences); fall back to arbitrary-precision Python ints for
+        # the ratio — the ratio itself is <= SCALE so the product below
+        # stays in range.
+        ratio = np.fromiter(
+            (int(a) * SCALE // int(b) for a, b in zip(c12, c1)),
+            dtype=np.int64,
+            count=len(c12),
+        )
+    else:
+        ratio = c12 * SCALE // c1
+    contrib = g["occ"].to_numpy(np.int64) * ratio
     part = pd.DataFrame(
         {
             "doc_id": g["doc_id"].values,

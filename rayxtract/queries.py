@@ -2286,10 +2286,10 @@ def q_events_windowed_topk(sf_dir: str):
     from .curation import stratified_sample
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        ts_us = batch["ts"].astype("int64")
+        ts_us = batch["ts"].to_numpy("datetime64[us]").astype("int64")
         tmp = pd.DataFrame(
             {
-                "window_id": (ts_us // _HOUR_US).astype("int64").values,
+                "window_id": (ts_us // _HOUR_US).astype("int64"),
                 "event_type": batch["event_type"].astype(str).values,
                 "n": np.ones(len(batch), dtype="int64"),
             }

@@ -342,17 +342,29 @@ class HyperLogLog:
         self.m = 1 << self.p
         self.regs = np.zeros(self.m, dtype=np.uint8)
 
+    @staticmethod
+    def _canonical(it) -> bytes:
+        # bytes(int) would allocate a zero buffer of length == value (a
+        # multi-GB buffer for a 64-bit id) AND hash magnitude-as-length
+        # rather than the value — encode each supported type explicitly.
+        if isinstance(it, str):
+            return it.encode()
+        if isinstance(it, (bytes, bytearray)):
+            return bytes(it)
+        if isinstance(it, (bool, np.bool_)):
+            return b"\x01" if it else b"\x00"
+        if isinstance(it, (int, np.integer)):
+            return int(it).to_bytes(8, "big", signed=True)
+        raise TypeError(
+            f"HyperLogLog.update_many: unsupported item type {type(it).__name__}"
+        )
+
     def update_many(self, items) -> None:
         import hashlib
 
         h = np.fromiter(
             (
-                int.from_bytes(
-                    hashlib.md5(
-                        it.encode() if isinstance(it, str) else bytes(it)
-                    ).digest()[:8],
-                    "big",
-                )
+                int.from_bytes(hashlib.md5(self._canonical(it)).digest()[:8], "big")
                 for it in items
             ),
             dtype=np.uint64,

@@ -127,3 +127,53 @@ def test_guarded_path_equivalent_on_distinct_sigs(ray_session):
     ).to_pandas()
     assert _pair_set(normal) == _pair_set(guarded)
     assert len(normal) > 0  # the sliding windows do overlap
+
+
+def test_prefix_filter_hot_bucket_collapsed_and_exact(ray_session):
+    """VERDICT r3 top-next #1: 5k identical docs must NOT go quadratic in
+    the prefix-gram candidate stage. The signature collapse routes ONE
+    representative through the prefix pipeline and expands verified rep
+    pairs exactly; the full C(5000,2) output pair set (inherent to the
+    exact-join contract) appears at jaccard 1.0 WITHOUT per-pair
+    verification, in bounded wall-time."""
+    import ray.data
+
+    from rayxtract.neardup import prefix_filter_pairs
+
+    n_ident = 5000
+    boiler = " ".join(f"bw{j}" for j in range(15))
+    near = boiler.split()
+    near[7] = "CHANGED"  # 15 words, k=3: 13 grams; 3 flip -> J = 10/16
+    texts = (
+        [boiler] * n_ident
+        + [" ".join(near)]
+        # distinct docs on disjoint vocab: provably zero cross pairs
+        + [" ".join(f"d{i}x{j}" for j in range(20)) for i in range(50)]
+    )
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype="int64"), "text": texts}
+    )
+    t0 = time.monotonic()
+    out = prefix_filter_pairs(
+        ray.data.from_pandas(df).repartition(8), k=3, threshold=0.5
+    )
+    n_exact = out.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "ones": np.ones(len(b), dtype="int64"),
+                "full": (b["jaccard"].to_numpy() == 1.0).astype("int64"),
+                "near": (
+                    np.abs(b["jaccard"].to_numpy() - 10.0 / 16.0) < 1e-12
+                ).astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    ).sum(["ones", "full", "near"])
+    elapsed = time.monotonic() - t0
+    want_within = n_ident * (n_ident - 1) // 2
+    assert n_exact["sum(full)"] == want_within
+    assert n_exact["sum(near)"] == n_ident  # near-dup doc pairs every member
+    assert n_exact["sum(ones)"] == want_within + n_ident
+    # unguarded all-pairs + per-pair verify of 12.5M candidates took
+    # minutes; the collapsed path verifies O(n) star pairs + 1 rep pair
+    assert elapsed < 180, f"identical-class corpus stalled: {elapsed:.0f}s"

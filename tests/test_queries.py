@@ -187,6 +187,26 @@ def test_decontaminate_bloom_false_positives_rescued(ray_session):
     pd.testing.assert_frame_equal(a[["doc_id", "lang"]], b[["doc_id", "lang"]])
 
 
+def test_decontaminate_bloom_count_invariant(ray_session):
+    """check_counts=True enforces the bloom path's determinism contract:
+    every input row lands in exactly one of clean/suspects (a
+    nondeterministic upstream would drop or duplicate rows silently)."""
+    import ray.data
+
+    from rayxtract.dedup import decontaminate
+
+    docs = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    eval_ds = docs.map_batches(
+        lambda b: b[b["doc_id"] % 97 == 0], batch_format="pandas"
+    )
+    out = decontaminate(
+        docs, eval_ds, broadcast_limit=0, bloom_bits=64, check_counts=True
+    )
+    assert 0 < out.count() < docs.count()
+
+
 def test_ngram_contamination_guard_and_floor(ray_session):
     """ngram_contamination raises past broadcast_limit instead of silently
     ballooning the driver; eval docs themselves are fully contaminated."""

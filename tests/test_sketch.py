@@ -3,6 +3,7 @@ grouped combiner-tree path vs the exact shuffle path (VERDICT r2 next #7)."""
 
 import numpy as np
 import pandas as pd
+import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -199,6 +200,30 @@ def test_bigram_fluency_matches_reference(ray_session):
     assert got_map == want
 
 
+def test_score_bucket_no_int64_overflow():
+    """A bigram whose global count exceeds 2^63/SCALE must not wrap int64
+    in the c12*SCALE ratio — the guard falls back to Python-int math."""
+    from rayxtract.lm import SCALE, score_bucket
+
+    half = (2**63 - 1) // SCALE // 2 + 7  # 2*half*SCALE would overflow
+    g = pd.DataFrame(
+        {
+            "doc_id": pd.Series([1, 2, 3], dtype="int64"),
+            "w1": ["the", "the", "the"],
+            "w2": ["cat", "cat", "dog"],
+            "occ": pd.Series([half, half, 10], dtype="int64"),
+        }
+    )
+    out = score_bucket(g).set_index("doc_id")
+    c1 = 2 * half + 10  # global 'the'-first count
+    cat_ratio = (2 * half) * SCALE // c1  # Python-int exact
+    dog_ratio = 10 * SCALE // c1
+    assert int(out.loc[1, "contrib"]) == half * cat_ratio
+    assert int(out.loc[2, "contrib"]) == half * cat_ratio
+    assert int(out.loc[3, "contrib"]) == 10 * dog_ratio
+    assert 0 < cat_ratio < SCALE  # a wrapped int64 would be negative
+
+
 def test_hll_error_bound_and_merge():
     """HLL estimate within 3x standard error (~5% at p=12) across
     magnitudes; merging per-chunk sketches equals the bulk sketch
@@ -220,6 +245,28 @@ def test_hll_error_bound_and_merge():
     bulk = HyperLogLog(12)
     bulk.update_many([x for c in chunks for x in c])
     assert (merged.regs == bulk.regs).all()
+
+
+def test_hll_int_items_canonical_encoding():
+    """Integer items hash their VALUE (8-byte big-endian), not a
+    zero-buffer of magnitude-as-length — large 64-bit ids must be cheap
+    and distinct values must land on distinct registers statistically."""
+    from rayxtract.sketch import HyperLogLog
+
+    big_ids = [10**15 + i for i in range(5000)]  # bytes(10**15) would OOM
+    h = HyperLogLog(12)
+    h.update_many(big_ids)
+    est = h.estimate()
+    assert abs(est - 5000) / 5000 < 0.05, est
+
+    # numpy ints and Python ints of the same value are the same item
+    a, b = HyperLogLog(12), HyperLogLog(12)
+    a.update_many([int(x) for x in range(1000)])
+    b.update_many(list(np.arange(1000, dtype=np.int64)))
+    assert (a.regs == b.regs).all()
+
+    with pytest.raises(TypeError):
+        HyperLogLog(12).update_many([3.14])
 
 
 def test_bloom_no_false_negatives_and_fp_bound():
