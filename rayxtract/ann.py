@@ -206,6 +206,7 @@ def kmeans_fit(
     seed: int = 13,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pin: bool = True,
 ):
     """Distributed Lloyd k-means over an embedding column — the standard
     corpus-clustering primitive (topic bucketing, diversity sampling,
@@ -231,10 +232,15 @@ def kmeans_fit(
     # would otherwise re-execute the input pipeline once each (~n_iter+1
     # full re-reads). Pruned to (id, vector) BEFORE pinning so a wide
     # caller dataset never parks its payload columns in the object store.
+    # ``pin=False`` for a DISK-BACKED input (a spilled-parquet read):
+    # each round then streams from disk instead of holding the table in
+    # the object store across rounds — the corpus-scale tradeoff.
     from ray.data.dataset import MaterializedDataset
 
-    if not isinstance(ds, MaterializedDataset):
+    if pin and not isinstance(ds, MaterializedDataset):
         ds = ds.select_columns([id_col, vec_col]).materialize()
+    elif not pin:
+        ds = ds.select_columns([id_col, vec_col])
     cents = _kmeans_init(ds, k, seed, id_col, vec_col)
     inertia = float("nan")
     for _ in range(n_iter):

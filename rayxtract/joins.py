@@ -74,6 +74,38 @@ def _bucket_of_int(v: np.ndarray, n_buckets: int) -> np.ndarray:
     return (z % np.uint64(n_buckets)).astype(np.int64)
 
 
+def _key_ints(values) -> np.ndarray:
+    """int64 BUCKETING representation of a join-key array: integer keys
+    pass through; string/object keys (url, domain — the native keys of
+    every pages-table workload) hash via ``pd.util.hash_array``
+    (deterministic across processes; the same trick pipeline's
+    _antijoin_losers uses). Used only to pick a bucket — the per-bucket
+    pandas merge runs on the RAW key column, so a 64-bit hash collision
+    merely co-locates two keys in one bucket, never mis-joins them."""
+    arr = np.asarray(values)
+    if arr.dtype.kind in "iu":
+        return arr.astype(np.int64)
+    if arr.dtype.kind == "b":
+        return arr.astype(np.int64)
+    if arr.dtype.kind in "OUS":
+        return pd.util.hash_array(arr.astype("object")).view(np.int64)
+    raise TypeError(
+        f"unsupported join key dtype {arr.dtype} (int or string keys only)"
+    )
+
+
+def _key_ints_seq(keys) -> np.ndarray:
+    """_key_ints for a plain Python iterable (e.g. a hot-key set): integer
+    elements keep their value (matching the int-column pass-through),
+    anything else hashes like a string column would."""
+    ks = list(keys)
+    if not ks:
+        return np.array([], dtype=np.int64)
+    if all(isinstance(x, (int, np.integer)) for x in ks):
+        return np.array(sorted(int(x) for x in ks), dtype=np.int64)
+    return np.sort(_key_ints(np.array([str(x) for x in ks], dtype=object)))
+
+
 def _pandas_dtype_of(typ) -> str:
     if isinstance(typ, pa.DataType):  # arrow-block dataset schema
         if pa.types.is_integer(typ):
@@ -134,9 +166,10 @@ def find_hot_keys(ds, key: str, min_frac: float = 0.05, n_buckets: int = 16):
     """Distributed hot-key detector: bucketed per-key counts (partial
     combine first — only (key, count) partials move), then filter to keys
     holding >= ``min_frac`` of all rows. Returns a plain Python set of
-    ints — by construction at most ``1/min_frac`` keys, so always small
-    enough to broadcast. The input is consumed twice (count + detect);
-    pass a cheap pruned re-readable dataset."""
+    raw key values (int or string) — by construction at most
+    ``1/min_frac`` keys, so always small enough to broadcast. The input
+    is consumed twice (count + detect); pass a cheap pruned re-readable
+    dataset."""
     from .agg import bucketed_aggregate
 
     total = ds.count()
@@ -147,7 +180,10 @@ def find_hot_keys(ds, key: str, min_frac: float = 0.05, n_buckets: int = 16):
     hot = counts.map_batches(
         lambda b: b[b["n"] >= thresh][[key]], batch_format="pandas"
     ).to_pandas()
-    return set(hot[key].astype(int))
+    vals = hot[key]
+    if pd.api.types.is_integer_dtype(vals):
+        return set(int(x) for x in vals)
+    return set(vals.tolist())
 
 
 def bucketed_join(
@@ -161,11 +197,14 @@ def bucketed_join(
     salt: int = 8,
 ):
     """Explicit partitioned hash join: tag + union + groupby(bucket) +
-    per-bucket pandas merge. ``how`` in inner|left|outer (left preserves
-    every left row; outer preserves both sides, with the left key column
+    per-bucket pandas merge. ``how`` in inner|left|right|outer (left
+    preserves every left row; right preserves every right row; outer
+    preserves both sides — for right/outer the left key column is
     coalesced from the right key so unmatched right rows keep their key);
-    integer keys. Missing-side columns travel as typed nulls (nullable
-    Int64 etc.) so the union's block schemas agree.
+    int OR string keys first-class (strings hash to a bucket id via
+    _key_ints; the merge itself runs on the raw column). Missing-side
+    columns travel as typed nulls (nullable Int64 etc.) so the union's
+    block schemas agree.
 
     SKEW SALTING (``hot_keys``): a hot key hashes every one of its rows
     into ONE bucket — one merge task carries the whole key (the
@@ -177,10 +216,10 @@ def bucketed_join(
     bucket ids (``base * salt + shard``) keep shards collision-free, so
     replicated right rows can never meet twice. Inner|left only: an outer
     join would emit one unmatched-right row per shard."""
-    if how not in ("inner", "left", "outer"):
+    if how not in ("inner", "left", "right", "outer"):
         raise ValueError(f"unsupported join type {how!r}")
-    hot_arr = np.array(sorted(hot_keys or ()), dtype=np.int64)
-    if len(hot_arr) and how == "outer":
+    hot_arr = _key_ints_seq(hot_keys or ())
+    if len(hot_arr) and how in ("right", "outer"):
         raise ValueError("hot-key salting supports how='inner'|'left' only")
     if salt < 1:
         raise ValueError("salt must be >= 1")
@@ -200,7 +239,7 @@ def bucketed_join(
                     )
                 else:
                     b[c] = b[c].astype(dtypes[c])
-            keys = batch[key].to_numpy().astype(np.int64)
+            keys = _key_ints(batch[key].to_numpy())
             if not len(hot_arr):
                 b["__bucket"] = _bucket_of_int(keys, n_buckets)
                 b["__side"] = np.int8(side)
@@ -242,7 +281,9 @@ def bucketed_join(
             for c in right_cols:
                 if c != right_key:
                     j[c] = j[c].astype(dtypes[c])
-        elif how == "outer":
+        elif how in ("right", "outer"):
+            # unmatched RIGHT rows have no left key value — coalesce it
+            # from the right key so every output row keeps its key
             if right_key != left_key:
                 j[left_key] = j[left_key].fillna(j[right_key])
             for c in out_cols:
