@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "doc_weighted_sample",
     "q3_shipping_priority",
     "events_ntile_buckets",
+    "doc_bpe_token_counts",
+    "pages_url_host_join",
 ]
 
 

@@ -768,17 +768,48 @@ def prefix_filter_pairs(
     promoted: frozenset = frozenset()
     if n_collapsed:
         # equality audit: exactness must not rest on the 64-bit hash.
-        # One exact verify per MEMBER (threshold=0 returns every score);
-        # J(rep, member) == 1.0 proves string-gram-set equality, anything
-        # less is a signature collision — promote that member back to its
-        # own class. Expected empty on any real corpus.
-        scores = ngram_jaccard_verify(
-            ds, star, k=k, threshold=0.0, id_col=id_col, text_col=text_col
-        )
-        bad = scores.map_batches(
-            lambda b: b.loc[b["jaccard"] < 1.0, ["doc_b"]],
-            batch_format="pandas",
-        ).take_all()
+        # One exact string-gram-set check per MEMBER vs its rep; any
+        # mismatch is a signature collision — promote that member back to
+        # its own class. Expected empty on any real corpus.
+        if n_collapsed <= 4096:
+            # bounded driver path: the full distributed verify costs ~6
+            # exchange barriers regardless of pair count — for a handful
+            # of star pairs, broadcast-filter the <= 2*4096 audited texts
+            # instead (bounded by the CONSTANT, never corpus-proportional)
+            sp = star.to_pandas()
+            idset = frozenset(sp["doc_a"].astype(int)) | frozenset(
+                sp["doc_b"].astype(int)
+            )
+            iref = ray.put(idset)
+            texts = ds.map_batches(
+                lambda b: b.loc[
+                    b[id_col].isin(ray.get(iref)), [id_col, text_col]
+                ],
+                batch_format="pandas",
+            ).to_pandas()
+            tmap = dict(zip(texts[id_col].astype(int), texts[text_col]))
+            gcache: dict = {}
+
+            def gset(d: int) -> set:
+                g = gcache.get(d)
+                if g is None:
+                    g = word_kgram_set(tmap.get(d, ""), k)
+                    gcache[d] = g
+                return g
+
+            bad = [
+                {"doc_b": int(b)}
+                for a, b in zip(sp["doc_a"].astype(int), sp["doc_b"].astype(int))
+                if gset(int(a)) != gset(int(b))
+            ]
+        else:
+            scores = ngram_jaccard_verify(
+                ds, star, k=k, threshold=0.0, id_col=id_col, text_col=text_col
+            )
+            bad = scores.map_batches(
+                lambda b: b.loc[b["jaccard"] < 1.0, ["doc_b"]],
+                batch_format="pandas",
+            ).take_all()
         if bad:
             logger.warning(
                 "prefix-filter: %d gram-set signature collision(s); "
@@ -899,6 +930,11 @@ def prefix_filter_pairs(
         return verified if verified is not None else _empty_pairs(
             {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
         )
+    if verified is not None:
+        # the expansion consumes `verified` through two joins (schema
+        # probe + union) — pin the small verified-pair table once or the
+        # whole candidate+verify chain re-executes per consumer
+        verified = verified.materialize()
 
     # ---- expansion back to member pairs (exact: Jaccard is a set
     # function and every member's gram set string-equals its rep's)
