@@ -33,6 +33,7 @@ __all__ = [
     "hash_join",
     "bucketed_join",
     "asof_join",
+    "interval_join",
     "find_hot_keys",
     "salted_bucket_ids",
 ]
@@ -351,6 +352,113 @@ def asof_join(
         return pd.merge_asof(l, r, on=ts_col, by=key, direction="backward")
 
     return both.groupby(key).map_groups(merge_group, batch_format="pandas")
+
+
+def interval_join(
+    left,
+    intervals,
+    key: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    n_buckets: int = 32,
+    how: str = "inner",
+    broadcast_limit: int = 500_000,
+):
+    """Non-equi INTERVAL (range) join: each left row ``(key, ts)``
+    matches every interval row ``(key, start, end)`` with
+    ``start <= ts < end`` — the attribution-window / validity-window /
+    slowly-changing-dimension shape equi-joins cannot express. A left
+    row matching k overlapping intervals emits k output rows;
+    ``how='left'`` keeps unmatched left rows with typed-null interval
+    columns. Output columns: left's + the interval side's minus ``key``.
+
+    Physical plan, same size-adaptive choice as :func:`auto_join`: an
+    interval side at/under ``broadcast_limit`` rows ships once via
+    ``ray.put`` and every left batch range-merges map-side (zero
+    shuffle); above it, both sides hash-bucket by ``key`` (int or
+    string) and each bucket merges-then-filters. Per-key candidate
+    fan-out is |L_k| x |I_k| before the range filter — a key carrying
+    many overlapping windows concentrates that product in one task, the
+    same hot-key hazard bucketed_join salts; keep per-key interval
+    counts bounded upstream."""
+    import ray
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported join type {how!r}")
+    left_cols = [c for c in left.schema().names]
+    right_cols = [c for c in intervals.schema().names]
+    out_cols = left_cols + [c for c in right_cols if c != key]
+    dtypes = _dtype_map(left, intervals)
+    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+
+    def range_merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        l = l.copy()
+        l["__lrow"] = np.arange(len(l), dtype=np.int64)
+        j = l.merge(r, on=key, how="left" if how == "left" else "inner")
+        ok = ((j[start_col] <= j[ts_col]) & (j[ts_col] < j[end_col])).fillna(
+            False
+        )
+        if how == "inner":
+            j = j[ok].drop(columns="__lrow")
+        else:
+            # every left row with >= 1 range hit emits its hit rows; a
+            # left row with none emits exactly ONE row with typed-null
+            # interval columns
+            hits = j[ok]
+            hit_rows = set(hits["__lrow"])
+            misses = j[~j["__lrow"].isin(hit_rows)].drop_duplicates("__lrow")
+            misses = misses.copy()
+            for c in right_cols:
+                if c != key:
+                    misses[c] = _null_for(dtypes[c])
+            j = pd.concat([hits, misses]).drop(columns="__lrow")
+        for c in out_cols:
+            j[c] = j[c].astype(dtypes[c])
+        return j[out_cols]
+
+    intervals = intervals.materialize()
+    if intervals.count() <= broadcast_limit:
+        r_pd = intervals.to_pandas()
+        r_ref = ray.put(r_pd)
+
+        def merge(batch: pd.DataFrame) -> pd.DataFrame:
+            return range_merge(
+                batch[left_cols].reset_index(drop=True), ray.get(r_ref)
+            )
+
+        return left.map_batches(merge, batch_format="pandas")
+
+    def prep(side: int):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch.copy()
+            for c in all_cols:
+                if c not in b.columns:
+                    b[c] = pd.Series(
+                        _null_for(dtypes[c]), index=b.index, dtype=dtypes[c]
+                    )
+                else:
+                    b[c] = b[c].astype(dtypes[c])
+            b["__bucket"] = _bucket_of_int(
+                _key_ints(batch[key].to_numpy()), n_buckets
+            )
+            b["__side"] = np.int8(side)
+            return b[all_cols + ["__bucket", "__side"]]
+
+        return fn
+
+    both = left.map_batches(prep(0), batch_format="pandas").union(
+        intervals.map_batches(prep(1), batch_format="pandas")
+    )
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["__side"] == 0][left_cols].reset_index(drop=True)
+        r = group[group["__side"] == 1][right_cols]
+        return range_merge(l, r)
+
+    return both.groupby("__bucket").map_groups(
+        merge_bucket, batch_format="pandas"
+    )
 
 
 def auto_join(

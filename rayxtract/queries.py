@@ -2539,6 +2539,76 @@ def q3_shipping_priority(sf_dir: str):
     )
 
 
+def q_events_attribution_window(sf_dir: str):
+    """CLICK ATTRIBUTION through the non-equi INTERVAL join
+    (joins.interval_join — the validity-window shape equi-joins cannot
+    express): per purchase, the same user's click count inside
+    [purchase_ts, purchase_ts + 1h). Size-adaptive physical plan: the
+    purchase-window side broadcasts under the row limit (zero shuffle of
+    the click stream), hash-bucketed by user above it; zero-click
+    purchases re-attach through auto_join. Oracle: DuckDB's native
+    non-equi LEFT JOIN."""
+    from .agg import tree_aggregate
+    from .joins import auto_join, interval_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def wins(batch: pd.DataFrame) -> pd.DataFrame:
+        p = batch.loc[batch["event_type"] == "purchase"]
+        ts = pd.Series(p["ts"].to_numpy("datetime64[us]"))
+        return pd.DataFrame(
+            {
+                "user_id": p["user_id"].astype("int64").values,
+                "win_event_id": p["event_id"].astype("int64").values,
+                "start": ts.values,
+                "end": (ts + pd.Timedelta(hours=1)).values,
+            }
+        )
+
+    def clicks(batch: pd.DataFrame) -> pd.DataFrame:
+        c = batch.loc[batch["event_type"] == "click"]
+        return pd.DataFrame(
+            {
+                "user_id": c["user_id"].astype("int64").values,
+                "ts": c["ts"].to_numpy("datetime64[us]"),
+            }
+        )
+
+    windows = ev.map_batches(wins, batch_format="pandas")
+    hits = interval_join(
+        ev.map_batches(clicks, batch_format="pandas"), windows,
+        key="user_id", ts_col="ts", start_col="start", end_col="end",
+        how="inner",
+    )
+    counts = tree_aggregate(
+        hits.map_batches(
+            lambda b: pd.DataFrame(
+                {"win_event_id": b["win_event_id"].astype("int64").values,
+                 "n_clicks": np.ones(len(b), dtype="int64")}
+            ),
+            batch_format="pandas",
+        ),
+        keys=["win_event_id"],
+        aggs={"n_clicks": ("n_clicks", "sum")},
+    )
+    purchases = ev.map_batches(
+        lambda b: pd.DataFrame(
+            {"event_id": b.loc[
+                b["event_type"] == "purchase", "event_id"
+            ].astype("int64").values}
+        ),
+        batch_format="pandas",
+    )
+    out = auto_join(purchases, counts, "event_id", "win_event_id", how="left")
+    return out.map_batches(
+        lambda b: pd.DataFrame(
+            {"event_id": b["event_id"].astype("int64").values,
+             "n_clicks": b["n_clicks"].fillna(0).astype("int64").values}
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_events_windowed_topk(sf_dir: str):
     """TRENDING-ITEMS composition: per tumbling 1h window, the top-2 event
     types by count (ties by type asc) — the windowed grouped-top-k every
@@ -3976,6 +4046,7 @@ QUERIES = {
     "events_winsorize": q_events_winsorize,
     "events_ntile_buckets": q_events_ntile_buckets,
     "events_windowed_topk": q_events_windowed_topk,
+    "events_attribution_window": q_events_attribution_window,
     "q3_shipping_priority": q3_shipping_priority,
     "doc_simjoin_exact": q_doc_simjoin_exact,
     "join_lineitem_part": q_join_lineitem_part,
@@ -4599,6 +4670,17 @@ ORACLE_SQL = {
         GROUP BY l.l_orderkey, CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR), o.o_orderpriority
         ORDER BY rev_cents DESC, o_orderdate ASC, l_orderkey ASC
         LIMIT 10
+    """,
+    "events_attribution_window": """
+        WITH p AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        ), c AS (
+          SELECT user_id, ts FROM events WHERE event_type = 'click'
+        )
+        SELECT p.event_id, CAST(COUNT(c.ts) AS BIGINT) AS n_clicks
+        FROM p LEFT JOIN c
+          ON c.user_id = p.user_id AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
+        GROUP BY p.event_id
     """,
     "events_windowed_topk": """
         WITH c AS (

@@ -248,6 +248,81 @@ def test_string_keyed_joins_match_pandas_merge(ray_session):
         )
 
 
+def test_interval_join_matches_pandas_reference(ray_session):
+    """Non-equi interval join: broadcast and exchange paths both equal a
+    pandas merge+range-filter reference, for inner AND left (unmatched
+    lefts exactly once, typed-null interval columns), int and string
+    keys, overlapping windows included."""
+    import ray.data
+
+    from rayxtract.joins import interval_join
+
+    rng = np.random.RandomState(29)
+    for keydtype in ("int64", "str"):
+        keys = (
+            rng.randint(0, 8, size=200).astype("int64")
+            if keydtype == "int64"
+            else np.array([f"u{k}" for k in rng.randint(0, 8, size=200)],
+                          dtype=object)
+        )
+        left = pd.DataFrame(
+            {"k": keys, "ts": rng.randint(0, 1000, size=200).astype("int64")}
+        )
+        left["lv"] = np.arange(len(left), dtype="int64")
+        ik = (
+            rng.randint(0, 8, size=30).astype("int64")
+            if keydtype == "int64"
+            else np.array([f"u{k}" for k in rng.randint(0, 8, size=30)],
+                          dtype=object)
+        )
+        starts = rng.randint(0, 900, size=30).astype("int64")
+        ivs = pd.DataFrame(
+            {"k": ik, "start": starts,
+             "end": starts + rng.randint(1, 400, size=30).astype("int64"),
+             "win": np.arange(30, dtype="int64")}
+        )
+        for how in ("inner", "left"):
+            ref = left.merge(ivs, on="k", how="left")
+            ok = (ref["start"] <= ref["ts"]) & (ref["ts"] < ref["end"])
+            hits = ref[ok.fillna(False)]
+            if how == "inner":
+                exp = hits[["k", "ts", "lv", "start", "end", "win"]]
+            else:
+                hit_lv = set(hits["lv"])
+                miss = left[~left["lv"].isin(hit_lv)].copy()
+                for c in ("start", "end", "win"):
+                    miss[c] = np.nan
+                exp = pd.concat(
+                    [hits[["k", "ts", "lv", "start", "end", "win"]],
+                     miss[["k", "ts", "lv", "start", "end", "win"]]]
+                )
+            exp = (
+                exp.astype({"start": "float64", "end": "float64",
+                            "win": "float64"})
+                .sort_values(["lv", "win"], na_position="last")
+                .reset_index(drop=True)
+            )
+            for blim in (0, 10**6):  # exchange path, then broadcast path
+                got = interval_join(
+                    ray.data.from_pandas(left).repartition(3),
+                    ray.data.from_pandas(ivs).repartition(2),
+                    key="k", ts_col="ts", start_col="start", end_col="end",
+                    how=how, broadcast_limit=blim, n_buckets=4,
+                ).to_pandas()
+                got = (
+                    got.astype({"start": "float64", "end": "float64",
+                                "win": "float64", "lv": "int64"})
+                    .sort_values(["lv", "win"], na_position="last")
+                    .reset_index(drop=True)
+                )
+                assert len(got) == len(exp), (keydtype, how, blim)
+                pd.testing.assert_frame_equal(
+                    got[["lv", "start", "end", "win"]],
+                    exp[["lv", "start", "end", "win"]],
+                    obj=f"{keydtype}/{how}/blim={blim}",
+                )
+
+
 def test_salted_bucket_ids_distribution():
     """The spread-side contract: cold keys land on shard 0 of their base
     bucket; a hot key's rows spread across exactly ``salt`` composite ids
