@@ -116,17 +116,17 @@ def bucketed_aggregate(
             for out, (col, fn) in aggs.items()
         }
         p = tmp.groupby(keys, as_index=False).agg(**spec)
-        # stable cross-process bucket of the (stringified) key tuple
-        import zlib as _z
-
+        # stable cross-process bucket of the (stringified) key tuple —
+        # vectorized pd.util.hash_array (deterministic: fixed hash key),
+        # not a per-row Python crc32 loop (that loop dominated every
+        # string-keyed exchange: url counts, BPE word table, vocabularies)
         kcat = p[keys[0]].astype(str)
         for k in keys[1:]:
             kcat = kcat + "\x1f" + p[k].astype(str)
-        p["__bucket"] = np.fromiter(
-            (_z.crc32(s.encode()) % n_buckets for s in kcat),
-            dtype=np.int64,
-            count=len(p),
-        )
+        p["__bucket"] = (
+            pd.util.hash_array(kcat.to_numpy(dtype=object))
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
         return p
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:

@@ -34,6 +34,7 @@ import pandas as pd
 __all__ = [
     "word_count_table",
     "bpe_train",
+    "bpe_train_from_table",
     "bpe_train_from_counts",
     "merge_ranks",
     "encode_word",
@@ -130,9 +131,25 @@ def bpe_train(
 ):
     """Train a BPE merge list over a corpus. Returns a DataFrame
     (rank: int64, left: str, right: str) — the vocab artifact callers
-    register as a SQL table / spill to parquet for oracles."""
+    register as a SQL table / spill to parquet for oracles. Callers that
+    also need the (word, cnt) table (e.g. to publish a word-token
+    artifact) should build it once and call :func:`bpe_train_from_table`
+    — this convenience wrapper pays the corpus exchange itself."""
     wc_ds = word_count_table(ds, text_col=text_col, n_buckets=n_buckets)
-    wc_ds = wc_ds.materialize()
+    return bpe_train_from_table(
+        wc_ds.materialize(), n_merges=n_merges, n_buckets=n_buckets,
+        driver_threshold=driver_threshold,
+    )
+
+
+def bpe_train_from_table(
+    wc_ds,
+    n_merges: int = 200,
+    n_buckets: int = 16,
+    driver_threshold: int = 500_000,
+):
+    """Train from a MATERIALIZED (word, cnt) vocabulary table — the
+    corpus-sized exchange happens exactly once upstream."""
     if wc_ds.count() <= driver_threshold:
         wc: dict = {}
         for b in wc_ds.iter_batches(batch_size=65536, batch_format="pandas"):

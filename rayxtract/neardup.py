@@ -743,11 +743,22 @@ def prefix_filter_pairs(
     grams = ds.map_batches(explode, batch_format="pandas").materialize()
 
     # ---- signature classes: one representative (min doc id) per
-    # identical-gram-set class; narrow (doc, sz, sig) rows only
-    doc_sig = grams.map_batches(
-        lambda b: b.drop_duplicates(id_col)[[id_col, "sz", "sig"]],
-        batch_format="pandas",
-    )
+    # identical-gram-set class; narrow (doc, sz, sig) rows only.
+    # Batch-local drop_duplicates is NOT globally unique: Ray's dynamic
+    # block splitting can slice one doc's gram rows across blocks (any
+    # time explode's output exceeds the block target), which would emit
+    # duplicate class_map rows and duplicate expanded output pairs — the
+    # doc-keyed exchange below makes (doc, sz, sig) globally distinct
+    # (sz/sig are constant per doc, so min() is just "the value").
+    doc_sig = bucketed_aggregate(
+        grams.map_batches(
+            lambda b: b.drop_duplicates(id_col)[[id_col, "sz", "sig"]],
+            batch_format="pandas",
+        ),
+        keys=[id_col],
+        aggs={"sz": ("sz", "min"), "sig": ("sig", "min")},
+        n_buckets=n_buckets,
+    ).materialize()  # consumed by rep_by_sig AND class_map
     rep_by_sig = bucketed_aggregate(
         doc_sig, keys=["sig"], aggs={"rep": (id_col, "min")}, n_buckets=n_buckets
     ).materialize()
@@ -937,27 +948,71 @@ def prefix_filter_pairs(
         verified = verified.materialize()
 
     # ---- expansion back to member pairs (exact: Jaccard is a set
-    # function and every member's gram set string-equals its rep's)
-    def within(group: pd.DataFrame) -> pd.DataFrame:
+    # function and every member's gram set string-equals its rep's).
+    # Two-stage: the per-class task emits only anchor-CHUNK descriptors
+    # (member ids as one narrow blob — O(n) per class), and a downstream
+    # map expands each chunk to <= ~1M pairs. A single-task
+    # np.triu_indices over a 50k-member class would allocate ~20 GB of
+    # index arrays; this bounds every task's output regardless of class
+    # size and lets the quadratic OUTPUT (inherent to the exact-join
+    # contract) stream through the object store.
+    _CHUNK_PAIRS = 1 << 20
+
+    def within_chunks(group: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(group[id_col].astype("int64").unique())
-        if len(ids) < 2:
+        n = len(ids)
+        empty = pd.DataFrame(
+            {"start": pd.Series(dtype="int64"),
+             "stop": pd.Series(dtype="int64"),
+             "blob": pd.Series(dtype="object")}
+        )
+        if n < 2:
+            return empty
+        if n > 4096:
+            logger.warning(
+                "prefix-filter: expanding a %d-member identical-gram-set "
+                "class (%d output pairs — inherent to the exact-join "
+                "output contract; emitted in bounded chunks)",
+                n, n * (n - 1) // 2,
+            )
+        apc = max(1, _CHUNK_PAIRS // n)  # anchors per chunk
+        starts = np.arange(0, n - 1, apc, dtype=np.int64)
+        stops = np.minimum(starts + apc, n - 1)
+        blob = ids.tobytes()
+        return pd.DataFrame(
+            {"start": starts, "stop": stops,
+             "blob": pd.Series([blob] * len(starts), dtype="object")}
+        )
+
+    def expand_chunk(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for s, e, blob in zip(
+            batch["start"].astype(int), batch["stop"].astype(int),
+            batch["blob"],
+        ):
+            ids = np.frombuffer(blob, dtype=np.int64)
+            n = len(ids)
+            cnt = (n - 1 - np.arange(s, e)).astype(np.int64)
+            a = np.repeat(ids[s:e], cnt)
+            take = np.concatenate([np.arange(i + 1, n) for i in range(s, e)])
+            outs.append(
+                pd.DataFrame(
+                    {"doc_a": a, "doc_b": ids[take],
+                     "jaccard": np.full(len(a), 1.0, dtype="float64")}
+                )
+            )
+        if not outs:
             return pd.DataFrame(
                 {"doc_a": pd.Series(dtype="int64"),
                  "doc_b": pd.Series(dtype="int64"),
                  "jaccard": pd.Series(dtype="float64")}
             )
-        if len(ids) > 4096:
-            logger.warning(
-                "prefix-filter: expanding a %d-member identical-gram-set "
-                "class (%d output pairs — inherent to the exact-join "
-                "output contract)", len(ids), len(ids) * (len(ids) - 1) // 2,
-            )
-        p = _all_pairs(ids)
-        p["jaccard"] = np.float64(1.0)
-        return p
+        return pd.concat(outs, ignore_index=True)
 
-    within_pairs = class_map.groupby("rep").map_groups(
-        within, batch_format="pandas"
+    within_pairs = (
+        class_map.groupby("rep")
+        .map_groups(within_chunks, batch_format="pandas")
+        .map_batches(expand_chunk, batch_format="pandas", batch_size=8)
     )
     if verified is None:
         return within_pairs

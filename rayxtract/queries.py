@@ -1430,7 +1430,17 @@ def q_emb_kmeans_agreement(sf_dir: str):
         + (cents_r * cents_r).sum(axis=1)[None, :]
     )
     a_r = np.argmin(d2, axis=1)
-    n_agree = int((a_d["cluster"].to_numpy() == a_r).sum())
+    a_dd = a_d["cluster"].to_numpy()
+    # ulp drift between the tree-summed distributed moments and the dense
+    # reference can flip the argmin of a vector sitting numerically ON a
+    # cluster boundary — count it as agreement when the two choices are a
+    # numerical tie under the REFERENCE centroids (|Δd2| <= 1e-9 rel).
+    # Real kernel divergence moves assignments by far more than a tie.
+    rows = np.arange(len(mat))
+    tie = np.abs(d2[rows, a_dd] - d2[rows, a_r]) <= 1e-9 * (
+        1.0 + np.abs(d2[rows, a_r])
+    )
+    n_agree = int(((a_dd == a_r) | tie).sum())
     return pd.DataFrame(
         {"n_vecs": pd.Series([len(pdf)], dtype="int64"),
          "n_agree": pd.Series([n_agree], dtype="int64")}
@@ -1507,9 +1517,15 @@ def q_emb_medoids_agreement(sf_dir: str):
     )
     got_set = set(zip(got["cluster"].astype(int), got["vec_id"].astype(int)))
     want_set = set(zip(want["cluster"].astype(int), want["vec_id"].astype(int)))
+    # (n_vecs, n_disagree) rather than (n_medoids, n_agree): the medoid
+    # count sum(min(3, |cluster|)) is data-dependent and NOT
+    # SQL-derivable — an oracle pinning it would encode a wrong invariant
+    # for uneven clusters. n_vecs grounds the row in COUNT(*);
+    # n_disagree == 0 is the gate, valid for ANY cluster-size shape.
     return pd.DataFrame(
-        {"n_medoids": pd.Series([len(want_set)], dtype="int64"),
-         "n_agree": pd.Series([len(got_set & want_set)], dtype="int64")}
+        {"n_vecs": pd.Series([keyed_ds.count()], dtype="int64"),
+         "n_disagree": pd.Series(
+             [len(got_set ^ want_set)], dtype="int64")}
     )
 
 
@@ -2921,7 +2937,7 @@ def _bpe_artifacts(sf_dir: str):
 
     import ray.data
 
-    from .bpe import bpe_train, bpe_word_token_table, word_count_table
+    from .bpe import bpe_train_from_table, bpe_word_token_table, word_count_table
     from .neardup import _spill_and_reread
 
     root = _oracle_corpus_root(sf_dir)
@@ -2932,9 +2948,11 @@ def _bpe_artifacts(sf_dir: str):
     have_words = _os.path.exists(_os.path.join(words_spill, "_SPILL_COMPLETE"))
     if not (have_merges and have_words):
         docs = _read(sf_dir, "documents", ["text"])
-        merges_df = bpe_train(docs, n_merges=_BPE_MERGES)
+        # ONE corpus-sized word-count exchange feeds both the training
+        # rounds and the word-token artifact
+        wc = word_count_table(docs).materialize()
+        merges_df = bpe_train_from_table(wc, n_merges=_BPE_MERGES)
         _spill_and_reread(ray.data.from_pandas(merges_df), merges_spill, params)
-        wc = word_count_table(docs)
         _spill_and_reread(bpe_word_token_table(wc, merges_df), words_spill, params)
     merges_df = (
         ray.data.read_parquet(merges_spill, file_extensions=["parquet"])
@@ -4164,8 +4182,8 @@ ORACLE_SQL = {
         FROM embeddings
     """,
     "emb_medoids_agreement": """
-        SELECT CAST(CASE WHEN COUNT(*) < 24 THEN COUNT(*) ELSE 24 END AS BIGINT) AS n_medoids,
-               CAST(CASE WHEN COUNT(*) < 24 THEN COUNT(*) ELSE 24 END AS BIGINT) AS n_agree
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(0 AS BIGINT) AS n_disagree
         FROM embeddings
     """,
     "doc_distinct_words": r"""

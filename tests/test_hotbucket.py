@@ -177,3 +177,36 @@ def test_prefix_filter_hot_bucket_collapsed_and_exact(ray_session):
     # unguarded all-pairs + per-pair verify of 12.5M candidates took
     # minutes; the collapsed path verifies O(n) star pairs + 1 rep pair
     assert elapsed < 180, f"identical-class corpus stalled: {elapsed:.0f}s"
+
+
+def test_prefix_filter_exact_under_block_splitting(ray_session):
+    """Ray's dynamic block splitting can slice one doc's exploded gram
+    rows across blocks; a batch-local doc_sig dedup would then duplicate
+    class_map rows and emit duplicate output pairs (code-review finding).
+    Force tiny blocks and assert the pair MULTISET is still exact."""
+    import ray
+    import ray.data
+
+    from rayxtract.neardup import prefix_filter_pairs
+
+    ctx = ray.data.DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 64 * 1024  # 64 KB — forces splits
+    try:
+        n_ident = 400
+        boiler = " ".join(f"xw{j}" for j in range(40))
+        texts = [boiler] * n_ident + [
+            " ".join(f"q{i}y{j}" for j in range(25)) for i in range(30)
+        ]
+        df = pd.DataFrame(
+            {"doc_id": np.arange(len(texts), dtype="int64"), "text": texts}
+        )
+        out = prefix_filter_pairs(
+            ray.data.from_pandas(df).repartition(4), k=3, threshold=0.5
+        ).to_pandas()
+        want = n_ident * (n_ident - 1) // 2
+        assert len(out) == want, f"{len(out)} pairs vs {want} expected"
+        assert len(out.drop_duplicates(["doc_a", "doc_b"])) == want
+        assert (out["jaccard"] == 1.0).all()
+    finally:
+        ctx.target_max_block_size = old
