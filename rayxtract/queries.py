@@ -170,14 +170,13 @@ def q_filter_revenue(sf_dir: str):
 
 
 def q_top_customers(sf_dir: str):
-    """Broadcast join: customer (small side) shipped once via ray.put and
-    looked up per batch — no shuffle join of the orders fact table."""
+    """Aggregate -> top-k -> POINT name lookup: per-custkey revenue
+    through the combiner tree, top-20 via the local-top-k combiner, and
+    only the 20 winners' names fetched (broadcast key-set filter over
+    customer). No whole-dimension driver gather anywhere — customer
+    scales with SF, so the old name-dict broadcast was the same
+    corpus-proportional gather the q3 fix removed."""
     import ray
-
-    cust = (
-        _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
-    )
-    name_ref = ray.put(dict(zip(cust["c_custkey"].astype("int64"), cust["c_name"])))
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         tmp = pd.DataFrame(
@@ -199,17 +198,23 @@ def q_top_customers(sf_dir: str):
         aggs={"revenue_cents": ("revenue_cents", "sum")},
     )
 
-    def attach_name(batch: pd.DataFrame) -> pd.DataFrame:
-        names = ray.get(name_ref)
-        batch["c_name"] = [names.get(int(k), "") for k in batch["c_custkey"]]
-        return batch
+    from .agg import topk
 
-    top = (
-        agg.map_batches(attach_name, batch_format="pandas")
-        .sort(["revenue_cents", "c_custkey"], descending=[True, False])
-        .limit(20)
+    top = topk(
+        agg, ["revenue_cents", "c_custkey"], descending=[True, False], k=20
+    ).to_pandas()
+    kref = ray.put(frozenset(top["c_custkey"].astype(int)))
+    names = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(
+            lambda b: b[b["c_custkey"].astype("int64").isin(ray.get(kref))],
+            batch_format="pandas",
+        )
+        .to_pandas()  # <= 20 rows by construction
     )
-    return top
+    out = top.merge(names, on="c_custkey", how="left")
+    out["c_name"] = out["c_name"].fillna("").astype(object)
+    return out[["c_custkey", "revenue_cents", "c_name"]]
 
 
 def q_orders_sort_limit(sf_dir: str):
@@ -3679,41 +3684,41 @@ def q_revenue_by_nation(sf_dir: str):
     )
     j = bucketed_join(l, o, "l_orderkey", "o_orderkey", n_buckets=16)
 
-    def np_lut(keys: np.ndarray, vals: np.ndarray, fill=-1) -> np.ndarray:
-        arr = np.full(int(keys.max()) + 1, fill, dtype=np.int64)
-        arr[keys.astype(np.int64)] = vals.astype(np.int64)
-        return arr
+    # customer and supplier scale with SF — attach their nation keys
+    # through the size-adaptive auto_join (broadcast merge below the row
+    # limit, bucketed exchange above) instead of whole-dimension driver
+    # LUT gathers (the q3-class hazard). nation/region ARE fixed-size
+    # (25/5 rows at any SF) — a ray.put lookup is the right plan forever.
+    from .joins import auto_join
 
-    c = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    s = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda b: b.rename(columns={"s_nationkey": "sup_nationkey"}),
+        batch_format="pandas",
+    )
+    j = auto_join(j, cust, "o_custkey", "c_custkey")
+    j = auto_join(j, supp, "l_suppkey", "s_suppkey")
+
     n = _read(
         sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]
     ).to_pandas()
     r = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
     asia = int(r[r["r_name"] == "ASIA"]["r_regionkey"].iloc[0])
-    lut_ref = ray.put(
+    nat_ref = ray.put(
         {
-            "cust_nat": np_lut(
-                c["c_custkey"].to_numpy(), c["c_nationkey"].to_numpy()
-            ),
-            "supp_nat": np_lut(
-                s["s_suppkey"].to_numpy(), s["s_nationkey"].to_numpy()
-            ),
-            "nat_region": np_lut(
-                n["n_nationkey"].to_numpy(), n["n_regionkey"].to_numpy()
-            ),
-            "nat_name": dict(
-                zip(n["n_nationkey"].astype(int), n["n_name"])
-            ),
+            "region": dict(zip(n["n_nationkey"].astype(int),
+                               n["n_regionkey"].astype(int))),
+            "name": dict(zip(n["n_nationkey"].astype(int), n["n_name"])),
             "asia": asia,
         }
     )
 
     def attach(batch: pd.DataFrame) -> pd.DataFrame:
-        lut = ray.get(lut_ref)
-        cn = lut["cust_nat"][batch["o_custkey"].to_numpy(np.int64)]
-        sn = lut["supp_nat"][batch["l_suppkey"].to_numpy(np.int64)]
-        keep = (cn == sn) & (lut["nat_region"][sn] == lut["asia"])
+        lut = ray.get(nat_ref)
+        cn = batch["c_nationkey"].to_numpy(np.int64)
+        sn = batch["sup_nationkey"].to_numpy(np.int64)
+        reg = np.array([lut["region"].get(int(k), -1) for k in sn])
+        keep = (cn == sn) & (reg == lut["asia"])
         b = batch[keep]
         cents = _floor_cents(
             b["l_extendedprice"].to_numpy()
@@ -3722,7 +3727,7 @@ def q_revenue_by_nation(sf_dir: str):
         out = pd.DataFrame(
             {
                 "n_name": pd.Series(
-                    [lut["nat_name"][int(k)] for k in sn[keep]],
+                    [lut["name"][int(k)] for k in sn[keep]],
                     dtype="object",
                 ),
                 "revenue_cents": cents,
