@@ -1737,6 +1737,57 @@ def q_pages_domain_cap(sf_dir: str):
     )
 
 
+def q_pages_host_reservoir(sf_dir: str):
+    """Deterministic per-host RESERVOIR SAMPLE (k=2): the per-domain
+    inspection sample every crawl-QA pipeline draws. Rank = md5(url) —
+    a fixed hash order, so the sampled SET is a pure function of the
+    data, independent of block layout, task count and cluster size
+    (Ray's random_sample seeds per task and would violate the driver's
+    value-hash gate; see ann._hash_sample for the same trick). Plan:
+    recrawl dups collapse per batch, the local top-k combiner keeps
+    <= k rows per (host, batch), and the grouped pick runs on the
+    shrunken exchange. Oracle: DuckDB row_number() over md5(url) —
+    both engines hash the identical url bytes."""
+    import hashlib
+
+    import ray.data
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    ds = ray.data.read_parquet(pages_dir, columns=["url"])
+    k = 2
+
+    def ranked(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.drop_duplicates("url")
+        urls = b["url"].astype(object).to_numpy()
+        return pd.DataFrame(
+            {
+                "host": [u.split("/")[2] for u in urls],
+                "url": urls,
+                "rk": [hashlib.md5(u.encode()).hexdigest() for u in urls],
+            }
+        )
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.sort_values(["host", "rk", "url"], kind="mergesort")
+            .groupby("host", as_index=False)
+            .head(k)
+        )
+
+    def pick(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates("url").sort_values(
+            ["rk", "url"], kind="mergesort"
+        )
+        return g.head(k)[["host", "url"]]
+
+    return (
+        ds.map_batches(ranked, batch_format="pandas")
+        .map_batches(local_topk, batch_format="pandas")
+        .groupby("host")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
 def q_pages_link_edges(sf_dir: str):
     """LINK-GRAPH EXTRACTION: weighted (src_url, href, n_links) edges from
     the <a href> targets of every direct-HTML page, parsed by the engine's
@@ -2558,6 +2609,317 @@ def q3_shipping_priority(sf_dir: str):
         descending=[True, False, False],
         k=10,
     )
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape (forecast revenue change): the pure pruned
+    scan-filter-aggregate — exactly 4 columns leave the parquet reader,
+    the three predicates run vectorized per batch, and the global sum is
+    one int64 partial row per batch merged in a single tiny block. At
+    10^12 rows this plan moves O(input blocks) rows through the exchange
+    and nothing else. Float convention: per-row floor(ep*disc*100) then
+    integer sum, mirrored exactly in SQL (reference analogue: the
+    one-pass metrics scans in `utils.py` but expressed as a distributed
+    combiner tree)."""
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-01-01")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.to_datetime(batch["l_shipdate"])
+        disc = batch["l_discount"].to_numpy(np.float64)
+        m = (
+            (d >= lo).to_numpy()
+            & (d < hi).to_numpy()
+            & (disc >= 0.05)
+            & (disc <= 0.07)
+            & (batch["l_quantity"].to_numpy(np.float64) < 24.0)
+        )
+        ep = batch.loc[m, "l_extendedprice"].to_numpy(np.float64)
+        rev = np.floor(ep * disc[m] * 100.0).astype("int64")
+        return pd.DataFrame(
+            {"revenue_cents": [int(rev.sum())], "n_items": [int(m.sum())]}
+        )
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "revenue_cents": [int(batch["revenue_cents"].sum())],
+                "n_items": [int(batch["n_items"].sum())],
+            }
+        )
+
+    return (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        )
+        .map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+    )
+
+
+def q12_priority_by_flag(sf_dir: str):
+    """TPC-H Q12 shape (late-shipment priority split, keyed on the
+    columns this schema has): 1997 lineitems bucket-join orders on
+    orderkey (ONE corpus-sized exchange), then a conditional aggregate —
+    per returnflag, how many joined lines belong to high-priority
+    (1-URGENT / 2-HIGH) vs low-priority orders. The CASE runs per batch
+    as two int partials, so only (flag, 2 ints) rows enter the combiner
+    tree."""
+    from .agg import tree_aggregate
+    from .joins import bucketed_join
+
+    lo = pd.Timestamp("1997-01-01")
+    hi = pd.Timestamp("1998-01-01")
+
+    def l_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.to_datetime(batch["l_shipdate"])
+        m = ((d >= lo) & (d < hi)).to_numpy()
+        return pd.DataFrame(
+            {
+                "l_orderkey": batch.loc[m, "l_orderkey"].astype("int64").values,
+                "l_returnflag": batch.loc[m, "l_returnflag"].astype(object).values,
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_shipdate"]
+    ).map_batches(l_filter, batch_format="pandas")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = bucketed_join(li, orders, "l_orderkey", "o_orderkey", n_buckets=16)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        high = (
+            batch["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+        ).to_numpy()
+        tmp = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].values,
+                "high_line_count": high.astype("int64"),
+                "low_line_count": (~high).astype("int64"),
+            }
+        )
+        return tmp.groupby("l_returnflag", as_index=False).sum()
+
+    return tree_aggregate(
+        joined.map_batches(partial, batch_format="pandas"),
+        keys=["l_returnflag"],
+        aggs={
+            "high_line_count": ("high_line_count", "sum"),
+            "low_line_count": ("low_line_count", "sum"),
+        },
+    )
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape (promotion effect): one quarter of lineitem joins
+    the part dimension through the size-adaptive auto_join (broadcast
+    below the row limit — part scales with SF, so the physical plan must
+    flip to the bucketed exchange at the big tiers), then two conditional
+    int sums (PROMO vs all revenue cents) collapse to a single row whose
+    share is exact integer arithmetic: promo_cents * 1_000_000 //
+    total_cents — Python bigints on the engine side, BIGINT // in SQL, so
+    the ppm value is bit-identical, never a float division."""
+    from .joins import auto_join
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1996-04-01")
+
+    def l_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.to_datetime(batch["l_shipdate"])
+        m = ((d >= lo) & (d < hi)).to_numpy()
+        ep = batch.loc[m, "l_extendedprice"].to_numpy(np.float64)
+        disc = batch.loc[m, "l_discount"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "l_partkey": batch.loc[m, "l_partkey"].astype("int64").values,
+                "rev_cents": np.floor(ep * (1.0 - disc) * 100.0).astype("int64"),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(l_filter, batch_format="pandas")
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    joined = auto_join(li, part, "l_partkey", "p_partkey", how="inner")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        promo = (batch["p_type"] == "PROMO").to_numpy()
+        rev = batch["rev_cents"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "promo_cents": [int(rev[promo].sum())],
+                "total_cents": [int(rev.sum())],
+            }
+        )
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        promo = int(batch["promo_cents"].sum())
+        total = int(batch["total_cents"].sum())
+        ppm = (promo * 1_000_000) // total if total else 0
+        return pd.DataFrame(
+            {
+                "promo_cents": [promo],
+                "total_cents": [total],
+                "promo_share_ppm": [ppm],
+            }
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+    )
+
+
+def q18_large_orders(sf_dir: str):
+    """TPC-H Q18 shape (large-volume customers) — the HAVING chain:
+    per-order quantity sums flow through the bucketed exchange (order
+    keys are corpus-sized), the HAVING > 250 filter shrinks the result
+    to a sliver (~1% of orders at these tiers), and the sliver joins
+    BACK to orders then customer via auto_join (broadcast of the tiny
+    winner side — the whole fact table is never re-shuffled for the
+    join-back). Top 20 by total price with a full-order tiebreak."""
+    from .agg import bucketed_aggregate, topk
+    from .joins import auto_join
+
+    def l_qty(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"].astype("int64").values,
+                "qty": np.rint(batch["l_quantity"].to_numpy(np.float64)).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    sums = bucketed_aggregate(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+            l_qty, batch_format="pandas"
+        ),
+        keys=["l_orderkey"],
+        aggs={"sum_qty": ("qty", "sum")},
+        n_buckets=16,
+    )
+    winners = sums.map_batches(
+        lambda b: b[b["sum_qty"] > 250], batch_format="pandas"
+    )
+
+    def o_prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["o_orderkey"].astype("int64").values,
+                "o_custkey": batch["o_custkey"].astype("int64").values,
+                "o_orderdate": pd.to_datetime(batch["o_orderdate"]).dt.strftime(
+                    "%Y-%m-%d"
+                ),
+                "total_cents": _floor_cents(
+                    batch["o_totalprice"].to_numpy(np.float64)
+                ),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    ).map_batches(o_prep, batch_format="pandas")
+    owin = auto_join(orders, winners, "o_orderkey", "l_orderkey", how="inner")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    full = auto_join(owin, cust, "o_custkey", "c_custkey", how="inner")
+    return topk(
+        full.map_batches(
+            lambda b: b[
+                ["c_name", "o_custkey", "o_orderkey", "o_orderdate",
+                 "total_cents", "sum_qty"]
+            ],
+            batch_format="pandas",
+        ),
+        ["total_cents", "o_orderkey"],
+        descending=[True, False],
+        k=20,
+    )
+
+
+def q_events_distinct_users_by_type(sf_dir: str):
+    """Grouped COUNT(DISTINCT) two ways, cross-validated in-engine: the
+    exact path dedups (event_type, user_id) through one bucketed
+    exchange (only distinct pairs survive the partial stage, so the
+    shuffle is bounded by the distinct-pair count, not the event
+    count), and a mergeable HyperLogLog per type (p=12, ~1.6% SE;
+    registers merge by elementwise max, so the sketch path is one
+    narrow exchange of 4 KB blobs regardless of corpus size). The
+    driver-checkable claim: hll_ok=1 iff the sketch lands within 5% of
+    the exact count — the oracle pins exact_users with COUNT(DISTINCT)
+    and hll_ok with the constant 1."""
+    import pickle
+
+    from .agg import bucketed_aggregate, tree_aggregate
+    from .sketch import HyperLogLog
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    pairs = bucketed_aggregate(
+        ev.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "event_type": b["event_type"].astype(object).values,
+                    "user_id": b["user_id"].astype("int64").values,
+                    "one": np.ones(len(b), dtype="int64"),
+                }
+            ).drop_duplicates(["event_type", "user_id"]),
+            batch_format="pandas",
+        ),
+        keys=["event_type", "user_id"],
+        aggs={"n": ("one", "sum")},
+        n_buckets=16,
+    )
+    exact = tree_aggregate(
+        pairs, keys=["event_type"], aggs={"exact_users": ("user_id", "count")}
+    )
+
+    def hll_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in batch.groupby("event_type"):
+            h = HyperLogLog(p=12)
+            h.update_many(g["user_id"].to_numpy(np.int64))
+            rows.append({"event_type": et, "blob": pickle.dumps(h)})
+        return pd.DataFrame(rows)
+
+    def hll_merge(group: pd.DataFrame) -> pd.DataFrame:
+        h = pickle.loads(group["blob"].iloc[0])
+        for b in group["blob"].iloc[1:]:
+            h.merge(pickle.loads(b))
+        return pd.DataFrame(
+            {
+                "event_type": [group["event_type"].iloc[0]],
+                "est_users": [int(h.estimate())],
+            }
+        )
+
+    est = (
+        ev.map_batches(hll_partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(hll_merge, batch_format="pandas")
+    )
+
+    # both sides are bounded by the event-type vocabulary (a handful of
+    # rows by construction) — the driver-side frame here is
+    # dimension-bounded, never corpus-sized
+    ex = exact.to_pandas().set_index("event_type")
+    es = est.to_pandas().set_index("event_type")
+    out = ex.join(es)
+    ok = (
+        (out["est_users"] - out["exact_users"]).abs()
+        <= 0.05 * out["exact_users"]
+    ).astype("int64")
+    return pd.DataFrame(
+        {
+            "event_type": out.index.values,
+            "exact_users": out["exact_users"].astype("int64").values,
+            "hll_ok": ok.values,
+        }
+    ).reset_index(drop=True)
 
 
 def q_events_attribution_window(sf_dir: str):
@@ -4071,6 +4433,12 @@ QUERIES = {
     "events_windowed_topk": q_events_windowed_topk,
     "events_attribution_window": q_events_attribution_window,
     "q3_shipping_priority": q3_shipping_priority,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q12_priority_by_flag": q12_priority_by_flag,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_orders": q18_large_orders,
+    "events_distinct_users_by_type": q_events_distinct_users_by_type,
+    "pages_host_reservoir": q_pages_host_reservoir,
     "doc_simjoin_exact": q_doc_simjoin_exact,
     "join_lineitem_part": q_join_lineitem_part,
     "events_late_data": q_events_late_data,
@@ -4694,6 +5062,56 @@ ORACLE_SQL = {
         ORDER BY rev_cents DESC, o_orderdate ASC, l_orderkey ASC
         LIMIT 10
     """,
+    "q6_forecast_revenue": """
+        SELECT CAST(COALESCE(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100.0) AS BIGINT)), 0) AS BIGINT) AS revenue_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "q12_priority_by_flag": """
+        SELECT l.l_returnflag,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= DATE '1997-01-01' AND l.l_shipdate < DATE '1998-01-01'
+        GROUP BY l.l_returnflag
+    """,
+    "q14_promo_revenue": """
+        WITH s AS (
+          SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                       THEN CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS promo_cents,
+                 CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS total_cents
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1996-04-01'
+        )
+        SELECT promo_cents, total_cents,
+               CAST(CASE WHEN total_cents = 0 THEN 0
+                    ELSE (promo_cents * 1000000) // total_cents END AS BIGINT) AS promo_share_ppm
+        FROM s
+    """,
+    "q18_large_orders": """
+        WITH s AS (
+          SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+        )
+        SELECT c.c_name, o.o_custkey, o.o_orderkey,
+               CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+               CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT) AS total_cents,
+               s.sum_qty
+        FROM s JOIN orders o ON s.l_orderkey = o.o_orderkey
+               JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY total_cents DESC, o.o_orderkey ASC
+        LIMIT 20
+    """,
+    "events_distinct_users_by_type": """
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               CAST(1 AS BIGINT) AS hll_ok
+        FROM events GROUP BY event_type
+    """,
     "events_attribution_window": """
         WITH p AS (
           SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
@@ -5118,6 +5536,19 @@ def _pages_oracles(sf_dir: str) -> dict[str, str]:
             SELECT doc_id, n_tokens,
                    CAST((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS BIGINT) AS pack_id
             FROM tok
+        """,
+        "pages_host_reservoir": f"""
+            WITH d AS (
+              SELECT DISTINCT url FROM read_parquet('{pages}')
+            ), r AS (
+              SELECT split_part(url, '/', 3) AS host, url,
+                     row_number() OVER (
+                       PARTITION BY split_part(url, '/', 3)
+                       ORDER BY md5(url), url
+                     ) AS rk
+              FROM d
+            )
+            SELECT host, url FROM r WHERE rk <= 2
         """,
         "pages_url_rules": f"""
             SELECT DISTINCT url,
