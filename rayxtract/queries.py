@@ -1788,6 +1788,67 @@ def q_pages_host_reservoir(sf_dir: str):
     )
 
 
+def q_pages_host_quality_filter(sf_dir: str):
+    """DOMAIN-LEVEL CURATION — the host-aggregate-then-join-back shape
+    (UT1-blocklist / C4-style domain filtering works exactly like this):
+    extracted char counts aggregate per host through one string-keyed
+    bucketed exchange, then the per-host stats join BACK onto every url
+    through a second exchange on the same key, and each page gets an
+    integer keep verdict (2*n_chars*host_n >= host_sum, i.e. at least
+    half the host's mean — pure cross-multiplied int64, no division, so
+    the flag is exact at every tier). Both sides of the join-back are
+    corpus-sized: this is the canonical fact-to-its-own-aggregate
+    pattern. Oracle recomputes from the golden text (the byte-identity
+    contract makes length(golden_text) == n_chars)."""
+    import ray.data
+
+    from .agg import bucketed_aggregate
+    from .joins import bucketed_join
+    from .ops import ExtractConfig
+    from .pipeline import extraction_dataset
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    ds = extraction_dataset(pages_dir, ExtractConfig())
+
+    docs = ds.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "url": b["url"].astype(object).values,
+                "host": [u.split("/")[2] for u in b["url"]],
+                "n_chars": b["n_chars"].astype("int64").values,
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    hosts = bucketed_aggregate(
+        docs,
+        keys=["host"],
+        aggs={"host_n": ("n_chars", "count"), "host_sum": ("n_chars", "sum")},
+        n_buckets=16,
+    ).map_batches(
+        lambda b: b.rename(columns={"host": "h"}), batch_format="pandas"
+    )
+
+    joined = bucketed_join(docs, hosts, "host", "h", n_buckets=16, how="inner")
+    return joined.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "url": b["url"].astype(object).values,
+                "host": b["host"].astype(object).values,
+                "n_chars": b["n_chars"].astype("int64").values,
+                "host_n": b["host_n"].astype("int64").values,
+                "keep": (
+                    2 * b["n_chars"].to_numpy(np.int64)
+                    * b["host_n"].to_numpy(np.int64)
+                    >= b["host_sum"].to_numpy(np.int64)
+                ).astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_pages_link_edges(sf_dir: str):
     """LINK-GRAPH EXTRACTION: weighted (src_url, href, n_links) edges from
     the <a href> targets of every direct-HTML page, parsed by the engine's
@@ -2838,6 +2899,239 @@ def q18_large_orders(sf_dir: str):
         ["total_cents", "o_orderkey"],
         descending=[True, False],
         k=20,
+    )
+
+
+def q10_returned_revenue(sf_dir: str):
+    """TPC-H Q10 shape (returned-item revenue report): returned ('R')
+    lineitems bucket-join one quarter of orders on orderkey (the ONE
+    big-big exchange), revenue partials pre-aggregate per custkey inside
+    each batch, the combiner tree collapses to one row per customer, and
+    the customer + nation dimensions attach to the top-20 slice only —
+    the dimensions never touch the fact exchange. Revenue in integer
+    floor-cents."""
+    from .agg import topk, tree_aggregate
+    from .joins import auto_join, bucketed_join
+
+    lo = pd.Timestamp("1996-10-01")
+    hi = pd.Timestamp("1997-01-01")
+
+    def o_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.to_datetime(batch["o_orderdate"])
+        m = ((d >= lo) & (d < hi)).to_numpy()
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch.loc[m, "o_orderkey"].astype("int64").values,
+                "o_custkey": batch.loc[m, "o_custkey"].astype("int64").values,
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(o_filter, batch_format="pandas")
+
+    def l_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        m = (batch["l_returnflag"] == "R").to_numpy()
+        ep = batch.loc[m, "l_extendedprice"].to_numpy(np.float64)
+        disc = batch.loc[m, "l_discount"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "l_orderkey": batch.loc[m, "l_orderkey"].astype("int64").values,
+                "rev_cents": np.floor(ep * (1.0 - disc) * 100.0).astype("int64"),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]
+    ).map_batches(l_filter, batch_format="pandas")
+    joined = bucketed_join(li, orders, "l_orderkey", "o_orderkey", n_buckets=16)
+
+    per_cust = tree_aggregate(
+        joined.map_batches(
+            lambda b: b.groupby("o_custkey", as_index=False)["rev_cents"].sum(),
+            batch_format="pandas",
+        ),
+        keys=["o_custkey"],
+        aggs={"rev_cents": ("rev_cents", "sum")},
+    )
+    top = topk(per_cust, ["rev_cents", "o_custkey"], descending=[True, False], k=20)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    named = auto_join(top, cust, "o_custkey", "c_custkey", how="inner")
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).map_batches(
+        lambda b: pd.DataFrame(
+            {"n_nationkey": b["n_nationkey"].astype("int64").values,
+             "n_name": b["n_name"].astype(object).values}
+        ),
+        batch_format="pandas",
+    )
+    full = auto_join(
+        named.map_batches(
+            lambda b: b.assign(c_nationkey=b["c_nationkey"].astype("int64")),
+            batch_format="pandas",
+        ),
+        nation,
+        "c_nationkey",
+        "n_nationkey",
+        how="inner",
+    )
+    return full.map_batches(
+        lambda b: b[["o_custkey", "c_name", "n_name", "rev_cents"]],
+        batch_format="pandas",
+    )
+
+
+def q2_cheapest_supplier(sf_dir: str):
+    """TPC-H Q2 shape (min-cost supplier) on this schema: per part, the
+    supplier offering the lowest observed unit price in lineitem —
+    the ARGMIN-PER-GROUP with deterministic tiebreak (unit_cents, then
+    suppkey) that SQL writes as a correlated subquery / row_number()=1.
+    Plan: per-batch local argmin shrinks the exchange to one candidate
+    row per (partkey, batch); the bucketed grouped pick runs on the
+    shrunken stream (part keys are corpus-sized — never a single-block
+    merge); the part dimension attaches through auto_join. Unit price is
+    floor(ep/qty*100) — identical IEEE division in numpy and SQL."""
+    from .joins import auto_join
+
+    def unit(batch: pd.DataFrame) -> pd.DataFrame:
+        ep = batch["l_extendedprice"].to_numpy(np.float64)
+        qty = batch["l_quantity"].to_numpy(np.float64)
+        tmp = pd.DataFrame(
+            {
+                "p_partkey": batch["l_partkey"].astype("int64").values,
+                "s_suppkey": batch["l_suppkey"].astype("int64").values,
+                "unit_cents": np.floor(ep / qty * 100.0).astype("int64"),
+            }
+        )
+        # local argmin with the global tiebreak order
+        return (
+            tmp.sort_values(
+                ["p_partkey", "unit_cents", "s_suppkey"], kind="mergesort"
+            )
+            .groupby("p_partkey", as_index=False)
+            .head(1)
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"]
+    ).map_batches(unit, batch_format="pandas")
+
+    def pick(group: pd.DataFrame) -> pd.DataFrame:
+        return (
+            group.sort_values(
+                ["p_partkey", "unit_cents", "s_suppkey"], kind="mergesort"
+            )
+            .groupby("p_partkey", as_index=False)
+            .head(1)
+        )
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.copy()
+        b["__bucket"] = (b["p_partkey"].to_numpy(np.int64) % 16).astype("int64")
+        return b
+
+    argmin = (
+        li.map_batches(bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: pick(g).drop(columns="__bucket"), batch_format="pandas"
+        )
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"]).map_batches(
+        lambda b: pd.DataFrame(
+            {"pk": b["p_partkey"].astype("int64").values,
+             "p_name": b["p_name"].astype(object).values}
+        ),
+        batch_format="pandas",
+    )
+    return auto_join(argmin, part, "p_partkey", "pk", how="inner")
+
+
+def q4_order_priority(sf_dir: str):
+    """TPC-H Q4 shape (order-priority check): per priority, how many 1997
+    orders have AT LEAST ONE returned lineitem — the EXISTS semi-join
+    expressed as distinct-key extraction (bucketed dedup of returned
+    orderkeys: only (orderkey) rows enter the exchange, pre-shrunk by a
+    per-batch drop_duplicates) followed by an inner join against the
+    date-filtered orders and a tiny grouped count."""
+    from .agg import bucketed_aggregate, tree_aggregate
+    from .joins import auto_join
+
+    lo = pd.Timestamp("1997-01-01")
+    hi = pd.Timestamp("1998-01-01")
+
+    returned = bucketed_aggregate(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "l_orderkey": b.loc[b["l_returnflag"] == "R", "l_orderkey"]
+                    .astype("int64")
+                    .drop_duplicates()
+                    .values,
+                    "one": 1,
+                }
+            ),
+            batch_format="pandas",
+        ),
+        keys=["l_orderkey"],
+        aggs={"n": ("one", "sum")},
+        n_buckets=16,
+    ).map_batches(lambda b: b[["l_orderkey"]], batch_format="pandas")
+
+    def o_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.to_datetime(batch["o_orderdate"])
+        m = ((d >= lo) & (d < hi)).to_numpy()
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch.loc[m, "o_orderkey"].astype("int64").values,
+                "o_orderpriority": batch.loc[m, "o_orderpriority"]
+                .astype(object)
+                .values,
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(o_filter, batch_format="pandas")
+    sj = auto_join(orders, returned, "o_orderkey", "l_orderkey", how="inner")
+    return tree_aggregate(
+        sj,
+        keys=["o_orderpriority"],
+        aggs={"order_count": ("o_orderkey", "count")},
+    )
+
+
+def q_events_percent_rank(sf_dir: str):
+    """PERCENT_RANK window per event type: (rank-1)/(n-1) with SQL rank
+    semantics (ties share the minimum rank), emitted as floor-ppm so the
+    value survives the driver's hash gate. Hash-partition by type,
+    vectorized double-argsort ranking within each group — both engines
+    evaluate the identical double division before the floor."""
+
+    def pr(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["value", "event_id"], kind="mergesort")
+        v = g["value"].to_numpy(np.float64)
+        n = len(g)
+        # SQL rank(): 1 + number of strictly-smaller rows (ties share)
+        first_idx = np.searchsorted(v, v, side="left")
+        rank = first_idx + 1
+        if n > 1:
+            ppm = np.floor(
+                (rank - 1).astype(np.float64) / float(n - 1) * 1_000_000.0
+            ).astype("int64")
+        else:
+            ppm = np.zeros(1, dtype="int64")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64").values,
+                "event_type": g["event_type"].astype(object).values,
+                "pr_ppm": ppm,
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "event_type", "value"])
+        .groupby("event_type")
+        .map_groups(pr, batch_format="pandas")
     )
 
 
@@ -4439,6 +4733,11 @@ QUERIES = {
     "q18_large_orders": q18_large_orders,
     "events_distinct_users_by_type": q_events_distinct_users_by_type,
     "pages_host_reservoir": q_pages_host_reservoir,
+    "q10_returned_revenue": q10_returned_revenue,
+    "q2_cheapest_supplier": q2_cheapest_supplier,
+    "q4_order_priority": q4_order_priority,
+    "events_percent_rank": q_events_percent_rank,
+    "pages_host_quality_filter": q_pages_host_quality_filter,
     "doc_simjoin_exact": q_doc_simjoin_exact,
     "join_lineitem_part": q_join_lineitem_part,
     "events_late_data": q_events_late_data,
@@ -5106,6 +5405,50 @@ ORACLE_SQL = {
         ORDER BY total_cents DESC, o.o_orderkey ASC
         LIMIT 20
     """,
+    "q10_returned_revenue": """
+        WITH t AS (
+          SELECT o.o_custkey,
+                 CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS rev_cents
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_returnflag = 'R'
+            AND o.o_orderdate >= DATE '1996-10-01' AND o.o_orderdate < DATE '1997-01-01'
+          GROUP BY o.o_custkey
+          ORDER BY rev_cents DESC, o.o_custkey ASC
+          LIMIT 20
+        )
+        SELECT t.o_custkey, c.c_name, n.n_name, t.rev_cents
+        FROM t JOIN customer c ON t.o_custkey = c.c_custkey
+               JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+    "q2_cheapest_supplier": """
+        WITH u AS (
+          SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+                 CAST(FLOOR(l_extendedprice / l_quantity * 100.0) AS BIGINT) AS unit_cents,
+                 row_number() OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY CAST(FLOOR(l_extendedprice / l_quantity * 100.0) AS BIGINT), l_suppkey
+                 ) AS rn
+          FROM lineitem
+        )
+        SELECT u.p_partkey, u.s_suppkey, u.unit_cents, p.p_name
+        FROM u JOIN part p ON u.p_partkey = p.p_partkey
+        WHERE u.rn = 1
+    """,
+    "q4_order_priority": """
+        SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= DATE '1997-01-01' AND o.o_orderdate < DATE '1998-01-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+          )
+        GROUP BY o.o_orderpriority
+    """,
+    "events_percent_rank": """
+        SELECT event_id, event_type,
+               CAST(FLOOR(percent_rank() OVER (PARTITION BY event_type ORDER BY value) * 1000000.0) AS BIGINT) AS pr_ppm
+        FROM events
+    """,
     "events_distinct_users_by_type": """
         SELECT event_type,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
@@ -5536,6 +5879,23 @@ def _pages_oracles(sf_dir: str) -> dict[str, str]:
             SELECT doc_id, n_tokens,
                    CAST((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS BIGINT) AS pack_id
             FROM tok
+        """,
+        "pages_host_quality_filter": f"""
+            WITH d AS (
+              SELECT DISTINCT url, golden_text FROM read_parquet('{golden}')
+            ), e AS (
+              SELECT url, split_part(url, '/', 3) AS host,
+                     CAST(length(golden_text) AS BIGINT) AS n_chars
+              FROM d
+            ), h AS (
+              SELECT host, CAST(COUNT(*) AS BIGINT) AS host_n,
+                     CAST(SUM(n_chars) AS BIGINT) AS host_sum
+              FROM e GROUP BY host
+            )
+            SELECT e.url, e.host, e.n_chars, h.host_n,
+                   CAST(CASE WHEN 2 * e.n_chars * h.host_n >= h.host_sum
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM e JOIN h USING (host)
         """,
         "pages_host_reservoir": f"""
             WITH d AS (
