@@ -3135,6 +3135,113 @@ def q_events_percent_rank(sf_dir: str):
     )
 
 
+def q_events_exact_median(sf_dir: str):
+    """EXACT global median WITHOUT a sort — agg.select_kth's iterative
+    histogram selection: ~3 full scans (each reducing to a 2048-int
+    driver histogram) replace the all-to-all sort a naive exact median
+    needs; at 10^12 rows that's the difference between a few reads and
+    an exabyte shuffle. Lower median (rank (n+1)//2), value emitted as
+    floor-micros of the exact selected double — the oracle picks the
+    identical rank via row_number."""
+    from .agg import select_kth
+
+    ev = _read(sf_dir, "events", ["value"])
+    n = ev.count()
+    med = select_kth(ev, "value", (n + 1) // 2)
+    return pd.DataFrame(
+        {
+            "median_micro": pd.Series(
+                [int(np.floor(med * 1_000_000.0))], dtype="int64"
+            ),
+            "n": pd.Series([n], dtype="int64"),
+        }
+    )
+
+
+def q_orders_above_cust_avg(sf_dir: str):
+    """CORRELATED-AGGREGATE FILTER (orders above their own customer's
+    average — SQL's correlated scalar subquery): per-customer (n, sum)
+    flows through one bucketed exchange, joins BACK onto the fact rows
+    on custkey, and the predicate is the cross-multiplied integer form
+    total_cents * cust_n > cust_sum — exact at every tier, no float
+    average ever materializes."""
+    from .agg import bucketed_aggregate
+    from .joins import bucketed_join
+
+    def o_prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["o_orderkey"].astype("int64").values,
+                "o_custkey": batch["o_custkey"].astype("int64").values,
+                "total_cents": _floor_cents(
+                    batch["o_totalprice"].to_numpy(np.float64)
+                ),
+            }
+        )
+
+    orders = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(o_prep, batch_format="pandas")
+        .materialize()
+    )
+    per_cust = bucketed_aggregate(
+        orders,
+        keys=["o_custkey"],
+        aggs={"cust_n": ("total_cents", "count"), "cust_sum": ("total_cents", "sum")},
+        n_buckets=16,
+    ).map_batches(
+        lambda b: b.rename(columns={"o_custkey": "ck"}), batch_format="pandas"
+    )
+    joined = bucketed_join(orders, per_cust, "o_custkey", "ck", n_buckets=16)
+    return joined.map_batches(
+        lambda b: b.loc[
+            b["total_cents"].to_numpy(np.int64) * b["cust_n"].to_numpy(np.int64)
+            > b["cust_sum"].to_numpy(np.int64),
+            ["o_orderkey", "o_custkey", "total_cents", "cust_n"],
+        ],
+        batch_format="pandas",
+    )
+
+
+def q_doc_except_texts(sf_dir: str):
+    """SET DIFFERENCE (EXCEPT) over corpus-sized sets: the distinct text
+    fingerprints of source src0 minus those of src1 — the cross-corpus
+    "what's new in this crawl" question. Per-batch presence partials
+    (md5, in0, in1) pre-shrink to one row per (fingerprint, batch); one
+    hash-bucketed max-merge; the anti filter runs per bucket — the
+    fingerprint universe never lands in a single block or on the
+    driver. Both engines hash the identical text bytes."""
+    import hashlib
+
+    from .agg import bucketed_aggregate
+
+    def presence(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch["source"].isin(["src0", "src1"]).to_numpy()
+        b = batch.loc[m]
+        fp = [hashlib.md5(t.encode()).hexdigest() for t in b["text"]]
+        tmp = pd.DataFrame(
+            {
+                "text_md5": fp,
+                "in0": (b["source"] == "src0").astype("int64").values,
+                "in1": (b["source"] == "src1").astype("int64").values,
+            }
+        )
+        return tmp.groupby("text_md5", as_index=False).max()
+
+    agg = bucketed_aggregate(
+        _read(sf_dir, "documents", ["source", "text"]).map_batches(
+            presence, batch_format="pandas"
+        ),
+        keys=["text_md5"],
+        aggs={"in0": ("in0", "max"), "in1": ("in1", "max")},
+        n_buckets=16,
+    )
+    return agg.map_batches(
+        lambda b: b.loc[(b["in0"] == 1) & (b["in1"] == 0), ["text_md5"]],
+        batch_format="pandas",
+    )
+
+
 def q_events_distinct_users_by_type(sf_dir: str):
     """Grouped COUNT(DISTINCT) two ways, cross-validated in-engine: the
     exact path dedups (event_type, user_id) through one bucketed
@@ -4738,6 +4845,9 @@ QUERIES = {
     "q4_order_priority": q4_order_priority,
     "events_percent_rank": q_events_percent_rank,
     "pages_host_quality_filter": q_pages_host_quality_filter,
+    "events_exact_median": q_events_exact_median,
+    "orders_above_cust_avg": q_orders_above_cust_avg,
+    "doc_except_texts": q_doc_except_texts,
     "doc_simjoin_exact": q_doc_simjoin_exact,
     "join_lineitem_part": q_join_lineitem_part,
     "events_late_data": q_events_late_data,
@@ -5448,6 +5558,36 @@ ORACLE_SQL = {
         SELECT event_id, event_type,
                CAST(FLOOR(percent_rank() OVER (PARTITION BY event_type ORDER BY value) * 1000000.0) AS BIGINT) AS pr_ppm
         FROM events
+    """,
+    "events_exact_median": """
+        WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+        r AS (
+          SELECT value, row_number() OVER (ORDER BY value, event_id) AS rn
+          FROM events
+        )
+        SELECT CAST(FLOOR(r.value * 1000000.0) AS BIGINT) AS median_micro, c.n
+        FROM r, c WHERE r.rn = (c.n + 1) // 2
+    """,
+    "orders_above_cust_avg": """
+        WITH o AS (
+          SELECT o_orderkey, o_custkey,
+                 CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS total_cents
+          FROM orders
+        ), g AS (
+          SELECT o_custkey AS ck, CAST(COUNT(*) AS BIGINT) AS cust_n,
+                 CAST(SUM(total_cents) AS BIGINT) AS cust_sum
+          FROM o GROUP BY o_custkey
+        )
+        SELECT o.o_orderkey, o.o_custkey, o.total_cents, g.cust_n
+        FROM o JOIN g ON o.o_custkey = g.ck
+        WHERE o.total_cents * g.cust_n > g.cust_sum
+    """,
+    "doc_except_texts": """
+        SELECT DISTINCT md5(text) AS text_md5
+        FROM documents WHERE source = 'src0'
+        EXCEPT
+        SELECT DISTINCT md5(text) AS text_md5
+        FROM documents WHERE source = 'src1'
     """,
     "events_distinct_users_by_type": """
         SELECT event_type,

@@ -461,3 +461,38 @@ def test_auto_join_paths_equivalent_randomized(ray_session):
         exp = canon(l.merge(r, left_on="k", right_on="rk", how=how))
         pd.testing.assert_frame_equal(bcast, exp, obj=f"bcast-{how}")
         pd.testing.assert_frame_equal(exch, exp, obj=f"exch-{how}")
+
+
+def test_select_kth_matches_numpy(ray_session):
+    """select_kth == numpy partition on every rank, with duplicates and
+    multi-block layouts (the histogram-selection loop must not depend on
+    block boundaries)."""
+    import ray.data
+
+    from rayxtract.agg import select_kth
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate(
+        [
+            rng.uniform(-50, 50, size=400),
+            np.repeat(3.25, 37),  # a duplicate-heavy value
+            np.array([-50.0, 50.0]),  # exact range endpoints
+        ]
+    )
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).map_batches(
+        lambda b: b, batch_format="pandas", batch_size=29
+    )
+    srt = np.sort(vals)
+    n = len(vals)
+    for k in (1, 2, n // 2, n - 1, n):
+        got = select_kth(ds, "v", k, n_buckets=32, collect_limit=16)
+        assert got == srt[k - 1], (k, got, srt[k - 1])
+
+
+def test_select_kth_constant_column(ray_session):
+    import ray.data
+
+    from rayxtract.agg import select_kth
+
+    ds = ray.data.from_pandas(pd.DataFrame({"v": np.full(100, 7.5)}))
+    assert select_kth(ds, "v", 50) == 7.5
