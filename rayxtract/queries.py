@@ -3135,6 +3135,113 @@ def q_events_percent_rank(sf_dir: str):
     )
 
 
+def q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape (discounted revenue under an OR-of-ANDs
+    predicate): lineitem joins part through auto_join, then THREE
+    (brand, quantity-band) conjuncts evaluate as one vectorized boolean
+    expression per batch — the disjunction runs AFTER the join because
+    each disjunct constrains BOTH sides (no single-side pushdown
+    exists); only the quantity prefilter (the union of all bands)
+    prunes pre-join. One int64 partial row per batch."""
+    from .joins import auto_join
+
+    def l_prep(batch: pd.DataFrame) -> pd.DataFrame:
+        qty = batch["l_quantity"].to_numpy(np.float64)
+        m = (qty >= 1.0) & (qty <= 30.0)  # union of the three bands
+        ep = batch.loc[m, "l_extendedprice"].to_numpy(np.float64)
+        disc = batch.loc[m, "l_discount"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "l_partkey": batch.loc[m, "l_partkey"].astype("int64").values,
+                "qty": qty[m],
+                "rev_cents": np.floor(ep * (1.0 - disc) * 100.0).astype("int64"),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+    ).map_batches(l_prep, batch_format="pandas")
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    joined = auto_join(li, part, "l_partkey", "p_partkey", how="inner")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        brand = batch["p_brand"].to_numpy(object)
+        qty = batch["qty"].to_numpy(np.float64)
+        keep = (
+            ((brand == "Brand#12") & (qty >= 1.0) & (qty <= 11.0))
+            | ((brand == "Brand#23") & (qty >= 10.0) & (qty <= 20.0))
+            | ((brand == "Brand#3") & (qty >= 20.0) & (qty <= 30.0))
+        )
+        rev = batch["rev_cents"].to_numpy(np.int64)[keep]
+        return pd.DataFrame(
+            {"revenue_cents": [int(rev.sum())], "n_items": [int(keep.sum())]}
+        )
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "revenue_cents": [int(batch["revenue_cents"].sum())],
+                "n_items": [int(batch["n_items"].sum())],
+            }
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+    )
+
+
+def q_events_key_skew(sf_dir: str):
+    """HOT-KEY SKEW DIAGNOSTIC as a first-class query — the detector
+    every salted-join / bucketed-exchange planner needs (joins.
+    find_hot_keys is the same scan wired into auto planning; this is
+    the driver-visible report): per-key counts through one bucketed
+    exchange, the exact top-10 hottest keys via the local-top-k
+    combiner (deterministic user_id tiebreak), each with its exact ppm
+    share of all rows (integer n*1e6//total, never a float)."""
+    from .agg import bucketed_aggregate, tree_aggregate
+
+    ev = _read(sf_dir, "events", ["user_id"]).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64").values,
+                "one": np.ones(len(b), dtype="int64"),
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    counts = bucketed_aggregate(
+        ev, keys=["user_id"], aggs={"n": ("one", "sum")}, n_buckets=16
+    )
+    tot = tree_aggregate(
+        ev.map_batches(
+            lambda b: pd.DataFrame(
+                {"g": np.zeros(1, dtype="int64"), "t": [int(len(b))]}
+            ),
+            batch_format="pandas",
+        ),
+        keys=["g"],
+        aggs={"t": ("t", "sum")},
+    ).to_pandas()
+    total = int(tot["t"][0])
+
+    from .agg import topk
+
+    hot = topk(counts, ["n", "user_id"], descending=[True, False], k=10)
+    return hot.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64").values,
+                "n": b["n"].astype("int64").values,
+                "frac_ppm": (b["n"].to_numpy(np.int64) * 1_000_000) // total,
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_events_exact_median(sf_dir: str):
     """EXACT global median WITHOUT a sort — agg.select_kth's iterative
     histogram selection: ~3 full scans (each reducing to a 2048-int
@@ -4846,6 +4953,8 @@ QUERIES = {
     "events_percent_rank": q_events_percent_rank,
     "pages_host_quality_filter": q_pages_host_quality_filter,
     "events_exact_median": q_events_exact_median,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "events_key_skew": q_events_key_skew,
     "orders_above_cust_avg": q_orders_above_cust_avg,
     "doc_except_texts": q_doc_except_texts,
     "doc_simjoin_exact": q_doc_simjoin_exact,
@@ -5558,6 +5667,22 @@ ORACLE_SQL = {
         SELECT event_id, event_type,
                CAST(FLOOR(percent_rank() OVER (PARTITION BY event_type ORDER BY value) * 1000000.0) AS BIGINT) AS pr_ppm
         FROM events
+    """,
+    "q19_disjunctive_revenue": """
+        SELECT CAST(COALESCE(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT)), 0) AS BIGINT) AS revenue_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    "events_key_skew": """
+        WITH c AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id
+        ), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM events)
+        SELECT c.user_id, c.n,
+               CAST((c.n * 1000000) // t.total AS BIGINT) AS frac_ppm
+        FROM c, t ORDER BY c.n DESC, c.user_id ASC LIMIT 10
     """,
     "events_exact_median": """
         WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
