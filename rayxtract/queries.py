@@ -1849,6 +1849,54 @@ def q_pages_host_quality_filter(sf_dir: str):
     )
 
 
+def q_pages_crawl_diff(sf_dir: str):
+    """CRAWL-DELTA REPORT (the snapshot-diff every incremental crawl
+    pipeline starts from): per url, how many crawls landed and whether
+    the raw content ever changed between them. Per-batch partials carry
+    only (url, 1, md5, md5) — the payload column never enters the
+    exchange — and the bucketed merge reduces with (sum, min, max);
+    changed == (min_fp != max_fp), exact for any number of versions
+    (min != max <=> >= 2 distinct). The oracle compares content
+    equality natively (COUNT(DISTINCT html)) so neither engine's hash
+    choice leaks into the result."""
+    import hashlib
+
+    import ray.data
+
+    from .agg import bucketed_aggregate
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    ds = ray.data.read_parquet(pages_dir, columns=["url", "html"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        fp = [hashlib.md5(bytes(h)).hexdigest() for h in batch["html"]]
+        return pd.DataFrame(
+            {
+                "url": batch["url"].astype(object).values,
+                "one": np.ones(len(batch), dtype="int64"),
+                "lo": fp,
+                "hi": fp,
+            }
+        )
+
+    agg = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["url"],
+        aggs={"n_crawls": ("one", "sum"), "lo": ("lo", "min"), "hi": ("hi", "max")},
+        n_buckets=16,
+    )
+    return agg.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "url": b["url"].astype(object).values,
+                "n_crawls": b["n_crawls"].astype("int64").values,
+                "changed": (b["lo"] != b["hi"]).astype("int64").values,
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_pages_link_edges(sf_dir: str):
     """LINK-GRAPH EXTRACTION: weighted (src_url, href, n_links) edges from
     the <a href> targets of every direct-HTML page, parsed by the engine's
@@ -4947,6 +4995,7 @@ QUERIES = {
     "q18_large_orders": q18_large_orders,
     "events_distinct_users_by_type": q_events_distinct_users_by_type,
     "pages_host_reservoir": q_pages_host_reservoir,
+    "pages_crawl_diff": q_pages_crawl_diff,
     "q10_returned_revenue": q10_returned_revenue,
     "q2_cheapest_supplier": q2_cheapest_supplier,
     "q4_order_priority": q4_order_priority,
@@ -6161,6 +6210,12 @@ def _pages_oracles(sf_dir: str) -> dict[str, str]:
                    CAST(CASE WHEN 2 * e.n_chars * h.host_n >= h.host_sum
                         THEN 1 ELSE 0 END AS BIGINT) AS keep
             FROM e JOIN h USING (host)
+        """,
+        "pages_crawl_diff": f"""
+            SELECT url, CAST(COUNT(*) AS BIGINT) AS n_crawls,
+                   CAST(CASE WHEN COUNT(DISTINCT html) > 1 THEN 1 ELSE 0 END AS BIGINT) AS changed
+            FROM read_parquet('{pages}')
+            GROUP BY url
         """,
         "pages_host_reservoir": f"""
             WITH d AS (
