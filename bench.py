@@ -50,6 +50,10 @@ BENCH_QUERIES = [
     "events_ntile_buckets",
     "doc_bpe_token_counts",
     "pages_url_host_join",
+    "q18_large_orders",
+    "events_exact_median",
+    "pages_host_reservoir",
+    "orders_above_cust_avg",
 ]
 
 

@@ -3183,6 +3183,116 @@ def q_events_percent_rank(sf_dir: str):
     )
 
 
+def q_events_mad_outliers(sf_dir: str):
+    """ROBUST OUTLIER FILTER (median/MAD, the rank-based z-score): two
+    chained exact selections — agg.select_kth finds the lower median of
+    value, a second select_kth over the derived |v - med| stream finds
+    the exact MAD — then one vectorized filter emits rows with
+    |v - med| > 3*MAD. Six-ish full scans total, NO sort, O(2048-int)
+    driver state per pass: the composition a 10^12-row robust filter
+    actually needs (a sort-based median would shuffle the corpus twice).
+    Both engines evaluate the identical doubles, so the comparison is
+    bit-stable."""
+    from .agg import select_kth
+
+    ev = _read(sf_dir, "events", ["event_id", "value"]).materialize()
+    n = ev.count()
+    k = (n + 1) // 2
+    med = select_kth(ev, "value", k)
+
+    dev = ev.map_batches(
+        lambda b: pd.DataFrame(
+            {"ad": np.abs(b["value"].to_numpy(np.float64) - med)}
+        ),
+        batch_format="pandas",
+    )
+    mad = select_kth(dev, "ad", k)
+    thr = 3.0 * mad
+
+    return ev.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "event_id": b.loc[
+                    np.abs(b["value"].to_numpy(np.float64) - med) > thr,
+                    "event_id",
+                ]
+                .astype("int64")
+                .values
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_join_size_stats(sf_dir: str):
+    """JOIN-CARDINALITY ESTIMATION WITHOUT THE JOIN — the planner-stats
+    scan behind every size-adaptive physical plan (auto_join's
+    broadcast-vs-exchange flip wants exactly this number): per-key
+    counts of both sides (two keyed exchanges over (key, int) rows — the
+    payloads never move), one count-table join, and |A ⋈ B| =
+    Σ n_a(k)·n_b(k) summed in int64 partials. The oracle pays the full
+    join to COUNT(*); the engine never materializes a single joined
+    row."""
+    from .agg import bucketed_aggregate, tree_aggregate
+    from .joins import bucketed_join
+
+    li = bucketed_aggregate(
+        _read(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "l_orderkey": b["l_orderkey"].astype("int64").values,
+                    "one": np.ones(len(b), dtype="int64"),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        keys=["l_orderkey"],
+        aggs={"n_l": ("one", "sum")},
+        n_buckets=16,
+    )
+    o = bucketed_aggregate(
+        _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "o_orderkey": b["o_orderkey"].astype("int64").values,
+                    "one": np.ones(len(b), dtype="int64"),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        keys=["o_orderkey"],
+        aggs={"n_o": ("one", "sum")},
+        n_buckets=16,
+    )
+    both = bucketed_join(li, o, "l_orderkey", "o_orderkey", n_buckets=16)
+    return tree_aggregate(
+        both.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "g": np.zeros(1, dtype="int64"),
+                    "n_join_rows": [
+                        int(
+                            (
+                                b["n_l"].to_numpy(np.int64)
+                                * b["n_o"].to_numpy(np.int64)
+                            ).sum()
+                        )
+                    ],
+                    "n_keys_both": [int(len(b))],
+                }
+            ),
+            batch_format="pandas",
+        ),
+        keys=["g"],
+        aggs={
+            "n_join_rows": ("n_join_rows", "sum"),
+            "n_keys_both": ("n_keys_both", "sum"),
+        },
+    ).map_batches(
+        lambda b: b[["n_join_rows", "n_keys_both"]], batch_format="pandas"
+    )
+
+
 def q19_disjunctive_revenue(sf_dir: str):
     """TPC-H Q19 shape (discounted revenue under an OR-of-ANDs
     predicate): lineitem joins part through auto_join, then THREE
@@ -5004,6 +5114,8 @@ QUERIES = {
     "events_exact_median": q_events_exact_median,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "events_key_skew": q_events_key_skew,
+    "events_mad_outliers": q_events_mad_outliers,
+    "join_size_stats": q_join_size_stats,
     "orders_above_cust_avg": q_orders_above_cust_avg,
     "doc_except_texts": q_doc_except_texts,
     "doc_simjoin_exact": q_doc_simjoin_exact,
@@ -5716,6 +5828,31 @@ ORACLE_SQL = {
         SELECT event_id, event_type,
                CAST(FLOOR(percent_rank() OVER (PARTITION BY event_type ORDER BY value) * 1000000.0) AS BIGINT) AS pr_ppm
         FROM events
+    """,
+    "events_mad_outliers": """
+        WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+        m AS (
+          SELECT value AS med FROM (
+            SELECT value, row_number() OVER (ORDER BY value, event_id) AS rn
+            FROM events
+          ), c WHERE rn = (c.n + 1) // 2
+        ),
+        d AS (
+          SELECT e.event_id, abs(e.value - m.med) AS ad, m.med
+          FROM events e, m
+        ),
+        m2 AS (
+          SELECT ad AS mad FROM (
+            SELECT ad, row_number() OVER (ORDER BY ad, event_id) AS rn
+            FROM d
+          ), c WHERE rn = (c.n + 1) // 2
+        )
+        SELECT d.event_id FROM d, m2 WHERE d.ad > 3.0 * m2.mad
+    """,
+    "join_size_stats": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_join_rows,
+               CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS n_keys_both
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     """,
     "q19_disjunctive_revenue": """
         SELECT CAST(COALESCE(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT)), 0) AS BIGINT) AS revenue_cents,
