@@ -187,7 +187,14 @@ def range_prefix_sum(ds, order_col, value_col, range_size, out_col="cum_before")
     return tagged.groupby("__range").map_groups(scan, batch_format="pandas")
 
 
-def select_kth(ds, col: str, k: int, n_buckets: int = 2048, collect_limit: int = 65536):
+def select_kth(
+    ds,
+    col: str,
+    k: int,
+    n_buckets: int = 2048,
+    collect_limit: int = 65536,
+    materialize: bool = True,
+):
     """EXACT k-th smallest (1-based) of a numeric column WITHOUT a global
     sort — iterative histogram selection (the classic distributed
     quantile-selection loop): each round is ONE full scan that bincounts
@@ -202,10 +209,17 @@ def select_kth(ds, col: str, k: int, n_buckets: int = 2048, collect_limit: int =
     both the count and collect passes, so float-edge placement can never
     disagree with itself.
 
-    Returns the selected value as a Python float."""
+    Returns the selected value as a Python float.
+
+    ``materialize=True`` pins the (usually single-column) input in the
+    object store so the loop's re-scans don't re-execute upstream
+    transforms; when ``ds`` is a bare column read from cheap re-scannable
+    storage and the corpus is too large to pin, pass ``materialize=False``
+    and each pass re-reads the source instead."""
     import ray.data  # noqa: F401  (ds is already a Dataset)
 
-    ds = ds.materialize()  # the loop re-scans; don't re-execute upstream
+    if materialize:
+        ds = ds.materialize()  # the loop re-scans; don't re-execute upstream
 
     mm = tree_aggregate(
         ds.map_batches(

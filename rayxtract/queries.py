@@ -3183,6 +3183,50 @@ def q_events_percent_rank(sf_dir: str):
     )
 
 
+def q_events_json_extract(sf_dir: str):
+    """SEMI-STRUCTURED JSON extraction (the props-blob pattern every
+    event table carries): parse the JSON payload per row — a parser
+    stage, inherently per-record like the DOM/PDF parsers, batched so
+    the interpreter loop amortizes per 4k rows — pull the numeric field
+    k, and aggregate per type (sum + a predicate count) through the
+    combiner tree. Malformed payloads count into n_bad instead of
+    poisoning the sum (errors are data, not exceptions)."""
+    import json
+
+    from .agg import tree_aggregate
+
+    def parse(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = np.empty(len(batch), dtype=np.int64)
+        bad = np.zeros(len(batch), dtype=np.int64)
+        for i, p in enumerate(batch["props"]):
+            try:
+                ks[i] = int(json.loads(p)["k"])
+            except (ValueError, KeyError, TypeError):
+                ks[i] = 0
+                bad[i] = 1
+        tmp = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].astype(object).values,
+                "sum_k": ks,
+                "n_over_50": ((ks > 50) & (bad == 0)).astype("int64"),
+                "n_bad": bad,
+            }
+        )
+        return tmp.groupby("event_type", as_index=False).sum()
+
+    return tree_aggregate(
+        _read(sf_dir, "events", ["event_type", "props"]).map_batches(
+            parse, batch_format="pandas"
+        ),
+        keys=["event_type"],
+        aggs={
+            "sum_k": ("sum_k", "sum"),
+            "n_over_50": ("n_over_50", "sum"),
+            "n_bad": ("n_bad", "sum"),
+        },
+    )
+
+
 def q_events_mad_outliers(sf_dir: str):
     """ROBUST OUTLIER FILTER (median/MAD, the rank-based z-score): two
     chained exact selections — agg.select_kth finds the lower median of
@@ -5116,6 +5160,7 @@ QUERIES = {
     "events_key_skew": q_events_key_skew,
     "events_mad_outliers": q_events_mad_outliers,
     "join_size_stats": q_join_size_stats,
+    "events_json_extract": q_events_json_extract,
     "orders_above_cust_avg": q_orders_above_cust_avg,
     "doc_except_texts": q_doc_except_texts,
     "doc_simjoin_exact": q_doc_simjoin_exact,
@@ -5828,6 +5873,18 @@ ORACLE_SQL = {
         SELECT event_id, event_type,
                CAST(FLOOR(percent_rank() OVER (PARTITION BY event_type ORDER BY value) * 1000000.0) AS BIGINT) AS pr_ppm
         FROM events
+    """,
+    "events_json_extract": """
+        WITH p AS (
+          SELECT event_type,
+                 TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events
+        )
+        SELECT event_type,
+               CAST(SUM(COALESCE(k, 0)) AS BIGINT) AS sum_k,
+               CAST(SUM(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_50,
+               CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+        FROM p GROUP BY event_type
     """,
     "events_mad_outliers": """
         WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
