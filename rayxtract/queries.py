@@ -3183,6 +3183,114 @@ def q_events_percent_rank(sf_dir: str):
     )
 
 
+def q13_cust_order_histogram(sf_dir: str):
+    """TPC-H Q13 shape (customer order-count distribution): the
+    TWO-LEVEL aggregation — per-customer order counts through one
+    bucketed exchange, then a histogram OF those counts through the
+    tiny combiner tree — with the zero bucket recovered exactly as
+    |customer| - |customers with orders| (the left-join-count identity:
+    the full customer table never enters any exchange, only its global
+    count does)."""
+    from .agg import bucketed_aggregate, tree_aggregate
+
+    per_cust = bucketed_aggregate(
+        _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "o_custkey": b["o_custkey"].astype("int64").values,
+                    "one": np.ones(len(b), dtype="int64"),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        keys=["o_custkey"],
+        aggs={"c_count": ("one", "sum")},
+        n_buckets=16,
+    )
+    hist = tree_aggregate(
+        per_cust.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "c_count": b["c_count"].astype("int64").values,
+                    "one": np.ones(len(b), dtype="int64"),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        keys=["c_count"],
+        aggs={"custdist": ("one", "sum")},
+    ).to_pandas()
+    n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()
+    with_orders = int(hist["custdist"].sum())
+    zero = int(n_cust) - with_orders
+    if zero > 0:
+        hist = pd.concat(
+            [hist, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True,
+        )
+    hist["c_count"] = hist["c_count"].astype("int64")
+    hist["custdist"] = hist["custdist"].astype("int64")
+    # histogram size is bounded by max orders-per-customer — a few dozen
+    # distinct counts at any corpus size; driver frame is tiny by design
+    return hist.sort_values(
+        ["custdist", "c_count"], ascending=[False, False]
+    ).reset_index(drop=True)
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape (top supplier, ARGMAX WITH TIES KEPT): quarterly
+    revenue per supplier through one bucketed exchange, the global max
+    from the same partials via the combiner tree, and every supplier
+    achieving it survives the filter — the = (SELECT MAX(...)) subquery
+    semantics (ALL ties), not top-1. Revenue in integer floor-cents so
+    the tie comparison is exact."""
+    from .agg import bucketed_aggregate, tree_aggregate
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1996-04-01")
+
+    def l_prep(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.to_datetime(batch["l_shipdate"])
+        m = ((d >= lo) & (d < hi)).to_numpy()
+        ep = batch.loc[m, "l_extendedprice"].to_numpy(np.float64)
+        disc = batch.loc[m, "l_discount"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "l_suppkey": batch.loc[m, "l_suppkey"].astype("int64").values,
+                "rev_cents": np.floor(ep * (1.0 - disc) * 100.0).astype("int64"),
+            }
+        )
+
+    rev = bucketed_aggregate(
+        _read(
+            sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"]
+        ).map_batches(l_prep, batch_format="pandas"),
+        keys=["l_suppkey"],
+        aggs={"total_rev_cents": ("rev_cents", "sum")},
+        n_buckets=16,
+    ).materialize()
+    mx = tree_aggregate(
+        rev.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "g": np.zeros(1, dtype="int64"),
+                    "m": [int(b["total_rev_cents"].max()) if len(b) else -(2**62)],
+                }
+            ),
+            batch_format="pandas",
+        ),
+        keys=["g"],
+        aggs={"m": ("m", "max")},
+    ).to_pandas()
+    best = int(mx["m"][0])
+    return rev.map_batches(
+        lambda b: b.loc[
+            b["total_rev_cents"] == best, ["l_suppkey", "total_rev_cents"]
+        ],
+        batch_format="pandas",
+    )
+
+
 def q_events_json_extract(sf_dir: str):
     """SEMI-STRUCTURED JSON extraction (the props-blob pattern every
     event table carries): parse the JSON payload per row — a parser
@@ -5161,6 +5269,8 @@ QUERIES = {
     "events_mad_outliers": q_events_mad_outliers,
     "join_size_stats": q_join_size_stats,
     "events_json_extract": q_events_json_extract,
+    "q13_cust_order_histogram": q13_cust_order_histogram,
+    "q15_top_supplier": q15_top_supplier,
     "orders_above_cust_avg": q_orders_above_cust_avg,
     "doc_except_texts": q_doc_except_texts,
     "doc_simjoin_exact": q_doc_simjoin_exact,
@@ -5873,6 +5983,27 @@ ORACLE_SQL = {
         SELECT event_id, event_type,
                CAST(FLOOR(percent_rank() OVER (PARTITION BY event_type ORDER BY value) * 1000000.0) AS BIGINT) AS pr_ppm
         FROM events
+    """,
+    "q13_cust_order_histogram": """
+        WITH pc AS (
+          SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+          FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey
+        )
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM pc GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "q15_top_supplier": """
+        WITH r AS (
+          SELECT l_suppkey,
+                 CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS total_rev_cents
+          FROM lineitem
+          WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT l_suppkey, total_rev_cents FROM r
+        WHERE total_rev_cents = (SELECT MAX(total_rev_cents) FROM r)
     """,
     "events_json_extract": """
         WITH p AS (
