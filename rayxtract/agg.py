@@ -18,7 +18,14 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["tree_aggregate", "bucketed_aggregate", "topk", "range_prefix_sum"]
+__all__ = [
+    "tree_aggregate",
+    "bucketed_aggregate",
+    "topk",
+    "range_prefix_sum",
+    "select_kth",
+    "grouped_select_kth",
+]
 
 
 def topk(ds, keys: list[str], descending: list[bool], k: int):
@@ -329,3 +336,151 @@ def select_kth(
                 )
             return float(vals[k - 1])
         lo, hi = new_lo, new_hi
+
+
+def grouped_select_kth(
+    ds,
+    key: str,
+    col: str,
+    ks: dict,
+    n_buckets: int = 256,
+    collect_limit: int = 8192,
+):
+    """EXACT k-th smallest of ``col`` PER GROUP without any sort — the
+    grouped twin of select_kth: every scan round histograms ALL live
+    groups simultaneously (per-batch partials emit (group, bucket,
+    count) rows — G*n_buckets rows per batch, nothing else), the driver
+    keeps one [lo, hi, k] triple per group and descends each group's
+    histogram independently; groups converge in the SAME ~3 rounds, so
+    total cost is ~3 scans regardless of group count. One final scan
+    collects every unfinished group's survivor cell at once.
+
+    ``ks``: {group_value: k (1-based)}. DRIVER-STATE CONTRACT: state is
+    O(|groups| * n_buckets) — right for bounded key domains (event
+    types, languages, doc types); corpus-sized key domains belong on
+    the exchange-based grouped-quantile path instead.
+
+    Returns {group_value: selected float}."""
+    ds = ds.materialize()
+
+    mm = (
+        tree_aggregate(
+            ds.map_batches(
+                lambda b: b.groupby(key, as_index=False).agg(
+                    lo=(col, "min"), hi=(col, "max")
+                ),
+                batch_format="pandas",
+            ),
+            keys=[key],
+            aggs={"lo": ("lo", "min"), "hi": ("hi", "max")},
+        )
+        .to_pandas()
+        .set_index(key)
+    )
+    state = {}
+    for g, k in ks.items():
+        if g not in mm.index:
+            raise ValueError(f"group {g!r} not present")
+        state[g] = [float(mm.loc[g, "lo"]), float(mm.loc[g, "hi"]), int(k)]
+
+    def bucket_ids(v: np.ndarray, edges: np.ndarray) -> np.ndarray:
+        b = np.searchsorted(edges, v, side="right") - 1
+        return np.clip(b, 0, len(edges) - 2)
+
+    out: dict = {}
+    live = {g for g in state if state[g][0] != state[g][1]}
+    for g in set(state) - live:
+        out[g] = state[g][0]
+
+    while live:
+        edges_of = {
+            g: np.linspace(state[g][0], state[g][1], n_buckets + 1)
+            for g in live
+        }
+
+        def count_pass(batch: pd.DataFrame, edges_of=edges_of) -> pd.DataFrame:
+            rows = []
+            for g, grp in batch.groupby(key):
+                e = edges_of.get(g)
+                if e is None:
+                    continue
+                v = grp[col].to_numpy(np.float64)
+                v = v[(v >= e[0]) & (v <= e[-1])]
+                c = np.bincount(bucket_ids(v, e), minlength=n_buckets)
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            key: g,
+                            "b": np.arange(n_buckets, dtype="int64"),
+                            "c": c.astype("int64"),
+                        }
+                    )
+                )
+            if not rows:
+                return pd.DataFrame(
+                    {key: pd.Series(dtype=object),
+                     "b": pd.Series(dtype="int64"),
+                     "c": pd.Series(dtype="int64")}
+                )
+            return pd.concat(rows, ignore_index=True)
+
+        hist = (
+            tree_aggregate(
+                ds.map_batches(count_pass, batch_format="pandas"),
+                keys=[key, "b"],
+                aggs={"c": ("c", "sum")},
+            )
+            .to_pandas()
+            .sort_values([key, "b"])
+        )
+        collect_spec = {}
+        for g in list(live):
+            h = hist[hist[key] == g]
+            counts = np.zeros(n_buckets, dtype=np.int64)
+            counts[h["b"].to_numpy(np.int64)] = h["c"].to_numpy(np.int64)
+            cum = np.cumsum(counts)
+            lo, hi, k = state[g]
+            b = int(np.searchsorted(cum, k, side="left"))
+            in_bucket = int(counts[b])
+            k2 = k - (int(cum[b - 1]) if b else 0)
+            e = edges_of[g]
+            new_lo, new_hi = float(e[b]), float(e[b + 1])
+            if in_bucket <= collect_limit or (new_lo == lo and new_hi == hi):
+                collect_spec[g] = (e, b, k2)
+                live.discard(g)
+            else:
+                state[g] = [new_lo, new_hi, k2]
+
+        if collect_spec:
+
+            def collect(batch: pd.DataFrame, spec=collect_spec) -> pd.DataFrame:
+                rows = []
+                for g, grp in batch.groupby(key):
+                    s = spec.get(g)
+                    if s is None:
+                        continue
+                    e, b, _ = s
+                    v = grp[col].to_numpy(np.float64)
+                    v = v[(v >= e[0]) & (v <= e[-1])]
+                    v = v[bucket_ids(v, e) == b]
+                    rows.append(pd.DataFrame({key: g, "v": v}))
+                if not rows:
+                    return pd.DataFrame(
+                        {key: pd.Series(dtype=object),
+                         "v": pd.Series(dtype="float64")}
+                    )
+                return pd.concat(rows, ignore_index=True)
+
+            got = ds.map_batches(collect, batch_format="pandas").to_pandas()
+            for g, (e, b, k2) in collect_spec.items():
+                vals = np.sort(
+                    got.loc[got[key] == g, "v"].to_numpy(np.float64),
+                    kind="mergesort",
+                )
+                if len(vals) > 4 * collect_limit:
+                    raise RuntimeError(
+                        f"grouped_select_kth: group {g!r} bucket of "
+                        f"{len(vals)} values did not shrink"
+                    )
+                out[g] = float(vals[k2 - 1])
+    return out

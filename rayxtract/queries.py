@@ -3335,6 +3335,43 @@ def q_events_json_extract(sf_dir: str):
     )
 
 
+def q_events_exact_median_by_type(sf_dir: str):
+    """EXACT per-group median without a sort — agg.grouped_select_kth:
+    every scan round histograms ALL event types simultaneously (the
+    exchange carries (type, bucket, count) rows only), each group's
+    range descends independently, and all groups converge in the same
+    ~3 rounds — per-group exact medians at a flat number of scans no
+    matter how many groups. Bounded-key-domain contract (types/langs);
+    corpus-sized keys use the exchange-based grouped quantiles. Lower
+    median (rank (n+1)//2) as floor-micros."""
+    from .agg import grouped_select_kth, tree_aggregate
+
+    ev = _read(sf_dir, "events", ["event_type", "value"]).materialize()
+    ns = (
+        tree_aggregate(
+            ev, keys=["event_type"], aggs={"n": ("value", "count")}
+        )
+        .to_pandas()
+        .set_index("event_type")["n"]
+        .astype(int)
+        .to_dict()
+    )
+    meds = grouped_select_kth(
+        ev, "event_type", "value", {g: (n + 1) // 2 for g, n in ns.items()}
+    )
+    types = sorted(meds)
+    return pd.DataFrame(
+        {
+            "event_type": types,
+            "median_micro": pd.Series(
+                [int(np.floor(meds[t] * 1_000_000.0)) for t in types],
+                dtype="int64",
+            ),
+            "n": pd.Series([ns[t] for t in types], dtype="int64"),
+        }
+    )
+
+
 def q_events_mad_outliers(sf_dir: str):
     """ROBUST OUTLIER FILTER (median/MAD, the rank-based z-score): two
     chained exact selections — agg.select_kth finds the lower median of
@@ -5271,6 +5308,7 @@ QUERIES = {
     "events_json_extract": q_events_json_extract,
     "q13_cust_order_histogram": q13_cust_order_histogram,
     "q15_top_supplier": q15_top_supplier,
+    "events_exact_median_by_type": q_events_exact_median_by_type,
     "orders_above_cust_avg": q_orders_above_cust_avg,
     "doc_except_texts": q_doc_except_texts,
     "doc_simjoin_exact": q_doc_simjoin_exact,
@@ -5983,6 +6021,18 @@ ORACLE_SQL = {
         SELECT event_id, event_type,
                CAST(FLOOR(percent_rank() OVER (PARTITION BY event_type ORDER BY value) * 1000000.0) AS BIGINT) AS pr_ppm
         FROM events
+    """,
+    "events_exact_median_by_type": """
+        WITH r AS (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM events
+        )
+        SELECT event_type,
+               CAST(FLOOR(value * 1000000.0) AS BIGINT) AS median_micro,
+               CAST(n AS BIGINT) AS n
+        FROM r WHERE rn = (n + 1) // 2
     """,
     "q13_cust_order_histogram": """
         WITH pc AS (

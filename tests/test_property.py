@@ -496,3 +496,32 @@ def test_select_kth_constant_column(ray_session):
 
     ds = ray.data.from_pandas(pd.DataFrame({"v": np.full(100, 7.5)}))
     assert select_kth(ds, "v", 50) == 7.5
+
+
+def test_grouped_select_kth_matches_numpy(ray_session):
+    """grouped_select_kth == per-group numpy sort on varied ranks, with a
+    duplicate-heavy group and a singleton group, across block layouts."""
+    import ray.data
+
+    from rayxtract.agg import grouped_select_kth
+
+    rng = np.random.RandomState(11)
+    frames = []
+    expect = {}
+    ks = {}
+    for g, n in (("a", 500), ("b", 64), ("dups", 200), ("single", 1)):
+        v = (
+            np.repeat(2.5, n)
+            if g == "dups"
+            else rng.uniform(-100, 100, size=n)
+        )
+        frames.append(pd.DataFrame({"g": g, "v": v}))
+        k = max(1, n // 3)
+        ks[g] = k
+        expect[g] = float(np.sort(v)[k - 1])
+    df = pd.concat(frames, ignore_index=True).sample(frac=1.0, random_state=3)
+    ds = ray.data.from_pandas(df.reset_index(drop=True)).map_batches(
+        lambda b: b, batch_format="pandas", batch_size=37
+    )
+    got = grouped_select_kth(ds, "g", "v", ks, n_buckets=16, collect_limit=8)
+    assert got == expect, (got, expect)
