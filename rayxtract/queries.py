@@ -1928,6 +1928,38 @@ def q_pages_link_edges(sf_dir: str):
     return edges.map_batches(rename, batch_format="pandas")
 
 
+def q_pages_inbound_links(sf_dir: str):
+    """INBOUND-LINK AGGREGATION (the anchor-graph feature search/quality
+    pipelines attach to every target): per link target, how many
+    distinct pages reference it and how many raw references land — one
+    hash(href)-bucketed exchange over the already-grouped (src, href,
+    n) edge rows, never the raw anchors. Builds on the SAME tolerant-
+    DOM edge definition (and oracle regex) as pages_link_edges."""
+    import ray.data
+
+    from .agg import bucketed_aggregate
+    from .graph import extract_link_edges
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    ds = ray.data.read_parquet(pages_dir, columns=["url", "html"])
+    edges = extract_link_edges(ds)
+    return bucketed_aggregate(
+        edges.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "href": b["href"].astype(object).values,
+                    "one": np.ones(len(b), dtype="int64"),
+                    "n_links": b["n_links"].astype("int64").values,
+                }
+            ),
+            batch_format="pandas",
+        ),
+        keys=["href"],
+        aggs={"n_src": ("one", "sum"), "n_refs": ("n_links", "sum")},
+        n_buckets=16,
+    )
+
+
 def q_pages_pagerank(sf_dir: str):
     """PAGERANK over the extracted link graph: 10 damped power iterations
     — the page-quality prior training-data selection pipelines weight
@@ -5395,6 +5427,7 @@ QUERIES = {
     "pages_top_domains": q_pages_top_domains,
     "pages_domain_cap": q_pages_domain_cap,
     "pages_link_edges": q_pages_link_edges,
+    "pages_inbound_links": q_pages_inbound_links,
     "pages_pagerank": q_pages_pagerank,
     "pages_pagerank_agreement": q_pages_pagerank_agreement,
     "pages_extract": q_pages_extract,
@@ -6740,6 +6773,24 @@ def _pages_oracles(sf_dir: str) -> dict[str, str]:
             )
             SELECT src_url, href, CAST(COUNT(*) AS BIGINT) AS n_links
             FROM links GROUP BY 1, 2
+        """,
+        "pages_inbound_links": f"""
+            WITH raw AS (
+              SELECT url,
+                     CASE WHEN substr(hex(html), 1, 18) = '3C21444F4354595045'
+                          THEN decode(html) END AS doc
+              FROM read_parquet('{pages}')
+            ), links AS (
+              SELECT url AS src_url,
+                     unnest(regexp_extract_all(doc, 'href="([^"]*)"', 1)) AS href
+              FROM raw WHERE doc IS NOT NULL
+            ), e AS (
+              SELECT src_url, href, CAST(COUNT(*) AS BIGINT) AS n_links
+              FROM links GROUP BY 1, 2
+            )
+            SELECT href, CAST(COUNT(*) AS BIGINT) AS n_src,
+                   CAST(SUM(n_links) AS BIGINT) AS n_refs
+            FROM e GROUP BY href
         """,
         # media plumbing oracles (r3): DuckDB has no md5(BLOB) — both sides
         # compute md5(hex(payload)); integers via octet_length arithmetic
