@@ -4538,6 +4538,76 @@ def q_doc_lm_score(sf_dir: str):
     return bigram_fluency(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_doc_ccnet_buckets(sf_dir: str):
+    """CCNet-STYLE PERPLEXITY BUCKETS (arXiv:1911.00359 §4.3 — the
+    head/middle/tail split by per-language LM score that decides which
+    third of a crawl becomes training data): the corpus-trained bigram
+    fluency score (lm.bigram_fluency, one w1-bucketed exchange) joins
+    doc language through one doc_id-bucketed exchange, the per-language
+    TERCILE BOUNDARY VALUES come from grouped_select_kth at ranks
+    ceil(n/3) and ceil(2n/3) (histogram selection — no per-language
+    sort; a language group IS corpus-sized, so sort-within-group would
+    be the exact shuffle this avoids), and one vectorized pass assigns
+    bucket = 1 + (f > b1) + (f > b2). Integer fluency makes every
+    comparison exact in both engines."""
+    from .agg import grouped_select_kth, tree_aggregate
+    from .joins import bucketed_join
+    from .lm import bigram_fluency
+
+    fl = bigram_fluency(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64").values,
+                "fluency": b["fluency"].astype("int64").values,
+            }
+        ),
+        batch_format="pandas",
+    )
+    langs = _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "did": b["doc_id"].astype("int64").values,
+                "lang": b["lang"].astype(object).values,
+            }
+        ),
+        batch_format="pandas",
+    )
+    j = bucketed_join(fl, langs, "doc_id", "did", n_buckets=16).materialize()
+
+    ns = (
+        tree_aggregate(j, keys=["lang"], aggs={"n": ("fluency", "count")})
+        .to_pandas()
+        .set_index("lang")["n"]
+        .astype(int)
+        .to_dict()
+    )
+    b1 = grouped_select_kth(
+        j, "lang", "fluency", {g: (n + 2) // 3 for g, n in ns.items()}
+    )
+    b2 = grouped_select_kth(
+        j, "lang", "fluency", {g: (2 * n + 2) // 3 for g, n in ns.items()}
+    )
+    lo = {g: int(v) for g, v in b1.items()}
+    hi = {g: int(v) for g, v in b2.items()}
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        f = batch["fluency"].to_numpy(np.int64)
+        l1 = batch["lang"].map(lo).to_numpy(np.int64)
+        l2 = batch["lang"].map(hi).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64").values,
+                "lang": batch["lang"].astype(object).values,
+                "fluency": f,
+                "bucket": (1 + (f > l1).astype(np.int64) + (f > l2).astype(np.int64)),
+            }
+        )
+
+    return j.map_batches(assign, batch_format="pandas")
+
+
 def q_doc_heavy_hitters(sf_dir: str):
     """EXACT global top-25 words via a Misra-Gries-guided two-pass: the
     mergeable sketch finds <= 4096 candidates without shuffling the word
@@ -5414,6 +5484,7 @@ QUERIES = {
     "doc_distinct_words": q_doc_distinct_words,
     "corpus_summary": q_corpus_summary,
     "doc_lm_score": q_doc_lm_score,
+    "doc_ccnet_buckets": q_doc_ccnet_buckets,
     "doc_heavy_hitters": q_doc_heavy_hitters,
     "doc_shuffle_order": q_doc_shuffle_order,
     "doc_quantile_filter": q_doc_quantile_filter,
@@ -6425,6 +6496,47 @@ ORACLE_SQL = {
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
                CAST(SUM(contrib) // COUNT(*) AS BIGINT) AS fluency
         FROM scored GROUP BY doc_id
+    """,
+    "doc_ccnet_buckets": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+          FROM documents
+        ), pos AS (
+          SELECT doc_id, unnest(t) AS w, unnest(range(len(t))) AS p FROM toks
+        ), big AS (
+          SELECT doc_id, w AS w1,
+                 lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+          FROM pos
+        ), bg AS (
+          SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL
+        ), scored AS (
+          SELECT doc_id,
+                 COUNT(*) OVER (PARTITION BY w1, w2) * 1000000
+                   // COUNT(*) OVER (PARTITION BY w1) AS contrib
+          FROM bg
+        ), f AS (
+          SELECT doc_id,
+                 CAST(SUM(contrib) // COUNT(*) AS BIGINT) AS fluency
+          FROM scored GROUP BY doc_id
+        ), j AS (
+          SELECT f.doc_id, d.lang, f.fluency
+          FROM f JOIN documents d USING (doc_id)
+        ), r AS (
+          SELECT doc_id, lang, fluency,
+                 row_number() OVER (PARTITION BY lang ORDER BY fluency, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM j
+        ), bnd AS (
+          SELECT lang,
+                 MAX(CASE WHEN rn = (n + 2) // 3 THEN fluency END) AS b1,
+                 MAX(CASE WHEN rn = (2 * n + 2) // 3 THEN fluency END) AS b2
+          FROM r GROUP BY lang
+        )
+        SELECT j.doc_id, j.lang, j.fluency,
+               CAST(1 + CASE WHEN j.fluency > bnd.b1 THEN 1 ELSE 0 END
+                      + CASE WHEN j.fluency > bnd.b2 THEN 1 ELSE 0 END AS BIGINT) AS bucket
+        FROM j JOIN bnd USING (lang)
     """,
     "doc_heavy_hitters": r"""
         WITH tok AS (
