@@ -2332,6 +2332,64 @@ def q_pages_quality(sf_dir: str):
 
 
 
+def q_pages_curation_pipeline(sf_dir: str):
+    """END-TO-END PAGES CURATION IN ONE STREAMING DAG — the pipeline a
+    crawl actually runs: extraction (dedup'd, byte-identical text) ->
+    warm language-ID actor pool -> vectorized quality gate (>= 200
+    chars, <= 10% digits, integer cross-multiplied) -> per-host cap
+    (keep the 3 lexicographically-first survivors per domain). Page
+    text flows batch-to-batch inside the DAG and never enters an
+    exchange; the only shuffle is the final (host, url, n_chars) cap —
+    rows already shrunk to 3-per-(host,batch) by the local combiner.
+    Oracle: the full CTE stack over golden text (extraction
+    byte-identity is proven by the pages_extract oracle)."""
+    from .ops import ExtractConfig
+    from .pipeline import extraction_dataset
+    from .textops import LangIdBatch, add_quality_counts
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    ds = extraction_dataset(pages_dir, ExtractConfig())
+    ds = ds.map_batches(
+        LangIdBatch, batch_format="pandas", batch_size=512, concurrency=(1, 8)
+    )
+    ds = ds.map_batches(add_quality_counts, batch_format="pandas")
+
+    def gate(batch: pd.DataFrame) -> pd.DataFrame:
+        n_chars = batch["n_chars_q"].to_numpy(np.int64)
+        keep = (
+            (batch["lang_pred"] == "en").to_numpy()
+            & (n_chars >= 200)
+            & (batch["n_digits"].to_numpy(np.int64) * 10 <= n_chars)
+        )
+        out = batch.loc[keep]
+        urls = out["url"].astype(object).to_numpy()
+        return pd.DataFrame(
+            {
+                "host": [u.split("/")[2] for u in urls],
+                "url": urls,
+                "n_chars": out["n_chars_q"].astype("int64").values,
+            }
+        )
+
+    def local_cap(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.sort_values(["host", "url"], kind="mergesort")
+            .groupby("host", as_index=False)
+            .head(3)
+        )
+
+    def pick(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates("url").sort_values("url", kind="mergesort")
+        return g.head(3)[["host", "url", "n_chars"]]
+
+    return (
+        ds.map_batches(gate, batch_format="pandas")
+        .map_batches(local_cap, batch_format="pandas")
+        .groupby("host")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
 def q_pages_prompt_format(sf_dir: str):
     """The reference's COMPLETE 3-stage chain over real extracted text
     (workers.py:39-345: extract -> prompt -> model -> format), with the
@@ -5504,6 +5562,7 @@ QUERIES = {
     "pages_extract": q_pages_extract,
     "pages_prompt_format": q_pages_prompt_format,
     "pages_langid": q_pages_langid,
+    "pages_curation_pipeline": q_pages_curation_pipeline,
     "pages_status": q_pages_status,
     "pages_quality": q_pages_quality,
     "pages_neardup_pairs": q_pages_neardup_pairs,
@@ -6952,6 +7011,29 @@ def _pages_oracles(sf_dir: str) -> dict[str, str]:
             SELECT media_id, CAST(32 AS BIGINT) AS out_w,
                    CAST(32 AS BIGINT) AS out_h, md5(grid_hex) AS grid_md5
             FROM agg
+        """,
+        # the composed curation DAG over golden text: langid CTE (same
+        # stopword tables as the actor) -> quality gate -> per-host cap
+        "pages_curation_pipeline": f"""
+            WITH lp AS (
+              {_langid_oracle_sql(f"read_parquet('{golden}')", "url", "golden_text")}
+            ), q AS (
+              SELECT url,
+                     CAST(length(golden_text) AS BIGINT) AS n_chars,
+                     CAST(length(golden_text) - length(regexp_replace(golden_text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits
+              FROM read_parquet('{golden}')
+            ), s AS (
+              SELECT q.url, split_part(q.url, '/', 3) AS host, q.n_chars
+              FROM q JOIN lp USING (url)
+              WHERE lp.lang_pred = 'en'
+                AND q.n_chars >= 200
+                AND q.n_digits * 10 <= q.n_chars
+            ), r AS (
+              SELECT host, url, n_chars,
+                     row_number() OVER (PARTITION BY host ORDER BY url) AS rk
+              FROM s
+            )
+            SELECT host, url, n_chars FROM r WHERE rk <= 3
         """,
         # language-ID over EXTRACTED page text == golden_text (byte-identity
         # is proven by the pages_extract oracle); winner row's lang via
