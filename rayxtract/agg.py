@@ -348,19 +348,22 @@ def grouped_select_kth(
 ):
     """EXACT k-th smallest of ``col`` PER GROUP without any sort — the
     grouped twin of select_kth: every scan round histograms ALL live
-    groups simultaneously (per-batch partials emit (group, bucket,
-    count) rows — G*n_buckets rows per batch, nothing else), the driver
-    keeps one [lo, hi, k] triple per group and descends each group's
-    histogram independently; groups converge in the SAME ~3 rounds, so
-    total cost is ~3 scans regardless of group count. One final scan
-    collects every unfinished group's survivor cell at once.
+    (group, rank) targets simultaneously (per-batch partials emit
+    (group, target, bucket, count) rows — nothing else), the driver
+    keeps one [lo, hi, k] triple per target and descends each target's
+    histogram independently; targets converge in the SAME ~3 rounds, so
+    total cost is ~3 scans no matter how many groups OR how many ranks
+    per group (quantile boundaries come out of one descent). One final
+    scan collects every unfinished target's survivor cell at once.
 
-    ``ks``: {group_value: k (1-based)}. DRIVER-STATE CONTRACT: state is
-    O(|groups| * n_buckets) — right for bounded key domains (event
-    types, languages, doc types); corpus-sized key domains belong on
-    the exchange-based grouped-quantile path instead.
+    ``ks``: {group_value: k} or {group_value: [k1, k2, ...]} (1-based).
+    DRIVER-STATE CONTRACT: state is O(|targets| * n_buckets) — right
+    for bounded key domains (event types, languages, doc types);
+    corpus-sized key domains belong on the exchange-based
+    grouped-quantile path instead.
 
-    Returns {group_value: selected float}."""
+    Returns {group_value: float} for scalar ks, {group_value: [float,
+    ...]} (rank order preserved) for list ks."""
     ds = ds.materialize()
 
     mm = (
@@ -377,48 +380,59 @@ def grouped_select_kth(
         .to_pandas()
         .set_index(key)
     )
+    scalar_in = {g: not isinstance(k, (list, tuple)) for g, k in ks.items()}
     state = {}
     for g, k in ks.items():
         if g not in mm.index:
             raise ValueError(f"group {g!r} not present")
-        state[g] = [float(mm.loc[g, "lo"]), float(mm.loc[g, "hi"]), int(k)]
+        klist = [k] if scalar_in[g] else list(k)
+        for i, kk in enumerate(klist):
+            state[(g, i)] = [
+                float(mm.loc[g, "lo"]),
+                float(mm.loc[g, "hi"]),
+                int(kk),
+            ]
 
     def bucket_ids(v: np.ndarray, edges: np.ndarray) -> np.ndarray:
         b = np.searchsorted(edges, v, side="right") - 1
         return np.clip(b, 0, len(edges) - 2)
 
     out: dict = {}
-    live = {g for g in state if state[g][0] != state[g][1]}
-    for g in set(state) - live:
-        out[g] = state[g][0]
+    live = {t for t in state if state[t][0] != state[t][1]}
+    for t in set(state) - live:
+        out[t] = state[t][0]
 
     while live:
-        edges_of = {
-            g: np.linspace(state[g][0], state[g][1], n_buckets + 1)
-            for g in live
-        }
+        edges_of: dict = {}
+        for (g, i) in live:
+            edges_of.setdefault(g, {})[i] = np.linspace(
+                state[(g, i)][0], state[(g, i)][1], n_buckets + 1
+            )
 
         def count_pass(batch: pd.DataFrame, edges_of=edges_of) -> pd.DataFrame:
             rows = []
             for g, grp in batch.groupby(key):
-                e = edges_of.get(g)
-                if e is None:
+                targets = edges_of.get(g)
+                if not targets:
                     continue
-                v = grp[col].to_numpy(np.float64)
-                v = v[(v >= e[0]) & (v <= e[-1])]
-                c = np.bincount(bucket_ids(v, e), minlength=n_buckets)
-                rows.append(
-                    pd.DataFrame(
-                        {
-                            key: g,
-                            "b": np.arange(n_buckets, dtype="int64"),
-                            "c": c.astype("int64"),
-                        }
+                vv = grp[col].to_numpy(np.float64)
+                for i, e in targets.items():
+                    v = vv[(vv >= e[0]) & (vv <= e[-1])]
+                    c = np.bincount(bucket_ids(v, e), minlength=n_buckets)
+                    rows.append(
+                        pd.DataFrame(
+                            {
+                                key: g,
+                                "t": np.int64(i),
+                                "b": np.arange(n_buckets, dtype="int64"),
+                                "c": c.astype("int64"),
+                            }
+                        )
                     )
-                )
             if not rows:
                 return pd.DataFrame(
                     {key: pd.Series(dtype=object),
+                     "t": pd.Series(dtype="int64"),
                      "b": pd.Series(dtype="int64"),
                      "c": pd.Series(dtype="int64")}
                 )
@@ -427,60 +441,73 @@ def grouped_select_kth(
         hist = (
             tree_aggregate(
                 ds.map_batches(count_pass, batch_format="pandas"),
-                keys=[key, "b"],
+                keys=[key, "t", "b"],
                 aggs={"c": ("c", "sum")},
             )
             .to_pandas()
-            .sort_values([key, "b"])
+            .sort_values([key, "t", "b"])
         )
-        collect_spec = {}
-        for g in list(live):
-            h = hist[hist[key] == g]
+        collect_spec: dict = {}
+        for (g, i) in list(live):
+            h = hist[(hist[key] == g) & (hist["t"] == i)]
             counts = np.zeros(n_buckets, dtype=np.int64)
             counts[h["b"].to_numpy(np.int64)] = h["c"].to_numpy(np.int64)
             cum = np.cumsum(counts)
-            lo, hi, k = state[g]
+            lo, hi, k = state[(g, i)]
             b = int(np.searchsorted(cum, k, side="left"))
             in_bucket = int(counts[b])
             k2 = k - (int(cum[b - 1]) if b else 0)
-            e = edges_of[g]
+            e = edges_of[g][i]
             new_lo, new_hi = float(e[b]), float(e[b + 1])
             if in_bucket <= collect_limit or (new_lo == lo and new_hi == hi):
-                collect_spec[g] = (e, b, k2)
-                live.discard(g)
+                collect_spec.setdefault(g, {})[i] = (e, b, k2)
+                live.discard((g, i))
             else:
-                state[g] = [new_lo, new_hi, k2]
+                state[(g, i)] = [new_lo, new_hi, k2]
 
         if collect_spec:
 
             def collect(batch: pd.DataFrame, spec=collect_spec) -> pd.DataFrame:
                 rows = []
                 for g, grp in batch.groupby(key):
-                    s = spec.get(g)
-                    if s is None:
+                    targets = spec.get(g)
+                    if not targets:
                         continue
-                    e, b, _ = s
-                    v = grp[col].to_numpy(np.float64)
-                    v = v[(v >= e[0]) & (v <= e[-1])]
-                    v = v[bucket_ids(v, e) == b]
-                    rows.append(pd.DataFrame({key: g, "v": v}))
+                    vv = grp[col].to_numpy(np.float64)
+                    for i, (e, b, _) in targets.items():
+                        v = vv[(vv >= e[0]) & (vv <= e[-1])]
+                        v = v[bucket_ids(v, e) == b]
+                        rows.append(
+                            pd.DataFrame({key: g, "t": np.int64(i), "v": v})
+                        )
                 if not rows:
                     return pd.DataFrame(
                         {key: pd.Series(dtype=object),
+                         "t": pd.Series(dtype="int64"),
                          "v": pd.Series(dtype="float64")}
                     )
                 return pd.concat(rows, ignore_index=True)
 
             got = ds.map_batches(collect, batch_format="pandas").to_pandas()
-            for g, (e, b, k2) in collect_spec.items():
-                vals = np.sort(
-                    got.loc[got[key] == g, "v"].to_numpy(np.float64),
-                    kind="mergesort",
-                )
-                if len(vals) > 4 * collect_limit:
-                    raise RuntimeError(
-                        f"grouped_select_kth: group {g!r} bucket of "
-                        f"{len(vals)} values did not shrink"
+            for g, targets in collect_spec.items():
+                for i, (e, b, k2) in targets.items():
+                    vals = np.sort(
+                        got.loc[
+                            (got[key] == g) & (got["t"] == i), "v"
+                        ].to_numpy(np.float64),
+                        kind="mergesort",
                     )
-                out[g] = float(vals[k2 - 1])
-    return out
+                    if len(vals) > 4 * collect_limit:
+                        raise RuntimeError(
+                            f"grouped_select_kth: group {g!r} bucket of "
+                            f"{len(vals)} values did not shrink"
+                        )
+                    out[(g, i)] = float(vals[k2 - 1])
+
+    result: dict = {}
+    for g, k in ks.items():
+        if scalar_in[g]:
+            result[g] = out[(g, 0)]
+        else:
+            result[g] = [out[(g, i)] for i in range(len(k))]
+    return result

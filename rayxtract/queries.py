@@ -4641,14 +4641,16 @@ def q_doc_ccnet_buckets(sf_dir: str):
         .astype(int)
         .to_dict()
     )
-    b1 = grouped_select_kth(
-        j, "lang", "fluency", {g: (n + 2) // 3 for g, n in ns.items()}
+    # BOTH tercile boundaries per language in ONE multi-rank descent
+    # (~3 scans total, not 6)
+    bounds = grouped_select_kth(
+        j,
+        "lang",
+        "fluency",
+        {g: [(n + 2) // 3, (2 * n + 2) // 3] for g, n in ns.items()},
     )
-    b2 = grouped_select_kth(
-        j, "lang", "fluency", {g: (2 * n + 2) // 3 for g, n in ns.items()}
-    )
-    lo = {g: int(v) for g, v in b1.items()}
-    hi = {g: int(v) for g, v in b2.items()}
+    lo = {g: int(v[0]) for g, v in bounds.items()}
+    hi = {g: int(v[1]) for g, v in bounds.items()}
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
         f = batch["fluency"].to_numpy(np.int64)

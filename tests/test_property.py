@@ -525,3 +525,28 @@ def test_grouped_select_kth_matches_numpy(ray_session):
     )
     got = grouped_select_kth(ds, "g", "v", ks, n_buckets=16, collect_limit=8)
     assert got == expect, (got, expect)
+
+
+def test_grouped_select_kth_multi_rank(ray_session):
+    """Multiple ranks per group resolve in one descent and match numpy."""
+    import ray.data
+
+    from rayxtract.agg import grouped_select_kth
+
+    rng = np.random.RandomState(5)
+    a = rng.uniform(0, 1000, size=300)
+    b = rng.uniform(-5, 5, size=90)
+    df = pd.concat(
+        [pd.DataFrame({"g": "a", "v": a}), pd.DataFrame({"g": "b", "v": b})],
+        ignore_index=True,
+    ).sample(frac=1.0, random_state=1)
+    ds = ray.data.from_pandas(df.reset_index(drop=True)).map_batches(
+        lambda x: x, batch_format="pandas", batch_size=23
+    )
+    got = grouped_select_kth(
+        ds, "g", "v", {"a": [1, 100, 300], "b": 45},
+        n_buckets=16, collect_limit=8,
+    )
+    sa, sb = np.sort(a), np.sort(b)
+    assert got["a"] == [sa[0], sa[99], sa[299]]
+    assert got["b"] == sb[44]
