@@ -3462,6 +3462,40 @@ def q_events_exact_median_by_type(sf_dir: str):
     )
 
 
+def q_events_exact_deciles_by_type(sf_dir: str):
+    """EXACT per-group deciles — all 9 ranks x all types in ONE
+    multi-rank grouped_select_kth descent (~3 scans total; a
+    sort-within-group decile would shuffle every group's full value
+    stream). Rank d = ceil(n*d/10); values as floor-micros; the oracle
+    selects the identical ranks via row_number per partition."""
+    from .agg import grouped_select_kth, tree_aggregate
+
+    ev = _read(sf_dir, "events", ["event_type", "value"]).materialize()
+    ns = (
+        tree_aggregate(ev, keys=["event_type"], aggs={"n": ("value", "count")})
+        .to_pandas()
+        .set_index("event_type")["n"]
+        .astype(int)
+        .to_dict()
+    )
+    ks = {g: [(n * d + 9) // 10 for d in range(1, 10)] for g, n in ns.items()}
+    vals = grouped_select_kth(ev, "event_type", "value", ks)
+    rows = []
+    for g in sorted(vals):
+        for d, v in enumerate(vals[g], start=1):
+            rows.append(
+                {
+                    "event_type": g,
+                    "decile": d,
+                    "value_micro": int(np.floor(v * 1_000_000.0)),
+                }
+            )
+    out = pd.DataFrame(rows)
+    out["decile"] = out["decile"].astype("int64")
+    out["value_micro"] = out["value_micro"].astype("int64")
+    return out
+
+
 def q_events_mad_outliers(sf_dir: str):
     """ROBUST OUTLIER FILTER (median/MAD, the rank-based z-score): two
     chained exact selections — agg.select_kth finds the lower median of
@@ -5471,6 +5505,7 @@ QUERIES = {
     "q13_cust_order_histogram": q13_cust_order_histogram,
     "q15_top_supplier": q15_top_supplier,
     "events_exact_median_by_type": q_events_exact_median_by_type,
+    "events_exact_deciles_by_type": q_events_exact_deciles_by_type,
     "orders_above_cust_avg": q_orders_above_cust_avg,
     "doc_except_texts": q_doc_except_texts,
     "doc_simjoin_exact": q_doc_simjoin_exact,
@@ -6186,6 +6221,22 @@ ORACLE_SQL = {
         SELECT event_id, event_type,
                CAST(FLOOR(percent_rank() OVER (PARTITION BY event_type ORDER BY value) * 1000000.0) AS BIGINT) AS pr_ppm
         FROM events
+    """,
+    "events_exact_deciles_by_type": """
+        WITH c AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY event_type
+        ), r AS (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn
+          FROM events
+        ), t AS (
+          SELECT c.event_type, d.d AS decile, (c.n * d.d + 9) // 10 AS k
+          FROM c, (SELECT unnest(range(1, 10)) AS d) d
+        )
+        SELECT t.event_type, CAST(t.decile AS BIGINT) AS decile,
+               CAST(FLOOR(r.value * 1000000.0) AS BIGINT) AS value_micro
+        FROM t JOIN r ON r.event_type = t.event_type AND r.rn = t.k
     """,
     "events_exact_median_by_type": """
         WITH r AS (
