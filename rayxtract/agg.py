@@ -314,7 +314,10 @@ def select_kth(
             )
             return lo if k <= n_lo else hi
 
-        if in_bucket <= collect_limit or (new_lo == lo and new_hi == hi):
+        if in_bucket <= collect_limit:
+            # (a degenerate non-shrinking range with in_bucket >
+            # collect_limit already returned via the two-value count
+            # above, so this collect is always bounded)
 
             def collect(batch: pd.DataFrame, edges=edges, b=b) -> pd.DataFrame:
                 v = batch[col].to_numpy(np.float64)
@@ -329,11 +332,6 @@ def select_kth(
                 .to_numpy(np.float64),
                 kind="mergesort",
             )
-            if len(vals) > collect_limit:
-                raise RuntimeError(
-                    f"select_kth: degenerate bucket of {len(vals)} values "
-                    f"did not shrink below collect_limit={collect_limit}"
-                )
             return float(vals[k - 1])
         lo, hi = new_lo, new_hi
 
@@ -370,12 +368,12 @@ def grouped_select_kth(
         tree_aggregate(
             ds.map_batches(
                 lambda b: b.groupby(key, as_index=False).agg(
-                    lo=(col, "min"), hi=(col, "max")
+                    lo=(col, "min"), hi=(col, "max"), n=(col, "count")
                 ),
                 batch_format="pandas",
             ),
             keys=[key],
-            aggs={"lo": ("lo", "min"), "hi": ("hi", "max")},
+            aggs={"lo": ("lo", "min"), "hi": ("hi", "max"), "n": ("n", "sum")},
         )
         .to_pandas()
         .set_index(key)
@@ -385,8 +383,13 @@ def grouped_select_kth(
     for g, k in ks.items():
         if g not in mm.index:
             raise ValueError(f"group {g!r} not present")
+        n_g = int(mm.loc[g, "n"])
         klist = [k] if scalar_in[g] else list(k)
         for i, kk in enumerate(klist):
+            if not (1 <= int(kk) <= n_g):
+                raise ValueError(
+                    f"k={kk} out of range for group {g!r} with n={n_g}"
+                )
             state[(g, i)] = [
                 float(mm.loc[g, "lo"]),
                 float(mm.loc[g, "hi"]),
@@ -430,8 +433,11 @@ def grouped_select_kth(
                         )
                     )
             if not rows:
+                # empty frame with the batch's OWN key dtype (a hardcoded
+                # object dtype mismatches numeric keys and triggers
+                # per-batch schema-size errors in block unification)
                 return pd.DataFrame(
-                    {key: pd.Series(dtype=object),
+                    {key: batch[key].iloc[:0],
                      "t": pd.Series(dtype="int64"),
                      "b": pd.Series(dtype="int64"),
                      "c": pd.Series(dtype="int64")}
@@ -448,6 +454,7 @@ def grouped_select_kth(
             .sort_values([key, "t", "b"])
         )
         collect_spec: dict = {}
+        tie_spec: dict = {}
         for (g, i) in list(live):
             h = hist[(hist[key] == g) & (hist["t"] == i)]
             counts = np.zeros(n_buckets, dtype=np.int64)
@@ -459,11 +466,62 @@ def grouped_select_kth(
             k2 = k - (int(cum[b - 1]) if b else 0)
             e = edges_of[g][i]
             new_lo, new_hi = float(e[b]), float(e[b + 1])
-            if in_bucket <= collect_limit or (new_lo == lo and new_hi == hi):
+            if new_lo == lo and new_hi == hi and in_bucket > collect_limit:
+                # non-shrinking range: lo/hi are (near-)adjacent doubles,
+                # so at most two distinct values remain — one equality
+                # count of the low value settles rank k2 (the duplicate-
+                # heavy case, e.g. integer-valued columns with a single
+                # dominant value; same resolution as select_kth's branch)
+                tie_spec.setdefault(g, {})[i] = (lo, hi, k2)
+                live.discard((g, i))
+            elif in_bucket <= collect_limit:
                 collect_spec.setdefault(g, {})[i] = (e, b, k2)
                 live.discard((g, i))
             else:
                 state[(g, i)] = [new_lo, new_hi, k2]
+
+        if tie_spec:
+
+            def tie_count(batch: pd.DataFrame, spec=tie_spec) -> pd.DataFrame:
+                rows = []
+                for g, grp in batch.groupby(key):
+                    targets = spec.get(g)
+                    if not targets:
+                        continue
+                    vv = grp[col].to_numpy(np.float64)
+                    for i, (lo_t, _hi_t, _k) in targets.items():
+                        rows.append(
+                            pd.DataFrame(
+                                {
+                                    key: [g],
+                                    "t": pd.Series([i], dtype="int64"),
+                                    "c": pd.Series(
+                                        [int(np.sum(vv == lo_t))],
+                                        dtype="int64",
+                                    ),
+                                }
+                            )
+                        )
+                if not rows:
+                    return pd.DataFrame(
+                        {key: batch[key].iloc[:0],
+                         "t": pd.Series(dtype="int64"),
+                         "c": pd.Series(dtype="int64")}
+                    )
+                return pd.concat(rows, ignore_index=True)
+
+            tc = (
+                tree_aggregate(
+                    ds.map_batches(tie_count, batch_format="pandas"),
+                    keys=[key, "t"],
+                    aggs={"c": ("c", "sum")},
+                )
+                .to_pandas()
+                .set_index([key, "t"])["c"]
+            )
+            for g, targets in tie_spec.items():
+                for i, (lo_t, hi_t, k2) in targets.items():
+                    out[(g, i)] = lo_t if k2 <= int(tc.loc[(g, i)]) else hi_t
 
         if collect_spec:
 
@@ -482,7 +540,7 @@ def grouped_select_kth(
                         )
                 if not rows:
                     return pd.DataFrame(
-                        {key: pd.Series(dtype=object),
+                        {key: batch[key].iloc[:0],
                          "t": pd.Series(dtype="int64"),
                          "v": pd.Series(dtype="float64")}
                     )
@@ -497,11 +555,6 @@ def grouped_select_kth(
                         ].to_numpy(np.float64),
                         kind="mergesort",
                     )
-                    if len(vals) > 4 * collect_limit:
-                        raise RuntimeError(
-                            f"grouped_select_kth: group {g!r} bucket of "
-                            f"{len(vals)} values did not shrink"
-                        )
                     out[(g, i)] = float(vals[k2 - 1])
 
     result: dict = {}

@@ -3024,19 +3024,19 @@ def q18_large_orders(sf_dir: str):
         sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
     ).map_batches(o_prep, batch_format="pandas")
     owin = auto_join(orders, winners, "o_orderkey", "l_orderkey", how="inner")
+    # top-k BEFORE the customer attach: the dimension join touches only
+    # the 20 surviving rows, never the full winner set (at big tiers the
+    # pre-topk join would force a bucketed exchange of the whole
+    # customer table to decorate rows topk is about to discard)
+    top = topk(owin, ["total_cents", "o_orderkey"], descending=[True, False], k=20)
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    full = auto_join(owin, cust, "o_custkey", "c_custkey", how="inner")
-    return topk(
-        full.map_batches(
-            lambda b: b[
-                ["c_name", "o_custkey", "o_orderkey", "o_orderdate",
-                 "total_cents", "sum_qty"]
-            ],
-            batch_format="pandas",
-        ),
-        ["total_cents", "o_orderkey"],
-        descending=[True, False],
-        k=20,
+    full = auto_join(top, cust, "o_custkey", "c_custkey", how="inner")
+    return full.map_batches(
+        lambda b: b[
+            ["c_name", "o_custkey", "o_orderkey", "o_orderdate",
+             "total_cents", "sum_qty"]
+        ],
+        batch_format="pandas",
     )
 
 
@@ -3681,15 +3681,21 @@ def q_events_key_skew(sf_dir: str):
             }
         ),
         batch_format="pandas",
-    ).materialize()
+    )
 
+    # ONE scan: the total derives from the already-shrunk per-key counts
+    # (bounded by distinct keys), so the corpus projection is never
+    # pinned and never re-scanned for a second aggregate
     counts = bucketed_aggregate(
         ev, keys=["user_id"], aggs={"n": ("one", "sum")}, n_buckets=16
-    )
+    ).materialize()
     tot = tree_aggregate(
-        ev.map_batches(
+        counts.map_batches(
             lambda b: pd.DataFrame(
-                {"g": np.zeros(1, dtype="int64"), "t": [int(len(b))]}
+                {
+                    "g": np.zeros(1, dtype="int64"),
+                    "t": [int(b["n"].sum())],
+                }
             ),
             batch_format="pandas",
         ),

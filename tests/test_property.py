@@ -550,3 +550,34 @@ def test_grouped_select_kth_multi_rank(ray_session):
     sa, sb = np.sort(a), np.sort(b)
     assert got["a"] == [sa[0], sa[99], sa[299]]
     assert got["b"] == sb[44]
+
+
+def test_grouped_select_kth_heavy_ties_and_rank_validation(ray_session):
+    """A duplicate-heavy group larger than collect_limit resolves via the
+    two-value tie count (review finding: it used to raise), integer keys
+    produce no schema-mismatched empty blocks, and out-of-range ranks
+    raise the clean ValueError the scalar twin raises."""
+    import pytest
+    import ray.data
+
+    from rayxtract.agg import grouped_select_kth
+
+    big = pd.DataFrame({"g": np.int64(1), "v": np.repeat(2.5, 40_000)})
+    big = pd.concat(
+        [big, pd.DataFrame({"g": np.int64(1), "v": [0.0, 5.0]}),
+         pd.DataFrame({"g": np.int64(2), "v": np.arange(50, dtype=float)})],
+        ignore_index=True,
+    )
+    ds = ray.data.from_pandas(big).map_batches(
+        lambda b: b, batch_format="pandas", batch_size=4096
+    )
+    got = grouped_select_kth(
+        ds, "g", "v", {1: 20_000, 2: [1, 50]}, n_buckets=16, collect_limit=64
+    )
+    assert got[1] == 2.5
+    assert got[2] == [0.0, 49.0]
+
+    with pytest.raises(ValueError, match="out of range"):
+        grouped_select_kth(ds, "g", "v", {2: 51})
+    with pytest.raises(ValueError, match="out of range"):
+        grouped_select_kth(ds, "g", "v", {2: 0})
