@@ -18,11 +18,18 @@ import sys
 
 
 def _ray_up() -> None:
+    import os
+
     import ray
 
     if not ray.is_initialized():
+        # honor RAY_ADDRESS so `ray job submit` attaches this CLI to the
+        # running cluster (hardcoding "local" would silently start a
+        # fresh single-node Ray INSIDE the job container instead of
+        # using the cluster); standalone invocations without the env
+        # var still get a local session
         ray.init(
-            address="local",
+            address=os.environ.get("RAY_ADDRESS", "local"),
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
