@@ -39,6 +39,7 @@ __all__ = [
     "extract_link_edges",
     "pagerank",
     "pagerank_reference",
+    "triangle_count",
     "url_node_id",
 ]
 
@@ -422,3 +423,139 @@ def resolve_edges(edges_ds, src_col: str = "src_url", href_col: str = "href"):
         return out.drop(columns=[href_col])
 
     return edges_ds.map_batches(fn, batch_format="pandas")
+
+
+def triangle_count(
+    edges_ds, a_col: str = "a", b_col: str = "b", n_buckets: int = 16
+) -> int:
+    """Exact GLOBAL TRIANGLE COUNT via degree-ordered orientation — the
+    textbook distributed formulation (orient every undirected edge from
+    its lower-(degree, id) endpoint, enumerate wedges only over
+    out-neighborhoods, close them against the oriented edge set): total
+    wedge work is bounded by sum-over-nodes of C(out_deg, 2) with
+    out_deg <= O(sqrt(2m)), so a high-degree hub (guaranteed on real
+    graphs) never explodes a single task quadratically the way naive
+    neighbor-joins do.
+
+    Input: undirected edges (any int or string node ids); self-loops
+    dropped, duplicate/reversed edges collapse through a keyed exchange.
+    Stages: canonicalize -> distinct (bucketed) -> degrees (bucketed) ->
+    degree attach (size-adaptive auto_join x2) -> orient -> wedge
+    enumeration inside a u-bucketed map_groups -> closing-edge probe via
+    ONE string-keyed bucketed join. The only driver value is the final
+    count. Tie-breaks compare RAW node values in both the orientation and
+    the wedge ordering — the two must agree or triangles are missed."""
+    from .agg import bucketed_aggregate
+    from .joins import auto_join, bucketed_join
+
+    def canon(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch[a_col].values
+        b = batch[b_col].values
+        keep = a != b
+        a, b = a[keep], b[keep]
+        swap = a > b
+        return pd.DataFrame(
+            {
+                "a": np.where(swap, b, a),
+                "b": np.where(swap, a, b),
+                "one": np.ones(len(a), dtype="int64"),
+            }
+        )
+
+    edges = bucketed_aggregate(
+        edges_ds.map_batches(canon, batch_format="pandas"),
+        keys=["a", "b"],
+        aggs={"n": ("one", "sum")},
+        n_buckets=n_buckets,
+    ).materialize()  # distinct undirected edges; two consumers below
+
+    deg = bucketed_aggregate(
+        edges.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "node": np.concatenate([b["a"].values, b["b"].values]),
+                    "one": np.ones(2 * len(b), dtype="int64"),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        keys=["node"],
+        aggs={"deg": ("one", "sum")},
+        n_buckets=n_buckets,
+    ).materialize()  # node-dimension-sized; consumed twice (deg_a, deg_b)
+    deg_a = deg.map_batches(
+        lambda b: pd.DataFrame(
+            {"node_a": b["node"].values, "deg_a": b["deg"].astype("int64").values}
+        ),
+        batch_format="pandas",
+    )
+    deg_b = deg.map_batches(
+        lambda b: pd.DataFrame(
+            {"node_b": b["node"].values, "deg_b": b["deg"].astype("int64").values}
+        ),
+        batch_format="pandas",
+    )
+    e = auto_join(edges, deg_a, "a", "node_a")
+    e = auto_join(e, deg_b, "b", "node_b")
+
+    def orient(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["a"].values
+        b = batch["b"].values
+        da = batch["deg_a"].to_numpy(np.int64)
+        db = batch["deg_b"].to_numpy(np.int64)
+        swap = (da > db) | ((da == db) & (a > b))
+        return pd.DataFrame(
+            {
+                "u": np.where(swap, b, a),
+                "v": np.where(swap, a, b),
+                "dv": np.where(swap, da, db).astype("int64"),
+            }
+        )
+
+    oriented = e.map_batches(orient, batch_format="pandas").materialize()
+
+    def ubkt(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__ubkt"] = (
+            pd.util.hash_array(batch["u"].astype(str).to_numpy(dtype=object))
+            % np.uint64(n_buckets)
+        ).astype("int64")
+        return batch
+
+    def wedges(group: pd.DataFrame) -> pd.DataFrame:
+        cks: list[np.ndarray] = []
+        for _, g in group.groupby("u", sort=False):
+            if len(g) < 2:
+                continue
+            # order out-neighbors by the SAME (deg, raw id) total order the
+            # orientation used, so each candidate (v, w) matches the stored
+            # direction of a closing edge if one exists
+            order = np.lexsort((g["v"].to_numpy(), g["dv"].to_numpy(np.int64)))
+            vs = g["v"].to_numpy()[order].astype(str)
+            i, jx = np.triu_indices(len(vs), 1)
+            if len(i):
+                cks.append(np.char.add(np.char.add(vs[i], "\x1f"), vs[jx]))
+        ck = (
+            np.concatenate(cks).astype(object)
+            if cks
+            else np.array([], dtype=object)
+        )
+        return pd.DataFrame({"ck": pd.Series(ck, dtype="object")})
+
+    cands = (
+        oriented.map_batches(ubkt, batch_format="pandas")
+        .groupby("__ubkt")
+        .map_groups(wedges, batch_format="pandas")
+    )
+    ekeys = oriented.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "ek": (
+                    b["u"].astype(str) + "\x1f" + b["v"].astype(str)
+                ).astype(object)
+            }
+        ),
+        batch_format="pandas",
+    )
+    closed = bucketed_join(cands, ekeys, "ck", "ek", n_buckets=n_buckets)
+    return int(closed.count())

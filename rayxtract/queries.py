@@ -3381,6 +3381,1022 @@ def q15_top_supplier(sf_dir: str):
     )
 
 
+def q7_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape (volume shipping between two nations): two years of
+    lineitem through ONE bucketed big-big exchange with orders (orderkey),
+    then customer and supplier nation keys attach through the
+    size-adaptive auto_join (broadcast at small SF, bucketed exchange at
+    the big tiers); the (supp_nation, cust_nation) pair filter and the
+    ship-year derivation are vectorized against a fixed-size (25-row)
+    nation LUT shipped once via ray.put. Revenue in integer floor-cents;
+    the per-batch groupby partial means only (nation-pair, year) rows
+    ever enter the combiner tree."""
+    import ray
+
+    from .agg import tree_aggregate
+    from .joins import auto_join, bucketed_join
+
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1998-01-01", "us")
+
+    def l_prep(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["l_shipdate"].to_numpy("datetime64[us]")
+        m = (d >= lo) & (d < hi)
+        b = batch[m]
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].astype("int64").values,
+                "l_suppkey": b["l_suppkey"].astype("int64").values,
+                "l_year": d[m].astype("datetime64[Y]").astype(np.int64) + 1970,
+                "rev_cents": _floor_cents(
+                    b["l_extendedprice"].to_numpy()
+                    * (1.0 - b["l_discount"].to_numpy())
+                ),
+            }
+        )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(l_prep, batch_format="pandas")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j = bucketed_join(li, orders, "l_orderkey", "o_orderkey", n_buckets=16)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda b: b.rename(columns={"s_nationkey": "sup_nationkey"}),
+        batch_format="pandas",
+    )
+    j = auto_join(j, cust, "o_custkey", "c_custkey")
+    j = auto_join(j, supp, "l_suppkey", "s_suppkey")
+
+    n = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(n["n_nationkey"].astype(int), n["n_name"]))
+    k1 = int(n.loc[n["n_name"] == "NATION_3", "n_nationkey"].iloc[0])
+    k2 = int(n.loc[n["n_name"] == "NATION_8", "n_nationkey"].iloc[0])
+    ref = ray.put({"name": name_of, "k1": k1, "k2": k2})
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(ref)
+        sn = batch["sup_nationkey"].to_numpy(np.int64)
+        cn = batch["c_nationkey"].to_numpy(np.int64)
+        keep = ((sn == lut["k1"]) & (cn == lut["k2"])) | (
+            (sn == lut["k2"]) & (cn == lut["k1"])
+        )
+        b = batch[keep]
+        out = pd.DataFrame(
+            {
+                "supp_nation": pd.Series(
+                    [lut["name"][int(k)] for k in sn[keep]], dtype="object"
+                ),
+                "cust_nation": pd.Series(
+                    [lut["name"][int(k)] for k in cn[keep]], dtype="object"
+                ),
+                "l_year": b["l_year"].astype("int64").values,
+                "revenue_cents": b["rev_cents"].astype("int64").values,
+            }
+        )
+        return out.groupby(
+            ["supp_nation", "cust_nation", "l_year"], as_index=False
+        ).sum()
+
+    return tree_aggregate(
+        j.map_batches(attach, batch_format="pandas"),
+        keys=["supp_nation", "cust_nation", "l_year"],
+        aggs={"revenue_cents": ("revenue_cents", "sum")},
+    )
+
+
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape (national market share): ECONOMY-type lines attach
+    their part through auto_join (the type filter shrinks part 6x before
+    the physical-plan choice), join two years of orders through the one
+    bucketed exchange, then customer region membership and supplier
+    nation are vectorized against fixed-size LUTs. The per-year share is
+    computed from two integer sums with Python-bigint floor division —
+    never a float — so the ppm value is bit-identical to the SQL
+    ``SUM(..) * 1000000 // SUM(..)``. Final frame is |years| rows on the
+    driver by construction."""
+    import ray
+
+    from .agg import tree_aggregate
+    from .joins import auto_join, bucketed_join
+
+    lo = np.datetime64("1995-01-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda b: b.loc[b["p_type"] == "ECONOMY", ["p_partkey"]],
+        batch_format="pandas",
+    )
+
+    def l_prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"].astype("int64").values,
+                "l_partkey": batch["l_partkey"].astype("int64").values,
+                "l_suppkey": batch["l_suppkey"].astype("int64").values,
+                "rev_cents": _floor_cents(
+                    batch["l_extendedprice"].to_numpy()
+                    * (1.0 - batch["l_discount"].to_numpy())
+                ),
+            }
+        )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(l_prep, batch_format="pandas")
+    li = auto_join(li, part, "l_partkey", "p_partkey")
+
+    def o_prep(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["o_orderdate"].to_numpy("datetime64[us]")
+        m = (d >= lo) & (d < hi)
+        b = batch[m]
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].astype("int64").values,
+                "o_custkey": b["o_custkey"].astype("int64").values,
+                "o_year": d[m].astype("datetime64[Y]").astype(np.int64) + 1970,
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(o_prep, batch_format="pandas")
+    j = bucketed_join(li, orders, "l_orderkey", "o_orderkey", n_buckets=16)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda b: b.rename(columns={"s_nationkey": "sup_nationkey"}),
+        batch_format="pandas",
+    )
+    j = auto_join(j, cust, "o_custkey", "c_custkey")
+    j = auto_join(j, supp, "l_suppkey", "s_suppkey")
+
+    n = _read(
+        sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pandas()
+    region_of = dict(
+        zip(n["n_nationkey"].astype(int), n["n_regionkey"].astype(int))
+    )
+    target_region = int(
+        n.loc[n["n_name"] == "NATION_3", "n_regionkey"].iloc[0]
+    )
+    target_nation = int(
+        n.loc[n["n_name"] == "NATION_5", "n_nationkey"].iloc[0]
+    )
+    ref = ray.put(
+        {"region": region_of, "reg": target_region, "nat": target_nation}
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(ref)
+        cn = batch["c_nationkey"].to_numpy(np.int64)
+        reg = np.array([lut["region"].get(int(k), -1) for k in cn])
+        b = batch[reg == lut["reg"]]
+        rev = b["rev_cents"].to_numpy(np.int64)
+        is_nat = (b["sup_nationkey"].to_numpy(np.int64) == lut["nat"])
+        tmp = pd.DataFrame(
+            {
+                "o_year": b["o_year"].astype("int64").values,
+                "nation_cents": np.where(is_nat, rev, 0),
+                "total_cents": rev,
+            }
+        )
+        return tmp.groupby("o_year", as_index=False).sum()
+
+    agg = tree_aggregate(
+        j.map_batches(partial, batch_format="pandas"),
+        keys=["o_year"],
+        aggs={
+            "nation_cents": ("nation_cents", "sum"),
+            "total_cents": ("total_cents", "sum"),
+        },
+    ).to_pandas()  # |distinct order-years| rows by construction
+    agg["mkt_share_ppm"] = pd.Series(
+        [
+            int(a) * 1_000_000 // int(b) if int(b) else 0
+            for a, b in zip(agg["nation_cents"], agg["total_cents"])
+        ],
+        dtype="int64",
+        index=agg.index,
+    )
+    for c in ("o_year", "nation_cents", "total_cents"):
+        agg[c] = agg[c].astype("int64")
+    return agg.sort_values("o_year").reset_index(drop=True)
+
+
+def q9_product_profit(sf_dir: str):
+    """TPC-H Q9 shape (product-line profit by supplier nation and year;
+    p_retailprice stands in for the absent ps_supplycost): STANDARD-type
+    parts carry their integer cost-cents through auto_join onto lineitem,
+    supplier nation attaches the same way, and profit
+    ``rev_cents - qty * cost_cents`` is exact int64 (quantities are
+    integral — asserted by the oracle's CAST semantics). Only
+    (nation, year) partial rows enter the combiner tree; no corpus-sized
+    exchange at all when part/supplier broadcast."""
+    import ray
+
+    from .agg import tree_aggregate
+    from .joins import auto_join
+
+    part = _read(
+        sf_dir, "part", ["p_partkey", "p_type", "p_retailprice"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "p_partkey": b.loc[b["p_type"] == "STANDARD", "p_partkey"]
+                .astype("int64")
+                .values,
+                "cost_cents": _floor_cents(
+                    b.loc[b["p_type"] == "STANDARD", "p_retailprice"].to_numpy()
+                ),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def l_prep(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["l_shipdate"].to_numpy("datetime64[us]")
+        return pd.DataFrame(
+            {
+                "l_partkey": batch["l_partkey"].astype("int64").values,
+                "l_suppkey": batch["l_suppkey"].astype("int64").values,
+                "l_year": d.astype("datetime64[Y]").astype(np.int64) + 1970,
+                "qty": batch["l_quantity"].to_numpy(np.float64).astype("int64"),
+                "rev_cents": _floor_cents(
+                    batch["l_extendedprice"].to_numpy()
+                    * (1.0 - batch["l_discount"].to_numpy())
+                ),
+            }
+        )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        [
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    ).map_batches(l_prep, batch_format="pandas")
+    j = auto_join(li, part, "l_partkey", "p_partkey")
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda b: b.rename(columns={"s_nationkey": "sup_nationkey"}),
+        batch_format="pandas",
+    )
+    j = auto_join(j, supp, "l_suppkey", "s_suppkey")
+
+    n = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    ref = ray.put(dict(zip(n["n_nationkey"].astype(int), n["n_name"])))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        name = ray.get(ref)
+        sn = batch["sup_nationkey"].to_numpy(np.int64)
+        profit = (
+            batch["rev_cents"].to_numpy(np.int64)
+            - batch["qty"].to_numpy(np.int64)
+            * batch["cost_cents"].to_numpy(np.int64)
+        )
+        tmp = pd.DataFrame(
+            {
+                "nation": pd.Series(
+                    [name[int(k)] for k in sn], dtype="object"
+                ),
+                "l_year": batch["l_year"].astype("int64").values,
+                "profit_cents": profit,
+            }
+        )
+        return tmp.groupby(["nation", "l_year"], as_index=False).sum()
+
+    return tree_aggregate(
+        j.map_batches(partial, batch_format="pandas"),
+        keys=["nation", "l_year"],
+        aggs={"profit_cents": ("profit_cents", "sum")},
+    )
+
+
+def q11_important_parts(sf_dir: str):
+    """TPC-H Q11 shape (important stock — p_retailprice value over the
+    absent partsupp): per-part lineitem value through ONE bucketed
+    exchange, the GLOBAL total and part count re-derived from those same
+    per-part rows via the combiner tree, and the HAVING
+    ``value > 1.2 x avg-part-value`` filter applied as the exact integer
+    cross-multiplication ``5 * value_cents * n_parts > 6 * total_cents``
+    (Python bigints on the driver, BIGINT in SQL — never a float
+    threshold). The per-part table streams through the filter; only the
+    two global scalars sit on the driver."""
+    from .agg import bucketed_aggregate, tree_aggregate
+
+    per_part = bucketed_aggregate(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"]).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "l_partkey": b["l_partkey"].astype("int64").values,
+                    "value_cents": _floor_cents(b["l_extendedprice"].to_numpy()),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        keys=["l_partkey"],
+        aggs={"value_cents": ("value_cents", "sum")},
+        n_buckets=16,
+    ).materialize()  # per-part rows: |part| rows, re-read by two consumers
+    g = tree_aggregate(
+        per_part.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "g": np.zeros(len(b), dtype="int64"),
+                    "t": b["value_cents"].astype("int64").values,
+                    "np_": np.ones(len(b), dtype="int64"),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        keys=["g"],
+        aggs={"t": ("t", "sum"), "np_": ("np_", "sum")},
+    ).to_pandas()
+    total, n_parts = int(g["t"][0]), int(g["np_"][0])
+    return per_part.map_batches(
+        lambda b: b.loc[
+            5 * b["value_cents"].astype("int64") * n_parts > 6 * total,
+            ["l_partkey", "value_cents"],
+        ],
+        batch_format="pandas",
+    )
+
+
+def q16_supplier_cnt(sf_dir: str):
+    """TPC-H Q16 shape (supplier count per part attribute combo with a
+    NOT-IN exclusion): lineitem attaches the filtered part attributes
+    via auto_join, the negative-acctbal supplier keyset (a small FRACTION
+    of the supplier dimension at any SF — the NOT IN side) broadcasts
+    once via ray.put, and COUNT(DISTINCT supplier) runs as the two-level
+    keyed exchange: dedup on (brand, type, size, suppkey) through one
+    hash-bucketed aggregate (each distinct tuple lands in exactly one
+    bucket — global uniqueness by construction), then the tiny combiner
+    tree counts per (brand, type, size)."""
+    import ray
+
+    from .agg import bucketed_aggregate, tree_aggregate
+    from .joins import auto_join
+
+    sizes = (1, 4, 7, 10, 15, 23, 45, 50)
+    part = _read(
+        sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"]
+    ).map_batches(
+        lambda b: b.loc[
+            (b["p_brand"] != "Brand#5")
+            & (b["p_type"] != "PROMO")
+            & (b["p_size"].isin(sizes)),
+            ["p_partkey", "p_brand", "p_type", "p_size"],
+        ],
+        batch_format="pandas",
+    )
+
+    bad = set()
+    for b in _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        m = pc.less(b["s_acctbal"], pa.scalar(0.0))
+        bad.update(b.filter(m)["s_suppkey"].to_pylist())
+    bad_ref = ray.put(bad)
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
+        lambda b: b[
+            ~b["l_suppkey"].astype("int64").isin(ray.get(bad_ref))
+        ],
+        batch_format="pandas",
+    )
+    j = auto_join(li, part, "l_partkey", "p_partkey")
+    distinct = bucketed_aggregate(
+        j.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "p_brand": b["p_brand"].astype(object).values,
+                    "p_type": b["p_type"].astype(object).values,
+                    "p_size": b["p_size"].astype("int64").values,
+                    "l_suppkey": b["l_suppkey"].astype("int64").values,
+                    "one": np.ones(len(b), dtype="int64"),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        keys=["p_brand", "p_type", "p_size", "l_suppkey"],
+        aggs={"n": ("one", "sum")},
+        n_buckets=16,
+    )
+    return tree_aggregate(
+        distinct.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "p_brand": b["p_brand"].values,
+                    "p_type": b["p_type"].values,
+                    "p_size": b["p_size"].astype("int64").values,
+                    "one": np.ones(len(b), dtype="int64"),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        keys=["p_brand", "p_type", "p_size"],
+        aggs={"supplier_cnt": ("one", "sum")},
+    )
+
+
+def q17_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape (small-quantity-order revenue — the CORRELATED
+    AVG subquery): Brand#3 lines keep their part through auto_join, the
+    per-part quantity average comes from one keyed exchange over the
+    SAME filtered lines, joins back (auto_join — the brand slice of part
+    is 1/25 of the dimension at any SF), and the correlated predicate
+    ``qty < 0.5 * avg(qty)`` is the exact integer cross-multiplication
+    ``2 * qty * n < sum_qty``. One driver row out; //7 runs in Python
+    bigints = SQL BIGINT // — never float division."""
+    from .agg import bucketed_aggregate
+    from .joins import auto_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        lambda b: b.loc[b["p_brand"] == "Brand#3", ["p_partkey"]],
+        batch_format="pandas",
+    )
+
+    def l_prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_partkey": batch["l_partkey"].astype("int64").values,
+                "qty": batch["l_quantity"].to_numpy(np.float64).astype("int64"),
+                "price_cents": _floor_cents(batch["l_extendedprice"].to_numpy()),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+    ).map_batches(l_prep, batch_format="pandas")
+    li = auto_join(li, part, "l_partkey", "p_partkey").materialize()
+    # per-part stats over the SAME brand-filtered lines (two consumers of
+    # one lazy dataset re-execute in Ray 2.49 — materialize the slice once;
+    # it is brand-fraction-sized, not corpus-sized)
+    stats = bucketed_aggregate(
+        li.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "l_partkey": b["l_partkey"].astype("int64").values,
+                    "sum_qty": b["qty"].astype("int64").values,
+                    "n": np.ones(len(b), dtype="int64"),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        keys=["l_partkey"],
+        aggs={"sum_qty": ("sum_qty", "sum"), "n": ("n", "sum")},
+        n_buckets=16,
+    )
+    j = auto_join(li, stats, "l_partkey", "l_partkey")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = (
+            2
+            * batch["qty"].to_numpy(np.int64)
+            * batch["n"].to_numpy(np.int64)
+            < batch["sum_qty"].to_numpy(np.int64)
+        )
+        pc_ = batch.loc[keep, "price_cents"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "total_cents": [int(pc_.sum())],
+                "n_lines": [int(keep.sum())],
+            }
+        )
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        total = int(batch["total_cents"].sum())
+        return pd.DataFrame(
+            {
+                "total_cents": [total],
+                "avg_yearly_cents": [total // 7],
+                "n_lines": [int(batch["n_lines"].sum())],
+            }
+        )
+
+    return (
+        j.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+    )
+
+
+def q21_sole_return_supplier(sf_dir: str):
+    """TPC-H Q21 shape (the double EXISTS/NOT-EXISTS correlation,
+    re-keyed to this schema: in finished orders with >= 2 distinct
+    suppliers, find the supplier who was the ONLY one with returned
+    lines): finished orders join lineitem through one bucketed exchange,
+    (order, supplier) partials collapse via a keyed aggregate, the
+    per-order correlation (>= 2 suppliers AND exactly one with returns)
+    runs inside a second orderkey-bucketed map_groups, and the final
+    per-supplier count + top-20 goes through the local-top-k combiner
+    (total order: count desc, suppkey asc — ties never depend on
+    batching)."""
+    from .agg import bucketed_aggregate, topk, tree_aggregate
+    from .joins import bucketed_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]).map_batches(
+        lambda b: b.loc[b["o_orderstatus"] == "F", ["o_orderkey"]],
+        batch_format="pandas",
+    )
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_returnflag"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].astype("int64").values,
+                "l_suppkey": b["l_suppkey"].astype("int64").values,
+                "is_r": (b["l_returnflag"] == "R").to_numpy().astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    j = bucketed_join(li, orders, "l_orderkey", "o_orderkey", n_buckets=16)
+    per_os = bucketed_aggregate(
+        j,
+        keys=["l_orderkey", "l_suppkey"],
+        aggs={"has_r": ("is_r", "max")},
+        n_buckets=16,
+    )
+
+    def order_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__obkt"] = (
+            pd.util.hash_array(batch["l_orderkey"].to_numpy(np.int64))
+            % np.uint64(16)
+        ).astype("int64")
+        return batch
+
+    def sole_r(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("l_orderkey")
+        agg = g.agg(
+            n_supp=("l_suppkey", "nunique"), n_r=("has_r", "sum")
+        ).reset_index()
+        ok = set(
+            agg.loc[(agg["n_supp"] >= 2) & (agg["n_r"] == 1), "l_orderkey"]
+        )
+        w = group[
+            group["l_orderkey"].isin(ok) & (group["has_r"] == 1)
+        ]
+        return pd.DataFrame(
+            {"l_suppkey": w["l_suppkey"].astype("int64").values}
+        )
+
+    waiters = (
+        per_os.map_batches(order_bucket, batch_format="pandas")
+        .groupby("__obkt")
+        .map_groups(sole_r, batch_format="pandas")
+    )
+    counts = tree_aggregate(
+        waiters.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "l_suppkey": b["l_suppkey"].astype("int64").values,
+                    "one": np.ones(len(b), dtype="int64"),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        keys=["l_suppkey"],
+        aggs={"numwait": ("one", "sum")},
+    )
+    return topk(counts, ["numwait", "l_suppkey"], [True, False], 20)
+
+
+def q22_sales_opportunity(sf_dir: str):
+    """TPC-H Q22 shape (global sales opportunity — the scalar-subquery
+    threshold plus NOT EXISTS anti-join, re-keyed to custkey%7 country
+    codes): the code-filtered customer slice materializes once (two
+    consumers), the global positive-balance average arrives as two
+    integers from the combiner tree (the threshold compare is the exact
+    cross-multiplication ``bal_cents * n > sum_cents``), and customers
+    WITHOUT a HIGH-VALUE order (>400k — every synth customer has SOME
+    order) survive a bucketed LEFT join against the distinct
+    order-custkey exchange (typed-null probe — the anti-join never ships
+    a corpus-sized keyset to the driver)."""
+    from .agg import bucketed_aggregate, tree_aggregate
+    from .joins import bucketed_join
+
+    codes = (1, 3, 5)
+
+    def c_prep(batch: pd.DataFrame) -> pd.DataFrame:
+        ck = batch["c_custkey"].astype("int64")
+        code = (ck % 7).to_numpy(np.int64)
+        keep = np.isin(code, codes)
+        return pd.DataFrame(
+            {
+                "c_custkey": ck.values[keep],
+                "code": code[keep],
+                "bal_cents": np.rint(
+                    batch["c_acctbal"].to_numpy(np.float64)[keep] * 100.0
+                ).astype("int64"),
+            }
+        )
+
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+        .map_batches(c_prep, batch_format="pandas")
+        .materialize()
+    )
+    g = tree_aggregate(
+        cust.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "g": np.zeros(1, dtype="int64"),
+                    "s": [
+                        int(
+                            b.loc[b["bal_cents"] > 0, "bal_cents"].sum()
+                        )
+                    ],
+                    "n": [int((b["bal_cents"] > 0).sum())],
+                }
+            ),
+            batch_format="pandas",
+        ),
+        keys=["g"],
+        aggs={"s": ("s", "sum"), "n": ("n", "sum")},
+    ).to_pandas()
+    s, n = int(g["s"][0]), int(g["n"][0])
+
+    has_orders = bucketed_aggregate(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "o_custkey": b.loc[
+                        b["o_totalprice"] > 400000.0, "o_custkey"
+                    ]
+                    .astype("int64")
+                    .values,
+                    "one": np.ones(
+                        int((b["o_totalprice"] > 400000.0).sum()),
+                        dtype="int64",
+                    ),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        keys=["o_custkey"],
+        aggs={"n_orders": ("one", "sum")},
+        n_buckets=16,
+    )
+    j = bucketed_join(
+        cust, has_orders, "c_custkey", "o_custkey", n_buckets=16, how="left"
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        anti = batch["n_orders"].isna().to_numpy()
+        rich = batch["bal_cents"].to_numpy(np.int64) * n > s
+        b = batch[anti & rich]
+        tmp = pd.DataFrame(
+            {
+                "code": b["code"].astype("int64").values,
+                "numcust": np.ones(len(b), dtype="int64"),
+                "totacctbal_cents": b["bal_cents"].astype("int64").values,
+            }
+        )
+        return tmp.groupby("code", as_index=False).sum()
+
+    return tree_aggregate(
+        j.map_batches(partial, batch_format="pandas"),
+        keys=["code"],
+        aggs={
+            "numcust": ("numcust", "sum"),
+            "totacctbal_cents": ("totacctbal_cents", "sum"),
+        },
+    )
+
+
+def q_events_retention_cohorts(sf_dir: str):
+    """RETENTION COHORT matrix (the product-analytics staple): each
+    user's cohort day is their FIRST active day; the output counts
+    distinct users per (cohort_day, day_offset). (user, day) dedups
+    through one hash-bucketed exchange (distinct by construction —
+    tuples land in exactly one bucket), per-user cohort minima reduce
+    over the SAME rows, the cohort attaches back via the size-adaptive
+    auto_join (user-dimension-sized), and because the joined rows are
+    already (user, day)-distinct, the final count per cell is a plain
+    integer sum through the combiner tree — COUNT(DISTINCT) without a
+    second distinct pass. Days are integer epoch-days end to end."""
+    from .agg import bucketed_aggregate, tree_aggregate
+    from .joins import auto_join
+
+    ud = bucketed_aggregate(
+        _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "user_id": b["user_id"].astype("int64").values,
+                    "day": b["ts"]
+                    .to_numpy("datetime64[us]")
+                    .astype("datetime64[D]")
+                    .astype("int64"),
+                    "one": np.ones(len(b), dtype="int64"),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        keys=["user_id", "day"],
+        aggs={"n": ("one", "sum")},
+        n_buckets=16,
+    ).materialize()  # (user, day)-distinct rows; two consumers below
+    cohort = bucketed_aggregate(
+        ud,
+        keys=["user_id"],
+        aggs={"cohort_day": ("day", "min")},
+        n_buckets=16,
+    )
+    j = auto_join(ud, cohort, "user_id", "user_id")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        tmp = pd.DataFrame(
+            {
+                "cohort_day": batch["cohort_day"].astype("int64").values,
+                "day_offset": (
+                    batch["day"].astype("int64")
+                    - batch["cohort_day"].astype("int64")
+                ).values,
+                "n_users": np.ones(len(batch), dtype="int64"),
+            }
+        )
+        return tmp.groupby(["cohort_day", "day_offset"], as_index=False).sum()
+
+    return tree_aggregate(
+        j.map_batches(partial, batch_format="pandas"),
+        keys=["cohort_day", "day_offset"],
+        aggs={"n_users": ("n_users", "sum")},
+    )
+
+
+def _supplier_coship_edges(sf_dir: str):
+    """Raw supplier co-shipping pairs (a, b), a < b, possibly duplicated
+    across parts: two suppliers are adjacent iff they shipped the SAME
+    part in Q1-1996. (part, supplier) dedups through one keyed exchange;
+    per-part pairs are emitted inside a part-bucketed map_groups
+    (partitioning assumption: per-part supplier cardinality is small —
+    single digits in TPC-H-shaped data at any SF, so the C(n,2) expansion
+    is per-group-bounded). Shared substrate for the triangle-count and
+    BFS graph queries."""
+    from .agg import bucketed_aggregate
+
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1996-04-01", "us")
+
+    def l_prep(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["l_shipdate"].to_numpy("datetime64[us]")
+        m = (d >= lo) & (d < hi)
+        return pd.DataFrame(
+            {
+                "l_partkey": batch["l_partkey"].astype("int64").values[m],
+                "l_suppkey": batch["l_suppkey"].astype("int64").values[m],
+                "one": np.ones(int(m.sum()), dtype="int64"),
+            }
+        )
+
+    ps = bucketed_aggregate(
+        _read(
+            sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_shipdate"]
+        ).map_batches(l_prep, batch_format="pandas"),
+        keys=["l_partkey", "l_suppkey"],
+        aggs={"n": ("one", "sum")},
+        n_buckets=16,
+    )
+
+    def pbkt(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__pbkt"] = (
+            pd.util.hash_array(batch["l_partkey"].to_numpy(np.int64))
+            % np.uint64(16)
+        ).astype("int64")
+        return batch
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        outs_a: list[np.ndarray] = []
+        outs_b: list[np.ndarray] = []
+        for _, g in group.groupby("l_partkey", sort=False):
+            sk = np.sort(g["l_suppkey"].to_numpy(np.int64))
+            if len(sk) < 2:
+                continue
+            i, j = np.triu_indices(len(sk), 1)
+            outs_a.append(sk[i])
+            outs_b.append(sk[j])
+        a = (
+            np.concatenate(outs_a)
+            if outs_a
+            else np.array([], dtype=np.int64)
+        )
+        b = (
+            np.concatenate(outs_b)
+            if outs_b
+            else np.array([], dtype=np.int64)
+        )
+        return pd.DataFrame({"a": a, "b": b})
+
+    return (
+        ps.map_batches(pbkt, batch_format="pandas")
+        .groupby("__pbkt")
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+
+def q_supplier_triangles(sf_dir: str):
+    """GLOBAL TRIANGLE COUNT over the supplier co-shipping graph (edge =
+    two suppliers shipped the same part in Q1-1996): the graph-analytics
+    staple for community/cluster structure.
+    :func:`rayxtract.graph.triangle_count` does the degree-ordered
+    orientation + wedge-close dance, whose work is bounded by O(m^1.5)
+    regardless of hub skew. Oracle: the brute-force 3-way DuckDB
+    self-join over the identical canonical edge set."""
+    from .graph import triangle_count
+
+    edges = _supplier_coship_edges(sf_dir)
+    n_tri = triangle_count(edges, "a", "b", n_buckets=16)
+    return pd.DataFrame({"n_triangles": pd.Series([n_tri], dtype="int64")})
+
+
+def q_supplier_bfs_hops(sf_dir: str):
+    """SINGLE-SOURCE BFS over the supplier co-shipping graph — the
+    iterative frontier-expansion pattern (connected reachability, crawl
+    radius, friend-of-friend) expressed as bounded Dataset rounds: each
+    hop is ONE bucketed join of the frontier onto the adjacency list, a
+    min-dedup keyed exchange over the discovered neighbors, and an
+    anti-probe (bucketed LEFT join, typed-null test) against the settled
+    distance table; per-round driver traffic is a single frontier-size
+    scalar. Capped at 6 hops (also the oracle's recursion bound).
+    Source = the globally smallest supplier id with an edge. Oracle:
+    DuckDB recursive CTE with UNION-dedup and MIN(dist) — the driver's
+    only recursive-SQL query."""
+    from .agg import bucketed_aggregate, tree_aggregate
+    from .joins import bucketed_join
+
+    # distinct undirected adjacency (both directions) from the raw pairs
+    adj = bucketed_aggregate(
+        _supplier_coship_edges(sf_dir).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "src": np.concatenate(
+                        [b["a"].to_numpy(np.int64), b["b"].to_numpy(np.int64)]
+                    ),
+                    "dst": np.concatenate(
+                        [b["b"].to_numpy(np.int64), b["a"].to_numpy(np.int64)]
+                    ),
+                    "one": np.ones(2 * len(b), dtype="int64"),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        keys=["src", "dst"],
+        aggs={"n": ("one", "sum")},
+        n_buckets=16,
+    ).materialize()  # edge-dimension-sized; re-joined every round
+
+    src_min = tree_aggregate(
+        adj.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "g": np.zeros(1, dtype="int64"),
+                    "m": [int(b["src"].min()) if len(b) else 2**62],
+                }
+            ),
+            batch_format="pandas",
+        ),
+        keys=["g"],
+        aggs={"m": ("m", "min")},
+    ).to_pandas()
+    source = int(src_min["m"][0])
+
+    import ray.data
+
+    dist = ray.data.from_pandas(
+        pd.DataFrame({"l_suppkey": pd.Series([source], dtype="int64"),
+                      "hops": pd.Series([0], dtype="int64")})
+    ).materialize()
+    frontier = dist
+    for _hop in range(1, 7):
+        nbrs = bucketed_join(
+            frontier, adj, "l_suppkey", "src", n_buckets=16
+        ).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "l_suppkey": b["dst"].astype("int64").values,
+                    "hops": (b["hops"].astype("int64") + 1).values,
+                }
+            ),
+            batch_format="pandas",
+        )
+        nbrs = bucketed_aggregate(
+            nbrs, keys=["l_suppkey"], aggs={"hops": ("hops", "min")},
+            n_buckets=16,
+        )
+        probe = bucketed_join(
+            nbrs,
+            dist.map_batches(
+                lambda b: pd.DataFrame(
+                    {"seen_key": b["l_suppkey"].astype("int64").values,
+                     "seen": np.ones(len(b), dtype="int64")}
+                ),
+                batch_format="pandas",
+            ),
+            "l_suppkey",
+            "seen_key",
+            n_buckets=16,
+            how="left",
+        )
+        new = probe.map_batches(
+            lambda b: b.loc[b["seen"].isna(), ["l_suppkey", "hops"]].astype(
+                {"l_suppkey": "int64", "hops": "int64"}
+            ),
+            batch_format="pandas",
+        ).materialize()
+        if new.count() == 0:
+            break
+        dist = dist.union(new).materialize()
+        frontier = new
+    return dist
+
+
+def q20_part_suppliers(sf_dir: str):
+    """TPC-H Q20 shape (the NESTED SEMI-JOIN chain, re-keyed to this
+    schema: suppliers who moved real volume of SMALL parts in 1996):
+    SMALL parts semi-filter the year's lineitem via auto_join, the
+    per-(part, supplier) quantity threshold (>40 — the correlated
+    availqty subquery analogue) runs through one keyed exchange, distinct
+    qualifying suppliers dedup through a second, and the supplier
+    dimension's own predicate (positive account standing, the nation
+    filter analogue) applies in the final semi auto_join. No
+    corpus-sized driver state anywhere in the chain."""
+    from .agg import bucketed_aggregate
+    from .joins import auto_join
+
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda b: b.loc[b["p_type"] == "SMALL", ["p_partkey"]],
+        batch_format="pandas",
+    )
+
+    def l_prep(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["l_shipdate"].to_numpy("datetime64[us]")
+        m = (d >= lo) & (d < hi)
+        return pd.DataFrame(
+            {
+                "l_partkey": batch["l_partkey"].astype("int64").values[m],
+                "l_suppkey": batch["l_suppkey"].astype("int64").values[m],
+                "qty": batch["l_quantity"]
+                .to_numpy(np.float64)
+                .astype("int64")[m],
+            }
+        )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    ).map_batches(l_prep, batch_format="pandas")
+    li = auto_join(li, part, "l_partkey", "p_partkey")
+    per_ps = bucketed_aggregate(
+        li,
+        keys=["l_partkey", "l_suppkey"],
+        aggs={"qty": ("qty", "sum")},
+        n_buckets=16,
+    )
+    qual = per_ps.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "l_suppkey": b.loc[
+                    b["qty"].astype("int64") > 40, "l_suppkey"
+                ]
+                .astype("int64")
+                .values,
+                "one": np.ones(
+                    int((b["qty"].astype("int64") > 40).sum()), dtype="int64"
+                ),
+            }
+        ),
+        batch_format="pandas",
+    )
+    supp_keys = bucketed_aggregate(
+        qual, keys=["l_suppkey"], aggs={"n": ("one", "sum")}, n_buckets=16
+    )
+    supp = _read(
+        sf_dir, "supplier", ["s_suppkey", "s_name", "s_acctbal"]
+    ).map_batches(
+        lambda b: b.loc[b["s_acctbal"] > 0, ["s_suppkey", "s_name"]],
+        batch_format="pandas",
+    )
+    j = auto_join(supp, supp_keys, "s_suppkey", "l_suppkey")
+    return j.map_batches(
+        lambda b: b[["s_suppkey", "s_name"]], batch_format="pandas"
+    )
+
+
 def q_events_json_extract(sf_dir: str):
     """SEMI-STRUCTURED JSON extraction (the props-blob pattern every
     event table carries): parse the JSON payload per row — a parser
@@ -5510,6 +6526,18 @@ QUERIES = {
     "events_json_extract": q_events_json_extract,
     "q13_cust_order_histogram": q13_cust_order_histogram,
     "q15_top_supplier": q15_top_supplier,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_parts": q11_important_parts,
+    "q16_supplier_cnt": q16_supplier_cnt,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q21_sole_return_supplier": q21_sole_return_supplier,
+    "q22_sales_opportunity": q22_sales_opportunity,
+    "events_retention_cohorts": q_events_retention_cohorts,
+    "supplier_triangles": q_supplier_triangles,
+    "supplier_bfs_hops": q_supplier_bfs_hops,
+    "q20_part_suppliers": q20_part_suppliers,
     "events_exact_median_by_type": q_events_exact_median_by_type,
     "events_exact_deciles_by_type": q_events_exact_deciles_by_type,
     "orders_above_cust_avg": q_orders_above_cust_avg,
@@ -6276,6 +7304,200 @@ ORACLE_SQL = {
         )
         SELECT l_suppkey, total_rev_cents FROM r
         WHERE total_rev_cents = (SELECT MAX(total_rev_cents) FROM r)
+    """,
+    "q7_volume_shipping": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+          AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+            OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+        GROUP BY 1, 2, 3
+    """,
+    "q8_market_share": """
+        WITH j AS (
+          SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                 CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT) AS rev_cents,
+                 s_nationkey
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation cn ON c_nationkey = cn.n_nationkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1997-01-01'
+            AND cn.n_regionkey = (SELECT n_regionkey FROM nation WHERE n_name = 'NATION_3')
+        ),
+        tgt AS (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_5')
+        SELECT o_year,
+               CAST(SUM(CASE WHEN s_nationkey = (SELECT n_nationkey FROM tgt) THEN rev_cents ELSE 0 END) AS BIGINT) AS nation_cents,
+               CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
+               CAST(SUM(CASE WHEN s_nationkey = (SELECT n_nationkey FROM tgt) THEN rev_cents ELSE 0 END) * 1000000
+                    // SUM(rev_cents) AS BIGINT) AS mkt_share_ppm
+        FROM j GROUP BY o_year
+    """,
+    "q9_product_profit": """
+        SELECT n_name AS nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)
+                      - CAST(FLOOR(l_quantity) AS BIGINT) * CAST(FLOOR(p_retailprice * 100.0) AS BIGINT)) AS BIGINT) AS profit_cents
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1, 2
+    """,
+    "q11_important_parts": """
+        WITH v AS (
+          SELECT l_partkey,
+                 CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS value_cents
+          FROM lineitem GROUP BY l_partkey
+        ),
+        g AS (
+          SELECT CAST(SUM(value_cents) AS BIGINT) AS t,
+                 CAST(COUNT(*) AS BIGINT) AS np FROM v
+        )
+        SELECT l_partkey, value_cents FROM v, g
+        WHERE 5 * value_cents * g.np > 6 * g.t
+    """,
+    "q16_supplier_cnt": """
+        WITH l AS (
+          SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+            AND p_size IN (1, 4, 7, 10, 15, 23, 45, 50)
+            AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+            )
+        )
+        SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+               CAST(COUNT(*) AS BIGINT) AS supplier_cnt
+        FROM l GROUP BY 1, 2, 3
+    """,
+    "q17_small_qty_revenue": """
+        WITH l AS (
+          SELECT l_partkey,
+                 CAST(FLOOR(l_quantity) AS BIGINT) AS qty,
+                 CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS price_cents
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#3'
+        ),
+        a AS (
+          SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sum_qty,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM l GROUP BY l_partkey
+        )
+        SELECT CAST(COALESCE(SUM(price_cents), 0) AS BIGINT) AS total_cents,
+               CAST(COALESCE(SUM(price_cents), 0) // 7 AS BIGINT) AS avg_yearly_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM l JOIN a USING (l_partkey)
+        WHERE 2 * l.qty * a.n < a.sum_qty
+    """,
+    "q21_sole_return_supplier": """
+        WITH l AS (
+          SELECT l_orderkey, l_suppkey,
+                 MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+          GROUP BY 1, 2
+        ),
+        o AS (
+          SELECT l_orderkey FROM l GROUP BY l_orderkey
+          HAVING COUNT(*) >= 2 AND SUM(has_r) = 1
+        )
+        SELECT l.l_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM l JOIN o USING (l_orderkey) WHERE l.has_r = 1
+        GROUP BY 1 ORDER BY numwait DESC, l_suppkey ASC LIMIT 20
+    """,
+    "q22_sales_opportunity": """
+        WITH c AS (
+          SELECT c_custkey, c_custkey % 7 AS code,
+                 CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+          FROM customer WHERE c_custkey % 7 IN (1, 3, 5)
+        ),
+        g AS (
+          SELECT CAST(SUM(bal_cents) AS BIGINT) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM c WHERE bal_cents > 0
+        )
+        SELECT CAST(code AS BIGINT) AS code,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(SUM(bal_cents) AS BIGINT) AS totacctbal_cents
+        FROM c, g
+        WHERE c.bal_cents * g.n > g.s
+          AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+          )
+        GROUP BY 1
+    """,
+    "supplier_triangles": """
+        WITH li AS (
+          SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+          WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        ),
+        e0 AS (
+          SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+          FROM li x JOIN li y
+            ON x.l_partkey = y.l_partkey AND x.l_suppkey < y.l_suppkey
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM e0 e1
+        JOIN e0 e2 ON e2.a = e1.b
+        JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+    "supplier_bfs_hops": """
+        WITH RECURSIVE li AS (
+          SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+          WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        ),
+        e0 AS (
+          SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+          FROM li x JOIN li y
+            ON x.l_partkey = y.l_partkey AND x.l_suppkey < y.l_suppkey
+        ),
+        ee AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        bfs(node, dist) AS (
+          SELECT (SELECT MIN(a) FROM e0), 0
+          UNION
+          SELECT ee.b, bfs.dist + 1
+          FROM bfs JOIN ee ON ee.a = bfs.node WHERE bfs.dist < 6
+        )
+        SELECT node AS l_suppkey, CAST(MIN(dist) AS BIGINT) AS hops
+        FROM bfs GROUP BY 1
+    """,
+    "q20_part_suppliers": """
+        WITH q AS (
+          SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_type = 'SMALL'
+            AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+          GROUP BY l_partkey, l_suppkey
+          HAVING SUM(CAST(FLOOR(l_quantity) AS BIGINT)) > 40
+        )
+        SELECT DISTINCT s_suppkey, s_name
+        FROM supplier JOIN q ON s_suppkey = q.l_suppkey
+        WHERE s_acctbal > 0
+    """,
+    "events_retention_cohorts": """
+        WITH ud AS (
+          SELECT DISTINCT user_id,
+                 DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+          FROM events
+        ),
+        c AS (
+          SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id
+        )
+        SELECT CAST(c.cohort_day AS BIGINT) AS cohort_day,
+               CAST(ud.day - c.cohort_day AS BIGINT) AS day_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM ud JOIN c USING (user_id)
+        GROUP BY 1, 2
     """,
     "events_json_extract": """
         WITH p AS (
