@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     "events_exact_median",
     "pages_host_reservoir",
     "orders_above_cust_avg",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "supplier_triangles",
+    "events_retention_cohorts",
 ]
 
 

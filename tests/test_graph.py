@@ -135,3 +135,55 @@ def test_link_edges_parity_with_regex_oracle(ray_session, small_corpus):
         """
     ).df()
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_triangle_count_random_int_graph(ray_session):
+    """triangle_count == trace(A^3)/6 on a seeded Erdos-Renyi graph,
+    fed with duplicate AND reversed edge rows (the dedup contract)."""
+    import ray.data
+
+    from rayxtract.graph import triangle_count
+
+    rng = np.random.RandomState(7)
+    n = 60
+    A = (rng.rand(n, n) < 0.08).astype(np.int64)
+    A = np.triu(A, 1)
+    A = A + A.T
+    ii, jj = np.nonzero(np.triu(A, 1))
+    expected = int(np.trace(A @ A @ A) // 6)
+    assert expected > 0  # the probe is vacuous otherwise
+    # duplicates + reversed orientation + a self-loop must not change it
+    a = np.concatenate([ii, jj, ii, [5]])
+    b = np.concatenate([jj, ii, jj, [5]])
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"a": a.astype("int64"), "b": b.astype("int64")})
+    )
+    assert triangle_count(ds, "a", "b", n_buckets=4) == expected
+
+
+def test_triangle_count_string_nodes(ray_session):
+    """String node ids exercise the raw-value tie-break path (lexicographic
+    'n10' < 'n9' ordering must be CONSISTENT between orientation and wedge
+    enumeration, not numerically reinterpreted)."""
+    import ray.data
+
+    from rayxtract.graph import triangle_count
+
+    rng = np.random.RandomState(11)
+    n = 40
+    A = (rng.rand(n, n) < 0.12).astype(np.int64)
+    A = np.triu(A, 1)
+    A = A + A.T
+    ii, jj = np.nonzero(np.triu(A, 1))
+    expected = int(np.trace(A @ A @ A) // 6)
+    assert expected > 0
+    names = np.array([f"n{i}" for i in range(n)], dtype=object)  # no zero-pad
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "a": pd.Series(names[ii], dtype="object"),
+                "b": pd.Series(names[jj], dtype="object"),
+            }
+        )
+    )
+    assert triangle_count(ds, "a", "b", n_buckets=4) == expected
