@@ -256,11 +256,11 @@ def q_events_windowed(sf_dir: str):
     a complete log, SURVEY.md §2.8)."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        ts_us = batch["ts"].astype("int64")
+        ts_us = batch["ts"].to_numpy("datetime64[us]").astype("int64")
         tmp = pd.DataFrame(
             {
                 "user_id": batch["user_id"].astype("int64").values,
-                "window_id": (ts_us // _HOUR_US).astype("int64").values,
+                "window_id": ts_us // _HOUR_US,
                 "n_events": np.ones(len(batch), dtype="int64"),
                 "value_cents": _floor_cents(batch["value"].to_numpy()),
             }
@@ -285,7 +285,7 @@ def q_events_sessionize(sf_dir: str):
 
     def sessions(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values("ts", kind="mergesort")
-        ts_us = g["ts"].astype("int64").to_numpy()
+        ts_us = g["ts"].to_numpy("datetime64[us]").astype("int64")
         new_s = np.zeros(len(g), dtype="int64")
         if len(g) > 1:
             new_s[1:] = (np.diff(ts_us) > _GAP_US).astype("int64")
@@ -319,7 +319,7 @@ def q_events_hopping(sf_dir: str):
     shuffle still moves only per-(window, batch) partials."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        w0 = (batch["ts"].astype("int64") // _HALF_HOUR_US).to_numpy()
+        w0 = batch["ts"].to_numpy("datetime64[us]").astype("int64") // _HALF_HOUR_US
         cents = _floor_cents(batch["value"].to_numpy())
         tmp = pd.DataFrame(
             {
