@@ -559,3 +559,199 @@ def triangle_count(
     )
     closed = bucketed_join(cands, ekeys, "ck", "ek", n_buckets=n_buckets)
     return int(closed.count())
+
+
+def hits(
+    edges,
+    n_iter: int = 10,
+    n_buckets: int = 16,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    driver_threshold: int = 2_000_000,
+):
+    """Distributed HITS (Kleinberg 1999) hubs-and-authorities over
+    (src, dst) string-url edges — the link-quality signal that separates
+    directory/hub pages from content/authority pages, complementing
+    PageRank for crawl-frontier and training-data selection.
+
+    Returns a Dataset ``(url, auth, hub)`` over every node appearing as a
+    src or dst. Fixed ``n_iter`` mutual-reinforcement rounds with L1
+    normalization after each half-step (auth := A^T hub then normalize;
+    hub := A auth then normalize) — L1 instead of the textbook L2 so the
+    normalizer is the same scalar ``sum`` the dangling-mass pass of
+    :func:`pagerank` already ships to the driver (one float per
+    half-round), and ranking order is identical under any positive
+    rescaling.
+
+    Same hybrid contract as :func:`pagerank`: at/below
+    ``driver_threshold`` edges the dense numpy kernel runs driver-side
+    (:func:`hits_reference`); above it the Dataset-round loop runs — per
+    half-round ONE bucketed join (state onto edges) + ONE bucketed
+    aggregate (contribution sum per far endpoint), nothing node- or
+    edge-sized on the driver. The two paths are equivalence-gated in
+    tests/test_graph.py and by the ``pages_hits_agreement`` query.
+    Duplicate (src, dst) rows act as parallel edges (weight = occurrence
+    count) in BOTH kernels, so the equivalence gate covers multigraphs.
+    """
+    import ray.data
+
+    from .agg import bucketed_aggregate
+    from .joins import bucketed_join
+
+    if not isinstance(edges, pd.DataFrame):
+        edges = edges.materialize()
+        if edges.count() <= driver_threshold:
+            edges = edges.to_pandas()
+    if isinstance(edges, pd.DataFrame):
+        return ray.data.from_pandas(
+            hits_reference(
+                edges, n_iter=n_iter, src_col=src_col, dst_col=dst_col
+            )
+        )
+
+    def to_ids(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": url_node_id(batch[src_col].tolist()),
+                "dst": url_node_id(batch[dst_col].tolist()),
+            }
+        )
+
+    id_edges = edges.map_batches(to_ids, batch_format="pandas").materialize()
+
+    def node_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        urls = pd.concat(
+            [batch[src_col].astype(str), batch[dst_col].astype(str)],
+            ignore_index=True,
+        )
+        ids = url_node_id(urls.tolist())
+        return pd.DataFrame({"node": ids, "url": urls}).drop_duplicates("node")
+
+    nodes = (
+        edges.map_batches(node_rows, batch_format="pandas")
+        .groupby("node")
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .materialize()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "url": pd.Series(dtype="object"),
+                    "auth": pd.Series(dtype="float64"),
+                    "hub": pd.Series(dtype="float64"),
+                }
+            )
+        )
+
+    node_ids = nodes.select_columns(["node"]).materialize()
+
+    def init_state(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": batch["node"].astype("int64").values,
+                "auth": np.full(len(batch), 1.0 / n_nodes),
+                "hub": np.full(len(batch), 1.0 / n_nodes),
+            }
+        )
+
+    state = node_ids.map_batches(init_state, batch_format="pandas").materialize()
+
+    def half_step(state, from_col, via_key, to_key, out_col):
+        """One HITS half-round: state[from_col] flows across every edge
+        from the ``via_key`` endpoint to the ``to_key`` endpoint, sums per
+        target, L1-normalizes (one scalar to the driver), and left-joins
+        back onto the full node set (nodes with no inbound contribution
+        get 0)."""
+        joined = bucketed_join(
+            id_edges, state.select_columns(["node", from_col]),
+            via_key, "node", n_buckets=n_buckets,
+        )
+        sums = bucketed_aggregate(
+            joined.map_batches(
+                lambda b: pd.DataFrame(
+                    {
+                        "t": b[to_key].astype("int64").values,
+                        "c": b[from_col].astype("float64").values,
+                    }
+                ),
+                batch_format="pandas",
+            ),
+            keys=["t"],
+            aggs={"c": ("c", "sum")},
+            n_buckets=n_buckets,
+        ).materialize()
+        total = sums.sum("c") or 0.0
+        norm = total if total > 0 else 1.0
+
+        def attach(batch: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {"node": batch["node"].astype("int64").values}
+            )
+            out[out_col] = (
+                batch["c"].astype("float64").fillna(0.0) / norm
+            ).values
+            return out
+
+        return (
+            bucketed_join(
+                node_ids, sums, "node", "t", n_buckets=n_buckets, how="left"
+            )
+            .map_batches(attach, batch_format="pandas")
+            .repartition(n_buckets)
+            .materialize()
+        )
+
+    for _ in range(n_iter):
+        # auth(v) = sum over u->v of hub(u), normalized
+        auth = half_step(state, "hub", "src", "dst", "auth")
+        # hub(u) = sum over u->v of auth(v), normalized — uses the NEW auth
+        hub = half_step(auth, "auth", "dst", "src", "hub")
+        # merge the two per-node columns back into one state table; the
+        # repartition inside half_step caps block growth per round
+        state = bucketed_join(
+            auth, hub, "node", "node", n_buckets=n_buckets
+        ).materialize()
+
+    ranked = bucketed_join(
+        nodes, state.select_columns(["node", "auth", "hub"]),
+        "node", "node", n_buckets=n_buckets,
+    )
+    return ranked.select_columns(["url", "auth", "hub"])
+
+
+def hits_reference(
+    edges: pd.DataFrame,
+    n_iter: int = 10,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+) -> pd.DataFrame:
+    """Dense numpy HITS — the golden oracle for :func:`hits` (same
+    formulation, same L1 normalization, same iteration count;
+    driver-side, validation scale)."""
+    urls = sorted(set(edges[src_col]) | set(edges[dst_col]))
+    idx = {u: i for i, u in enumerate(urls)}
+    n = len(urls)
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "url": pd.Series(dtype="object"),
+                "auth": pd.Series(dtype="float64"),
+                "hub": pd.Series(dtype="float64"),
+            }
+        )
+    si = edges[src_col].map(idx).to_numpy()
+    di = edges[dst_col].map(idx).to_numpy()
+    auth = np.full(n, 1.0 / n)
+    hub = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        a = np.zeros(n)
+        np.add.at(a, di, hub[si])
+        tot = a.sum()
+        auth = a / (tot if tot > 0 else 1.0)
+        h = np.zeros(n)
+        np.add.at(h, si, auth[di])
+        tot = h.sum()
+        hub = h / (tot if tot > 0 else 1.0)
+    return pd.DataFrame({"url": urls, "auth": auth, "hub": hub})

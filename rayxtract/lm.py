@@ -136,3 +136,119 @@ def bigram_fluency(ds, n_buckets: int = 32):
         )
 
     return per_doc.map_batches(finish, batch_format="pandas")
+
+
+def explode_global_bigrams(batch: pd.DataFrame, n_buckets: int = 32) -> pd.DataFrame:
+    """Batch-combined GLOBAL bigram counts (no doc dimension) with a
+    stable w1-hash bucket — the partial/combiner step of the PMI exchange:
+    only (w1, w2, occ) partials ever leave a read task."""
+    c: dict = {}
+    for text in batch["text"].values:
+        toks = text.split()
+        for a, b in zip(toks, toks[1:]):
+            key = (a, b)
+            c[key] = c.get(key, 0) + 1
+    w1s = [k[0] for k in c]
+    out = pd.DataFrame(
+        {
+            "w1": pd.Series(w1s, dtype="object"),
+            "w2": pd.Series([k[1] for k in c], dtype="object"),
+            "occ": pd.Series(list(c.values()), dtype="int64"),
+        }
+    )
+    out["__bucket"] = np.fromiter(
+        (zlib.crc32(w.encode()) % n_buckets for w in w1s),
+        dtype=np.int64,
+        count=len(out),
+    )
+    return out
+
+
+def pmi_bigrams(ds, min_count: int = 5, k: int = 50, n_buckets: int = 32):
+    """Top-k bigram collocations by pointwise mutual information
+    (Church & Hanks 1990) — the phrase-mining signal used to build
+    phrase vocabularies for training corpora.
+
+    Integer-exact ranking so the DuckDB oracle hash-matches: rather than
+    the float ``log(p12 / (p1 * p2))`` (DuckDB ``ln`` differs from numpy
+    at 1 ulp), rank by the scaled ODDS RATIO ``pmi_micro =
+    c12 * N * SCALE // (c1 * c2)`` — ``exp(PMI)`` up to the fixed SCALE,
+    monotone in PMI, so the ordering is identical and every value is an
+    exact integer (arbitrary-precision Python ints; c12*N*SCALE overflows
+    int64 on any real corpus).
+
+    Marginals come from the bigram table itself: ``c1(w) = sum of c12
+    where w is first``, ``c2(w) = sum of c12 where w is second``,
+    ``N = sum of c12``. Two narrow keyed exchanges compute everything —
+    bucket on hash(w1) builds c12 AND its w1-marginal in place (lm.py's
+    score_bucket trick), re-bucket on hash(w2) attaches the w2-marginal —
+    then ``min_count`` prunes the long tail BEFORE the Python-int ratio
+    loop, and a local-top-k combiner tree picks the k winners. Nothing
+    vocabulary-sized touches the driver.
+    """
+    from .agg import topk
+
+    exploded = ds.map_batches(
+        lambda b: explode_global_bigrams(b, n_buckets), batch_format="pandas"
+    )
+
+    def reduce_w1(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby(["w1", "w2"], as_index=False).agg(c12=("occ", "sum"))
+        g["c1"] = g.groupby("w1")["c12"].transform("sum").astype("int64")
+        g["c12"] = g["c12"].astype("int64")
+        return g[["w1", "w2", "c12", "c1"]]
+
+    by_w1 = exploded.groupby("__bucket").map_groups(
+        reduce_w1, batch_format="pandas"
+    )
+
+    def rebucket_w2(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.copy()
+        b["__bucket"] = np.fromiter(
+            (zlib.crc32(w.encode()) % n_buckets for w in b["w2"]),
+            dtype=np.int64,
+            count=len(b),
+        )
+        return b
+
+    def attach_w2(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.copy()
+        g["c2"] = g.groupby("w2")["c12"].transform("sum").astype("int64")
+        return g[["w1", "w2", "c12", "c1", "c2"]]
+
+    # materialized: consumed twice (scalar N + the ratio pass), and a lazy
+    # Dataset re-executes per consumer (Ray 2.49 gotcha)
+    full = (
+        by_w1.map_batches(rebucket_w2, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(attach_w2, batch_format="pandas")
+        .materialize()
+    )
+    n_total = int(full.sum("c12") or 0)
+
+    def ratio(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["c12"].to_numpy(np.int64) >= min_count]
+        pmi = np.fromiter(
+            (
+                int(c12) * n_total * SCALE // (int(c1) * int(c2))
+                for c12, c1, c2 in zip(b["c12"], b["c1"], b["c2"])
+            ),
+            dtype=np.int64,
+            count=len(b),
+        )
+        return pd.DataFrame(
+            {
+                "w1": b["w1"].values,
+                "w2": b["w2"].values,
+                "c12": b["c12"].astype("int64").values,
+                "pmi_micro": pmi,
+            }
+        )
+
+    scored = full.map_batches(ratio, batch_format="pandas")
+    return topk(
+        scored,
+        ["pmi_micro", "w1", "w2"],
+        descending=[True, False, False],
+        k=k,
+    )

@@ -2045,6 +2045,106 @@ def q_pages_pagerank_agreement(sf_dir: str):
     )
 
 
+def q_pages_hits(sf_dir: str):
+    """HITS hubs-and-authorities over the extracted link graph
+    (graph.hits): the mutual-reinforcement complement to PageRank —
+    authorities are the content pages hub/directory pages concentrate
+    their links on, the page-role signal crawl-frontier and
+    training-data selection use alongside rank. Hybrid execution like
+    pagerank (dense numpy at/below 2M edges, Dataset rounds above).
+    Top-100 by authority with nano-unit rounding + url tiebreak for a
+    deterministic result set. No SQL oracle (iterative float fixpoint);
+    the distributed and dense kernels are equivalence-gated by
+    pages_hits_agreement and tests/test_graph.py, and the edge input is
+    itself oracle-checked (pages_link_edges)."""
+    import ray.data
+
+    from .agg import topk
+    from .graph import extract_link_edges, hits, resolve_edges
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    ds = ray.data.read_parquet(pages_dir, columns=["url", "html"])
+    edges = resolve_edges(extract_link_edges(ds)).select_columns(
+        ["src_url", "dst_url"]
+    )
+    scores = hits(edges, n_iter=10)
+
+    def nano(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "url": batch["url"].values,
+                "auth_nano": np.rint(
+                    batch["auth"].astype("float64") * 1e9
+                ).astype("int64"),
+                "hub_nano": np.rint(
+                    batch["hub"].astype("float64") * 1e9
+                ).astype("int64"),
+            }
+        )
+
+    return topk(
+        scores.map_batches(nano, batch_format="pandas"),
+        ["auth_nano", "url"],
+        descending=[True, False],
+        k=100,
+    )
+
+
+def q_pages_hits_agreement(sf_dir: str):
+    """Self-gate for the HITS fixpoint (same pattern as
+    pages_pagerank_agreement): the DISTRIBUTED Dataset-round kernel
+    (driver_threshold=0 forces it past the dense shortcut) and the dense
+    numpy hits_reference run the same 3 mutual-reinforcement rounds over
+    the same link graph; the row is the integer overlap of their top-20
+    authority sets AND top-20 hub sets (nano-score + url tiebreak on both
+    sides). Oracle: total overlap on both axes. VALIDATION query — the
+    reference gathers the edge list by design."""
+    import ray.data
+
+    from .graph import extract_link_edges, hits, hits_reference, resolve_edges
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    ds = ray.data.read_parquet(pages_dir, columns=["url", "html"])
+    edges = (
+        resolve_edges(extract_link_edges(ds))
+        .select_columns(["src_url", "dst_url"])
+        .materialize()
+    )
+    dist = hits(edges, n_iter=3, driver_threshold=0).to_pandas()
+    ref = hits_reference(edges.to_pandas(), n_iter=3)
+
+    def top20(df: pd.DataFrame, col: str) -> set:
+        d = df.copy()
+        d["nano"] = np.rint(d[col].astype("float64") * 1e9).astype("int64")
+        d = d.sort_values(
+            ["nano", "url"], ascending=[False, True], kind="mergesort"
+        )
+        return set(d["url"].head(20))
+
+    n_auth = len(top20(dist, "auth") & top20(ref, "auth"))
+    n_hub = len(top20(dist, "hub") & top20(ref, "hub"))
+    return pd.DataFrame(
+        {
+            "k": pd.Series([20], dtype="int64"),
+            "n_agree_auth": pd.Series([n_auth], dtype="int64"),
+            "n_agree_hub": pd.Series([n_hub], dtype="int64"),
+        }
+    )
+
+
+def q_doc_pmi_bigrams(sf_dir: str):
+    """Top-50 bigram collocations by pointwise mutual information
+    (lm.pmi_bigrams) — phrase mining for training-corpus vocabulary
+    construction. Integer odds-ratio ranking (c12*N*SCALE // (c1*c2),
+    monotone in PMI) keeps the DuckDB oracle hash-exact where a float
+    log() could never be (ln differs from numpy at 1 ulp). Marginals and
+    counts flow through two narrow hash(w)-keyed exchanges; min_count=5
+    prunes the tail before the arbitrary-precision ratio loop."""
+    from .lm import pmi_bigrams
+
+    return pmi_bigrams(_read(sf_dir, "documents", ["text"]), min_count=5, k=50)
+
+
 def _warc_shards_root(sf_dir: str) -> str:
     """Deterministic WARC twin of the corpus' md5(url)-prefix-'0' slice
     (~1/16 of recrawl rows), built ONCE behind the marker-gated publish
@@ -3382,15 +3482,16 @@ def q15_top_supplier(sf_dir: str):
 
 
 def q7_volume_shipping(sf_dir: str):
-    """TPC-H Q7 shape (volume shipping between two nations): two years of
-    lineitem through ONE bucketed big-big exchange with orders (orderkey),
-    then customer and supplier nation keys attach through the
-    size-adaptive auto_join (broadcast at small SF, bucketed exchange at
-    the big tiers); the (supp_nation, cust_nation) pair filter and the
-    ship-year derivation are vectorized against a fixed-size (25-row)
-    nation LUT shipped once via ray.put. Revenue in integer floor-cents;
-    the per-batch groupby partial means only (nation-pair, year) rows
-    ever enter the combiner tree."""
+    """TPC-H Q7 shape (volume shipping between two nations): the nation
+    predicate is pushed BELOW every join — supplier and customer shrink to
+    their two qualifying nations first (2/25 of rows), so the supplier
+    auto_join semi-filters lineitem and the customer auto_join semi-filters
+    orders BEFORE the one bucketed big-big exchange on orderkey (the
+    exchange moves ~(2/25)^2 of the naive plan's bytes). The
+    (supp_nation, cust_nation) pair filter and ship-year derivation are
+    vectorized against a fixed-size (25-row) nation LUT shipped once via
+    ray.put. Revenue in integer floor-cents; the per-batch groupby partial
+    means only (nation-pair, year) rows ever enter the combiner tree."""
     import ray
 
     from .agg import tree_aggregate
@@ -3398,6 +3499,12 @@ def q7_volume_shipping(sf_dir: str):
 
     lo = np.datetime64("1996-01-01", "us")
     hi = np.datetime64("1998-01-01", "us")
+
+    n = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(n["n_nationkey"].astype(int), n["n_name"]))
+    k1 = int(n.loc[n["n_name"] == "NATION_3", "n_nationkey"].iloc[0])
+    k2 = int(n.loc[n["n_name"] == "NATION_8", "n_nationkey"].iloc[0])
+    ref = ray.put({"name": name_of, "k1": k1, "k2": k2})
 
     def l_prep(batch: pd.DataFrame) -> pd.DataFrame:
         d = batch["l_shipdate"].to_numpy("datetime64[us]")
@@ -3420,21 +3527,25 @@ def q7_volume_shipping(sf_dir: str):
         "lineitem",
         ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
     ).map_batches(l_prep, batch_format="pandas")
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    j = bucketed_join(li, orders, "l_orderkey", "o_orderkey", n_buckets=16)
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: b[b["c_nationkey"].isin((k1, k2))], batch_format="pandas"
+    )
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
-        lambda b: b.rename(columns={"s_nationkey": "sup_nationkey"}),
+        lambda b: b.loc[
+            b["s_nationkey"].isin((k1, k2)), ["s_suppkey", "s_nationkey"]
+        ].rename(columns={"s_nationkey": "sup_nationkey"}),
         batch_format="pandas",
     )
-    j = auto_join(j, cust, "o_custkey", "c_custkey")
-    j = auto_join(j, supp, "l_suppkey", "s_suppkey")
-
-    n = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    name_of = dict(zip(n["n_nationkey"].astype(int), n["n_name"]))
-    k1 = int(n.loc[n["n_name"] == "NATION_3", "n_nationkey"].iloc[0])
-    k2 = int(n.loc[n["n_name"] == "NATION_8", "n_nationkey"].iloc[0])
-    ref = ray.put({"name": name_of, "k1": k1, "k2": k2})
+    # supplier join semi-filters lineitem, customer join semi-filters
+    # orders — both big sides shrink ~12x before the orderkey exchange
+    li = auto_join(li, supp, "l_suppkey", "s_suppkey")
+    orders = auto_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        cust,
+        "o_custkey",
+        "c_custkey",
+    )
+    j = bucketed_join(li, orders, "l_orderkey", "o_orderkey", n_buckets=16)
 
     def attach(batch: pd.DataFrame) -> pd.DataFrame:
         lut = ray.get(ref)
@@ -6630,6 +6741,9 @@ QUERIES = {
     "pages_inbound_links": q_pages_inbound_links,
     "pages_pagerank": q_pages_pagerank,
     "pages_pagerank_agreement": q_pages_pagerank_agreement,
+    "pages_hits": q_pages_hits,
+    "pages_hits_agreement": q_pages_hits_agreement,
+    "doc_pmi_bigrams": q_doc_pmi_bigrams,
     "pages_extract": q_pages_extract,
     "pages_prompt_format": q_pages_prompt_format,
     "pages_langid": q_pages_langid,
@@ -6675,6 +6789,42 @@ ORACLE_SQL = {
     """,
     "pages_pagerank_agreement": """
         SELECT CAST(20 AS BIGINT) AS k, CAST(20 AS BIGINT) AS n_agree
+    """,
+    "pages_hits_agreement": """
+        SELECT CAST(20 AS BIGINT) AS k,
+               CAST(20 AS BIGINT) AS n_agree_auth,
+               CAST(20 AS BIGINT) AS n_agree_hub
+    """,
+    "doc_pmi_bigrams": r"""
+        WITH tok AS (
+          SELECT list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+          FROM documents
+        ),
+        big AS (
+          SELECT w[i] AS w1, w[i + 1] AS w2
+          FROM tok, UNNEST(range(1, len(w))) AS t(i)
+          WHERE len(w) >= 2
+        ),
+        c12 AS (
+          SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+          FROM big GROUP BY w1, w2
+        ),
+        c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
+        c2 AS (SELECT w2, SUM(c12) AS c2 FROM c12 GROUP BY w2),
+        n AS (SELECT CAST(SUM(c12) AS HUGEINT) AS n FROM c12)
+        SELECT w1, w2, c12,
+               CAST(
+                 CAST(c12 AS HUGEINT) * n.n * 1000000
+                 // (CAST(c1.c1 AS HUGEINT) * CAST(c2.c2 AS HUGEINT))
+                 AS BIGINT
+               ) AS pmi_micro
+        FROM c12
+        JOIN c1 USING (w1)
+        JOIN c2 USING (w2)
+        CROSS JOIN n
+        WHERE c12 >= 5
+        ORDER BY pmi_micro DESC, w1, w2
+        LIMIT 50
     """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,

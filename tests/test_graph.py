@@ -187,3 +187,78 @@ def test_triangle_count_string_nodes(ray_session):
         )
     )
     assert triangle_count(ds, "a", "b", n_buckets=4) == expected
+
+
+def test_hits_matches_dense_reference(ray_session):
+    import ray.data
+
+    from rayxtract.graph import hits, hits_reference
+
+    edges = _rand_edges(np.random.RandomState(7))[["src_url", "dst_url"]]
+    got = (
+        hits(ray.data.from_pandas(edges), n_iter=6, driver_threshold=0)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    exp = (
+        hits_reference(edges, n_iter=6)
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert list(got["url"]) == list(exp["url"])
+    np.testing.assert_allclose(got["auth"], exp["auth"], rtol=0, atol=1e-12)
+    np.testing.assert_allclose(got["hub"], exp["hub"], rtol=0, atol=1e-12)
+    # L1 normalization: each score vector sums to 1
+    assert got["auth"].sum() == pytest.approx(1.0, abs=1e-9)
+    assert got["hub"].sum() == pytest.approx(1.0, abs=1e-9)
+
+
+def test_hits_bipartite_roles(ray_session):
+    import ray.data
+
+    from rayxtract.graph import hits
+
+    # classic hub/authority split: 3 hubs each link to the same 2
+    # authorities; authorities link nowhere
+    hubs = [f"https://s.example/hub/{i}" for i in range(3)]
+    auths = [f"https://s.example/auth/{j}" for j in range(2)]
+    edges = pd.DataFrame(
+        {
+            "src_url": [h for h in hubs for _ in auths],
+            "dst_url": [a for _ in hubs for a in auths],
+        }
+    )
+    # default driver path (dense kernel)
+    got = hits(ray.data.from_pandas(edges), n_iter=5).to_pandas()
+    s = got.set_index("url")
+    for h in hubs:
+        assert s.loc[h, "hub"] > 0.3 and s.loc[h, "auth"] == 0.0
+    for a in auths:
+        assert s.loc[a, "auth"] > 0.45 and s.loc[a, "hub"] == 0.0
+
+
+def test_hits_multigraph_duplicate_edges_weighted(ray_session):
+    import ray.data
+
+    from rayxtract.graph import hits, hits_reference
+
+    # duplicate (src, dst) rows must act as parallel edges in BOTH kernels
+    edges = pd.DataFrame(
+        {
+            "src_url": ["u"] * 3 + ["v"],
+            "dst_url": ["x"] * 3 + ["x"],
+        }
+    )
+    got = (
+        hits(ray.data.from_pandas(edges), n_iter=4, driver_threshold=0)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    exp = hits_reference(edges, n_iter=4).sort_values("url").reset_index(drop=True)
+    np.testing.assert_allclose(got["auth"], exp["auth"], rtol=0, atol=1e-12)
+    np.testing.assert_allclose(got["hub"], exp["hub"], rtol=0, atol=1e-12)
+    # u carries 3 of the 4 parallel edges -> the bigger hub
+    s = got.set_index("url")
+    assert s.loc["u", "hub"] > s.loc["v", "hub"]

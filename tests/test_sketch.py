@@ -323,3 +323,63 @@ def test_bloom_geometry_and_empty():
     assert a.fill_ratio() == 0.0
     assert a.contains_many(np.array([], dtype=np.int64)).shape == (0,)
     assert not a.contains_many(np.array([42], dtype=np.int64))[0]
+
+
+def test_pmi_bigrams_matches_reference(ray_session):
+    """lm.pmi_bigrams equals a single-process big-int reference over the
+    same corpus — counts, marginals, N, and the floor-divided odds ratio,
+    regardless of batch/bucket placement."""
+    import ray.data as rd
+
+    from rayxtract.lm import SCALE, pmi_bigrams
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(30)] + ["the", "of", "rare", "pair"]
+    texts = [
+        " ".join(rng.choice(vocab, rng.randint(5, 40)))
+        for _ in range(200)
+    ]
+    # plant a high-PMI collocation: "rare pair" co-occur far above chance
+    texts += ["rare pair filler"] * 8
+
+    # reference: exact Python-int PMI over all bigrams
+    c12: dict = {}
+    for t in texts:
+        toks = t.split()
+        for a, b in zip(toks, toks[1:]):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+    c1: dict = {}
+    c2: dict = {}
+    for (a, b), n in c12.items():
+        c1[a] = c1.get(a, 0) + n
+        c2[b] = c2.get(b, 0) + n
+    n_total = sum(c12.values())
+    rows = [
+        (a, b, n, n * n_total * SCALE // (c1[a] * c2[b]))
+        for (a, b), n in c12.items()
+        if n >= 5
+    ]
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    exp = pd.DataFrame(
+        rows[:50], columns=["w1", "w2", "c12", "pmi_micro"]
+    ).reset_index(drop=True)
+
+    got = (
+        pmi_bigrams(
+            rd.from_pandas(pd.DataFrame({"text": texts})).repartition(7),
+            min_count=5,
+            k=50,
+        )
+        .to_pandas()
+        .sort_values(["pmi_micro", "w1", "w2"], ascending=[False, True, True])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["w1", "w2", "c12", "pmi_micro"]].astype(
+            {"c12": "int64", "pmi_micro": "int64"}
+        ),
+        exp.astype({"c12": "int64", "pmi_micro": "int64"}),
+    )
+    # the planted collocation survives min_count and makes the top-k
+    planted = set(zip(got["w1"], got["w2"]))
+    assert ("rare", "pair") in planted and ("pair", "filler") in planted
