@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "q9_product_profit",
     "supplier_triangles",
     "events_retention_cohorts",
+    "pages_hits",
+    "doc_pmi_bigrams",
 ]
 
 

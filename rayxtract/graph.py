@@ -384,9 +384,15 @@ def pagerank_reference(
     weight_col: str | None = None,
 ) -> pd.DataFrame:
     """Dense numpy PageRank — the golden oracle for :func:`pagerank`
-    (same formulation, same iteration count; driver-side, test scale)."""
-    urls = sorted(set(edges[src_col]) | set(edges[dst_col]))
-    idx = {u: i for i, u in enumerate(urls)}
+    (same formulation, same iteration count; driver-side kernel of the
+    hybrid). np.unique(return_inverse) builds the sorted node index at C
+    speed — same ordering as sorted(set(...)), measured several-fold
+    faster on multi-million-edge url graphs."""
+    m = len(edges)
+    both = np.concatenate(
+        [edges[src_col].to_numpy(dtype=object), edges[dst_col].to_numpy(dtype=object)]
+    )
+    urls, inv = np.unique(both.astype(str), return_inverse=True)
     n = len(urls)
     if n == 0:
         return pd.DataFrame(
@@ -398,8 +404,8 @@ def pagerank_reference(
         if weight_col
         else np.ones(len(edges))
     )
-    si = edges[src_col].map(idx).to_numpy()
-    di = edges[dst_col].map(idx).to_numpy()
+    si = inv[:m]
+    di = inv[m:]
     out_w = np.zeros(n)
     np.add.at(out_w, si, w)
     r = np.full(n, 1.0 / n)
@@ -598,6 +604,8 @@ def hits(
     from .agg import bucketed_aggregate
     from .joins import bucketed_join
 
+    if n_iter < 1:
+        raise ValueError("hits: n_iter must be >= 1")
     if not isinstance(edges, pd.DataFrame):
         edges = edges.materialize()
         if edges.count() <= driver_threshold:
@@ -651,12 +659,11 @@ def hits(
         return pd.DataFrame(
             {
                 "node": batch["node"].astype("int64").values,
-                "auth": np.full(len(batch), 1.0 / n_nodes),
                 "hub": np.full(len(batch), 1.0 / n_nodes),
             }
         )
 
-    state = node_ids.map_batches(init_state, batch_format="pandas").materialize()
+    hub = node_ids.map_batches(init_state, batch_format="pandas").materialize()
 
     def half_step(state, from_col, via_key, to_key, out_col):
         """One HITS half-round: state[from_col] flows across every edge
@@ -703,20 +710,19 @@ def hits(
             .materialize()
         )
 
+    # auth and hub only ever feed EACH OTHER alternately, so the loop
+    # carries two single-column state tables and never pays a per-round
+    # merge join; the half_step repartition caps block growth per round
+    auth = None
     for _ in range(n_iter):
         # auth(v) = sum over u->v of hub(u), normalized
-        auth = half_step(state, "hub", "src", "dst", "auth")
+        auth = half_step(hub, "hub", "src", "dst", "auth")
         # hub(u) = sum over u->v of auth(v), normalized — uses the NEW auth
         hub = half_step(auth, "auth", "dst", "src", "hub")
-        # merge the two per-node columns back into one state table; the
-        # repartition inside half_step caps block growth per round
-        state = bucketed_join(
-            auth, hub, "node", "node", n_buckets=n_buckets
-        ).materialize()
 
+    state = bucketed_join(auth, hub, "node", "node", n_buckets=n_buckets)
     ranked = bucketed_join(
-        nodes, state.select_columns(["node", "auth", "hub"]),
-        "node", "node", n_buckets=n_buckets,
+        nodes, state, "node", "node", n_buckets=n_buckets,
     )
     return ranked.select_columns(["url", "auth", "hub"])
 
@@ -729,9 +735,14 @@ def hits_reference(
 ) -> pd.DataFrame:
     """Dense numpy HITS — the golden oracle for :func:`hits` (same
     formulation, same L1 normalization, same iteration count;
-    driver-side, validation scale)."""
-    urls = sorted(set(edges[src_col]) | set(edges[dst_col]))
-    idx = {u: i for i, u in enumerate(urls)}
+    driver-side kernel of the hybrid). np.unique(return_inverse) builds
+    the sorted node index at C speed (a Python sorted(set)+dict map was
+    the wall-time of the whole query on a 2.7M-edge graph)."""
+    m = len(edges)
+    both = np.concatenate(
+        [edges[src_col].to_numpy(dtype=object), edges[dst_col].to_numpy(dtype=object)]
+    )
+    urls, inv = np.unique(both.astype(str), return_inverse=True)
     n = len(urls)
     if n == 0:
         return pd.DataFrame(
@@ -741,8 +752,8 @@ def hits_reference(
                 "hub": pd.Series(dtype="float64"),
             }
         )
-    si = edges[src_col].map(idx).to_numpy()
-    di = edges[dst_col].map(idx).to_numpy()
+    si = inv[:m]
+    di = inv[m:]
     auth = np.full(n, 1.0 / n)
     hub = np.full(n, 1.0 / n)
     for _ in range(n_iter):

@@ -2051,12 +2051,18 @@ def q_pages_hits(sf_dir: str):
     authorities are the content pages hub/directory pages concentrate
     their links on, the page-role signal crawl-frontier and
     training-data selection use alongside rank. Hybrid execution like
-    pagerank (dense numpy at/below 2M edges, Dataset rounds above).
-    Top-100 by authority with nano-unit rounding + url tiebreak for a
-    deterministic result set. No SQL oracle (iterative float fixpoint);
-    the distributed and dense kernels are equivalence-gated by
-    pages_hits_agreement and tests/test_graph.py, and the edge input is
-    itself oracle-checked (pages_link_edges)."""
+    pagerank (dense numpy at/below the driver threshold, Dataset rounds
+    above); threshold set to 20M edges here — a 20M-edge gather is
+    ~1 GiB of url pairs on a 128 GiB driver, and HITS pays TWO
+    join+aggregate barriers per iteration on the distributed path
+    (measured: the sf0.1 tier's 2.76M-edge graph costs minutes
+    distributed vs seconds dense), so the crossover sits far above
+    pagerank's. Top-100 by authority with nano-unit rounding + url
+    tiebreak for a deterministic result set. No SQL oracle (iterative
+    float fixpoint); the distributed and dense kernels are
+    equivalence-gated by pages_hits_agreement (driver_threshold=0) and
+    tests/test_graph.py, and the edge input is itself oracle-checked
+    (pages_link_edges)."""
     import ray.data
 
     from .agg import topk
@@ -2067,7 +2073,7 @@ def q_pages_hits(sf_dir: str):
     edges = resolve_edges(extract_link_edges(ds)).select_columns(
         ["src_url", "dst_url"]
     )
-    scores = hits(edges, n_iter=10)
+    scores = hits(edges, n_iter=10, driver_threshold=20_000_000)
 
     def nano(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -2129,6 +2135,84 @@ def q_pages_hits_agreement(sf_dir: str):
             "n_agree_auth": pd.Series([n_auth], dtype="int64"),
             "n_agree_hub": pd.Series([n_hub], dtype="int64"),
         }
+    )
+
+
+def q_pages_crawl_frontier(sf_dir: str):
+    """CRAWL-FRONTIER DISCOVERY (the expand step of every crawler): the
+    resolved link targets that are NOT in the crawled set, each with its
+    inbound evidence — ``n_src`` distinct linking pages and ``n_refs``
+    raw references — the priority signals frontier schedulers rank by.
+    Three narrow exchanges, nothing page-sized moves: (dst, src)-keyed
+    combine (dedups multi-href parallel links per source), dst-keyed
+    inbound rollup, then a string-keyed LEFT anti-join against the
+    crawled url set (bucketed_join how='left' + null filter — urls are
+    first-class string keys). Oracle: DuckDB re-derives edges with the
+    pages_link_edges regex, resolves path-absolute hrefs with the same
+    scheme+host rule as graph._resolve, and anti-joins via NOT EXISTS."""
+    import ray.data
+
+    from .agg import bucketed_aggregate
+    from .graph import extract_link_edges, resolve_edges
+    from .joins import bucketed_join
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    ds = ray.data.read_parquet(pages_dir, columns=["url", "html"])
+    edges = resolve_edges(extract_link_edges(ds))
+
+    per_src = bucketed_aggregate(
+        edges.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "dst_url": b["dst_url"].astype(object).values,
+                    "src_url": b["src_url"].astype(object).values,
+                    "n_links": b["n_links"].astype("int64").values,
+                }
+            ),
+            batch_format="pandas",
+        ),
+        keys=["dst_url", "src_url"],
+        aggs={"n": ("n_links", "sum")},
+        n_buckets=16,
+    )
+    inbound = bucketed_aggregate(
+        per_src.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "url": b["dst_url"].astype(object).values,
+                    "one": np.ones(len(b), dtype="int64"),
+                    "n": b["n"].astype("int64").values,
+                }
+            ),
+            batch_format="pandas",
+        ),
+        keys=["url"],
+        aggs={"n_src": ("one", "sum"), "n_refs": ("n", "sum")},
+        n_buckets=16,
+    )
+    crawled = ray.data.read_parquet(pages_dir, columns=["url"]).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "c_url": b["url"].astype(object).values,
+                "__crawled": np.ones(len(b), dtype="int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    j = bucketed_join(inbound, crawled, "url", "c_url", how="left")
+    return j.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "url": b.loc[b["__crawled"].isna(), "url"].astype(object).values,
+                "n_src": b.loc[b["__crawled"].isna(), "n_src"]
+                .astype("int64")
+                .values,
+                "n_refs": b.loc[b["__crawled"].isna(), "n_refs"]
+                .astype("int64")
+                .values,
+            }
+        ),
+        batch_format="pandas",
     )
 
 
@@ -6743,6 +6827,7 @@ QUERIES = {
     "pages_pagerank_agreement": q_pages_pagerank_agreement,
     "pages_hits": q_pages_hits,
     "pages_hits_agreement": q_pages_hits_agreement,
+    "pages_crawl_frontier": q_pages_crawl_frontier,
     "doc_pmi_bigrams": q_doc_pmi_bigrams,
     "pages_extract": q_pages_extract,
     "pages_prompt_format": q_pages_prompt_format,
@@ -8393,6 +8478,45 @@ def _pages_oracles(sf_dir: str) -> dict[str, str]:
             SELECT href, CAST(COUNT(*) AS BIGINT) AS n_src,
                    CAST(SUM(n_links) AS BIGINT) AS n_refs
             FROM e GROUP BY href
+        """,
+        # crawl frontier: same edge regex, plus graph._resolve's
+        # scheme+host rule for path-absolute hrefs, then NOT EXISTS vs
+        # the crawled url set
+        "pages_crawl_frontier": f"""
+            WITH raw AS (
+              SELECT url,
+                     CASE WHEN substr(hex(html), 1, 18) = '3C21444F4354595045'
+                          THEN decode(html) END AS doc
+              FROM read_parquet('{pages}')
+            ), links AS (
+              SELECT url AS src_url,
+                     unnest(regexp_extract_all(doc, 'href="([^"]*)"', 1)) AS href
+              FROM raw WHERE doc IS NOT NULL
+            ), e AS (
+              SELECT src_url, href, CAST(COUNT(*) AS BIGINT) AS n_links
+              FROM links GROUP BY 1, 2
+            ), r AS (
+              SELECT src_url,
+                     CASE WHEN href LIKE '%://%' THEN href
+                          ELSE regexp_extract(src_url, '^[a-z]+://[^/]*')
+                               || CASE WHEN href LIKE '/%' THEN href
+                                       ELSE '/' || href END
+                     END AS dst_url,
+                     n_links
+              FROM e
+            ), g1 AS (
+              SELECT dst_url, src_url, CAST(SUM(n_links) AS BIGINT) AS n
+              FROM r GROUP BY 1, 2
+            ), f AS (
+              SELECT dst_url AS url,
+                     CAST(COUNT(*) AS BIGINT) AS n_src,
+                     CAST(SUM(n) AS BIGINT) AS n_refs
+              FROM g1 GROUP BY 1
+            )
+            SELECT f.url, f.n_src, f.n_refs FROM f
+            WHERE NOT EXISTS (
+              SELECT 1 FROM read_parquet('{pages}') p WHERE p.url = f.url
+            )
         """,
         # media plumbing oracles (r3): DuckDB has no md5(BLOB) — both sides
         # compute md5(hex(payload)); integers via octet_length arithmetic
