@@ -79,6 +79,81 @@ def _hrefs_of_tree(root) -> list[str]:
     return out
 
 
+def _anchors_of_tree(root) -> list[tuple]:
+    """All (href, anchor_text) pairs in document order. Anchor text is the
+    concatenation of every text descendant of the <a> node (synth corpus
+    anchors are flat ``<a href>text</a>``, where this equals the raw
+    between-tags text a regex oracle sees; nested markup would still
+    concatenate correctly here, it just falls outside the oracle's
+    contract)."""
+    out: list[tuple] = []
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        for ch in reversed(node.children):
+            if isinstance(ch, str):
+                continue
+            if ch.tag == "a":
+                href = None
+                attrs = ch.attrs
+                if isinstance(attrs, str):
+                    m = _HREF_RE.search(attrs)
+                    if m:
+                        href = m.group(1) or m.group(2) or m.group(3) or ""
+                else:
+                    for k, v in attrs:
+                        if k == "href" and v is not None:
+                            href = v
+                            break
+                if href is not None:
+                    texts: list[str] = []
+                    astack = [ch]
+                    while astack:
+                        an = astack.pop()
+                        for ac in reversed(an.children):
+                            if isinstance(ac, str):
+                                texts.append(ac)
+                            else:
+                                astack.append(ac)
+                    out.append((href, "".join(texts)))
+            stack.append(ch)
+    return out
+
+
+class AnchorExtractBatch:
+    """Actor-pool stage: (url, html) -> (href, anchor) rows — the
+    anchor-text signal (what the linking web CALLS each target — a
+    standard retrieval/quality feature attached to link targets). Same
+    direct-HTML byte-prefix contract and tolerant tree as
+    :class:`LinkExtractBatch`."""
+
+    def __init__(self) -> None:
+        from .dom import _build_tree_fast
+
+        self._build = _build_tree_fast
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        hrefs: list[str] = []
+        anchors: list[str] = []
+        for payload in batch["html"]:
+            raw = bytes(payload)
+            if not raw.startswith(_DOCTYPE_PREFIX):
+                continue
+            try:
+                root = self._build(raw.decode("utf-8"))
+            except UnicodeDecodeError:
+                continue
+            for href, text in _anchors_of_tree(root):
+                hrefs.append(href)
+                anchors.append(text)
+        return pd.DataFrame(
+            {
+                "href": pd.Series(hrefs, dtype="object"),
+                "anchor": pd.Series(anchors, dtype="object"),
+            }
+        )
+
+
 class LinkExtractBatch:
     """Actor-pool stage: (url, html) -> (src_url, href) link rows.
 

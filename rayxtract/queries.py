@@ -2138,6 +2138,47 @@ def q_pages_hits_agreement(sf_dir: str):
     )
 
 
+def q_pages_anchor_texts(sf_dir: str):
+    """ANCHOR-TEXT INDEX (what the linking web CALLS each target — the
+    retrieval/quality feature search and training-data pipelines attach
+    to link targets; anchors are also a standard pretraining signal):
+    per (href, anchor) pair, how many references carry exactly that
+    text. One actor-pool tree walk emits (href, anchor) rows, a
+    per-batch partial combine collapses duplicates before the ONE
+    hash(href)-keyed exchange — only (href, anchor, count) partials
+    move, never raw pages. Oracle: the synth corpus' anchors are flat
+    ``<a href="X">text</a>``, so one DuckDB regex re-derives the exact
+    pair set."""
+    import ray.data
+
+    from .agg import bucketed_aggregate
+    from .graph import AnchorExtractBatch
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    ds = ray.data.read_parquet(pages_dir, columns=["url", "html"])
+    pairs = ds.map_batches(
+        AnchorExtractBatch,
+        batch_format="pandas",
+        concurrency=(1, 8),
+        batch_size=64,
+    )
+    return bucketed_aggregate(
+        pairs.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "href": b["href"].astype(object).values,
+                    "anchor": b["anchor"].astype(object).values,
+                    "one": np.ones(len(b), dtype="int64"),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        keys=["href", "anchor"],
+        aggs={"n_refs": ("one", "sum")},
+        n_buckets=16,
+    )
+
+
 def q_pages_crawl_frontier(sf_dir: str):
     """CRAWL-FRONTIER DISCOVERY (the expand step of every crawler): the
     resolved link targets that are NOT in the crawled set, each with its
@@ -6828,6 +6869,7 @@ QUERIES = {
     "pages_hits": q_pages_hits,
     "pages_hits_agreement": q_pages_hits_agreement,
     "pages_crawl_frontier": q_pages_crawl_frontier,
+    "pages_anchor_texts": q_pages_anchor_texts,
     "doc_pmi_bigrams": q_doc_pmi_bigrams,
     "pages_extract": q_pages_extract,
     "pages_prompt_format": q_pages_prompt_format,
@@ -8478,6 +8520,29 @@ def _pages_oracles(sf_dir: str) -> dict[str, str]:
             SELECT href, CAST(COUNT(*) AS BIGINT) AS n_src,
                    CAST(SUM(n_links) AS BIGINT) AS n_refs
             FROM e GROUP BY href
+        """,
+        # anchor texts: synth anchors are verified flat (<a href>text</a>,
+        # zero nested-markup bodies corpus-wide), so one regex pair
+        # extraction re-derives the engine's tree-walk exactly. The tree
+        # walk html.unescape()s text nodes; &amp; is the ONLY entity in
+        # the corpus' anchors (verified corpus-wide), and a single
+        # replace matches unescape's one pass on stacked &amp;amp; too.
+        "pages_anchor_texts": f"""
+            WITH raw AS (
+              SELECT CASE WHEN substr(hex(html), 1, 18) = '3C21444F4354595045'
+                          THEN decode(html) END AS doc
+              FROM read_parquet('{pages}')
+            ), m AS (
+              SELECT unnest(regexp_extract_all(
+                       doc, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 0
+                     )) AS tag
+              FROM raw WHERE doc IS NOT NULL
+            )
+            SELECT regexp_extract(tag, '<a href="([^"]*)"', 1) AS href,
+                   replace(regexp_extract(tag, '>([^<]*)</a>', 1),
+                           '&amp;', '&') AS anchor,
+                   CAST(COUNT(*) AS BIGINT) AS n_refs
+            FROM m GROUP BY 1, 2
         """,
         # crawl frontier: same edge regex, plus graph._resolve's
         # scheme+host rule for path-absolute hrefs, then NOT EXISTS vs
