@@ -1544,6 +1544,62 @@ def q_emb_label_counts(sf_dir: str):
     )
 
 
+def q_emb_int8_quantize(sf_dir: str):
+    """SCALAR QUANTIZATION (uint8 codes — how production ANN systems
+    ship billion-vector indexes: 4x smaller than float32, distance
+    kernels on integers): per-dimension global [min, max] from a
+    d-row combiner tree (the ONLY exchange — d rows, never vectors),
+    then codes = floor((x-mn)*255/(mx-mn)) vectorized per batch in
+    float64 (both engines run the identical IEEE op sequence, so the
+    md5 of the code string is bit-exact vs DuckDB). Output one row
+    per vector: (vec_id, code_sum, fp) — corpus never gathers."""
+    import hashlib
+
+    from .agg import tree_aggregate
+
+    def dim_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = np.stack(batch["embedding"].values)
+        return pd.DataFrame(
+            {
+                "dim": np.arange(x.shape[1], dtype=np.int64),
+                "mn": x.min(axis=0).astype(np.float64),
+                "mx": x.max(axis=0).astype(np.float64),
+            }
+        )
+
+    stats = tree_aggregate(
+        _read(sf_dir, "embeddings", ["embedding"]).map_batches(
+            dim_partial, batch_format="pandas"
+        ),
+        keys=["dim"],
+        aggs={"mn": ("mn", "min"), "mx": ("mx", "max")},
+    ).take_all()
+    stats.sort(key=lambda r: r["dim"])
+    mn = np.array([r["mn"] for r in stats], dtype=np.float64)
+    mx = np.array([r["mx"] for r in stats], dtype=np.float64)
+    flat = mx == mn  # degenerate dim -> code 0 (mirrored in SQL)
+
+    def quantize(batch: pd.DataFrame) -> pd.DataFrame:
+        x = np.stack(batch["embedding"].values).astype(np.float64)
+        codes = np.floor(((x - mn) * 255.0) / np.where(flat, 1.0, mx - mn))
+        codes = np.where(flat, 0.0, codes).astype(np.int64)
+        fps = [
+            hashlib.md5(",".join(str(c) for c in row).encode()).hexdigest()
+            for row in codes
+        ]
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].astype("int64").values,
+                "code_sum": codes.sum(axis=1),
+                "fp": pd.Series(fps, dtype="object"),
+            }
+        )
+
+    return _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        quantize, batch_format="pandas"
+    )
+
+
 def q_emb_neardup(sf_dir: str):
     from .neardup import embedding_neardup_pairs
 
@@ -2176,6 +2232,76 @@ def q_pages_anchor_texts(sf_dir: str):
         keys=["href", "anchor"],
         aggs={"n_refs": ("one", "sum")},
         n_buckets=16,
+    )
+
+
+def q_pages_anchor_top(sf_dir: str):
+    """CANONICAL ANCHOR per link target (the majority label the linking
+    web assigns each url — used as a retrieval title surrogate and a
+    weak supervision signal): per href, the most frequent anchor text
+    (ties -> lexicographically smallest), plus the variant count and
+    total reference count. Per-batch partial (href, anchor) counts
+    shrink the pair stream, then ONE hash(href)-keyed exchange computes
+    the full counts AND the argmax in place — anchors of one target
+    share a bucket by construction, so no second shuffle."""
+    import zlib as _z
+
+    import ray.data
+
+    from .graph import AnchorExtractBatch
+
+    n_buckets = 16
+    pages_dir, _ = _pages_corpus(sf_dir)
+    ds = ray.data.read_parquet(pages_dir, columns=["url", "html"])
+    pairs = ds.map_batches(
+        AnchorExtractBatch,
+        batch_format="pandas",
+        concurrency=(1, 8),
+        batch_size=64,
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            batch.groupby(["href", "anchor"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        g["n"] = g["n"].astype("int64")
+        g["__bucket"] = np.fromiter(
+            (_z.crc32(h.encode()) % n_buckets for h in g["href"]),
+            dtype=np.int64,
+            count=len(g),
+        )
+        return g
+
+    def argmax_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        full = (
+            group.groupby(["href", "anchor"], as_index=False)["n"].sum()
+        )
+        full = full.sort_values(
+            ["href", "n", "anchor"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = full.groupby("href", as_index=False).first()
+        stats = full.groupby("href", as_index=False).agg(
+            n_anchors=("anchor", "size"), n_refs=("n", "sum")
+        )
+        out = top.merge(stats, on="href")
+        return pd.DataFrame(
+            {
+                "href": out["href"].astype(object).values,
+                "top_anchor": out["anchor"].astype(object).values,
+                "n_top": out["n"].astype("int64").values,
+                "n_anchors": out["n_anchors"].astype("int64").values,
+                "n_refs": out["n_refs"].astype("int64").values,
+            }
+        )
+
+    return (
+        pairs.map_batches(partial, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(argmax_bucket, batch_format="pandas")
     )
 
 
@@ -5669,6 +5795,90 @@ def q_doc_tfidf_top(sf_dir: str):
     return cand.groupby("doc_id").map_groups(final_topk, batch_format="pandas")
 
 
+_BM25_TERMS = ("merge", "vector", "hash")
+
+
+def q_doc_bm25_topk(sf_dir: str):
+    """RANKED RETRIEVAL (BM25 top-20 for a fixed 3-term query — the
+    scoring function of every lexical search engine and of
+    retrieval-based data curation): integer-exact Okapi BM25 with
+    k1=6/5, b=3/4 written as one rational per term so Ray and DuckDB
+    produce bit-identical scores with no float/log hazard:
+
+        tf_part = 22*tf*T / (10*tf*T + 3*T + 9*dl*N)   (== tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) with avgdl=T/N)
+        idf_odds = (2*(N-df)+1) / (2*df+1)             (== (N-df+0.5)/(df+0.5), Robertson idf sans log)
+        score += 22*tf*T*(2*(N-df)+1)*1e6 // ((10*tf*T+3*T+9*dl*N)*(2*df+1))
+
+    (monotone in the real BM25 with the log dropped — rank-equivalent
+    for single-term contributions, and a fixed published variant for
+    the sum). Plan: pass 1 streams corpus stats (N, T, per-term df) as
+    tiny partial rows through the combiner tree; pass 2 re-streams the
+    column-pruned table, scores only matching docs with arbitrary-
+    precision ints (products exceed int64 at web scale — T ~ 1e12),
+    and the local-top-k combiner ships <= 20 rows per batch. Nothing
+    corpus-sized touches the driver."""
+    from .agg import topk, tree_aggregate
+
+    terms = _BM25_TERMS
+    SCALE = 1_000_000
+
+    def stat_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = [t.split() for t in batch["text"]]
+        row = {
+            "__k": np.int64(0),
+            "n_docs": np.int64(len(toks)),
+            "n_tok": np.int64(sum(len(w) for w in toks)),
+        }
+        for i, term in enumerate(terms):
+            row[f"df{i}"] = np.int64(sum(1 for w in toks if term in w))
+        return pd.DataFrame([row])
+
+    stats_ds = tree_aggregate(
+        _read(sf_dir, "documents", ["text"]).map_batches(
+            stat_partial, batch_format="pandas"
+        ),
+        keys=["__k"],
+        aggs={
+            "n_docs": ("n_docs", "sum"),
+            "n_tok": ("n_tok", "sum"),
+            **{f"df{i}": (f"df{i}", "sum") for i in range(len(terms))},
+        },
+    )
+    st = stats_ds.take_all()[0]  # one scalar row — not a corpus gather
+    n, t = int(st["n_docs"]), int(st["n_tok"])
+    dfs = [int(st[f"df{i}"]) for i in range(len(terms))]
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, dls, scores = [], [], []
+        for did, text in zip(batch["doc_id"].values, batch["text"].values):
+            w = text.split()
+            tfs = [w.count(term) for term in terms]
+            if not any(tfs):
+                continue
+            dl = len(w)
+            s = 0
+            for tf, df in zip(tfs, dfs):
+                if tf:
+                    s += (22 * tf * t * (2 * (n - df) + 1) * SCALE) // (
+                        (10 * tf * t + 3 * t + 9 * dl * n) * (2 * df + 1)
+                    )
+            ids.append(int(did))
+            dls.append(dl)
+            scores.append(s)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_tokens": pd.Series(dls, dtype="int64"),
+                "score": pd.Series(scores, dtype="int64"),
+            }
+        )
+
+    scored = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pandas"
+    )
+    return topk(scored, keys=["score", "doc_id"], descending=[True, False], k=20)
+
+
 def q_doc_dup_spans(sf_dir: str):
     """Lee-et-al duplicated-substring span dedup (arXiv:2107.06499) at
     window granularity: detect every 5-token window appearing in >= 2
@@ -6823,6 +7033,7 @@ QUERIES = {
     "emb_medoids_agreement": q_emb_medoids_agreement,
     "emb_cluster_medoids": q_emb_cluster_medoids,
     "emb_label_counts": q_emb_label_counts,
+    "emb_int8_quantize": q_emb_int8_quantize,
     "emb_neardup": q_emb_neardup,
     "emb_neardup_exact": q_emb_neardup_exact,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
@@ -6841,6 +7052,7 @@ QUERIES = {
     "doc_bpe_token_counts": q_doc_bpe_token_counts,
     "doc_pack_assign_bpe": q_doc_pack_assign_bpe,
     "doc_tfidf_top": q_doc_tfidf_top,
+    "doc_bm25_topk": q_doc_bm25_topk,
     "doc_dup_spans": q_doc_dup_spans,
     "doc_hash_classifier": q_doc_hash_classifier,
     "cust_with_orders": q_cust_with_orders,
@@ -6870,6 +7082,7 @@ QUERIES = {
     "pages_hits_agreement": q_pages_hits_agreement,
     "pages_crawl_frontier": q_pages_crawl_frontier,
     "pages_anchor_texts": q_pages_anchor_texts,
+    "pages_anchor_top": q_pages_anchor_top,
     "doc_pmi_bigrams": q_doc_pmi_bigrams,
     "pages_extract": q_pages_extract,
     "pages_prompt_format": q_pages_prompt_format,
@@ -7379,6 +7592,28 @@ ORACLE_SQL = {
     """,
     "emb_label_counts": """
         SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label
+    """,
+    # scalar quantization: FLOAT->DOUBLE casts are exact, and the code
+    # expression runs the same IEEE float64 op order as the numpy kernel
+    # ((x-mn)*255.0)/(mx-mn), so md5 over the code string is bit-exact.
+    "emb_int8_quantize": """
+        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        x AS (
+          SELECT vec_id, i, embedding[i] AS v
+          FROM e, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+        ),
+        d AS (SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM x GROUP BY i),
+        c AS (
+          SELECT vec_id, i,
+                 CASE WHEN mx = mn THEN 0
+                      ELSE CAST(floor(((CAST(v AS DOUBLE) - CAST(mn AS DOUBLE)) * 255.0)
+                                      / (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE))) AS BIGINT)
+                 END AS code
+          FROM x JOIN d USING (i)
+        )
+        SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum,
+               md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY i)) AS fp
+        FROM c GROUP BY vec_id
     """,
     "doc_sample_hash": """
         SELECT doc_id, lang FROM documents
@@ -8039,6 +8274,47 @@ ORACLE_SQL = {
         )
         SELECT doc_id, word, tf, df, score FROM scored WHERE rn <= 3
     """,
+    # BM25 (k1=6/5, b=3/4) as one integer rational per term — HUGEINT
+    # keeps 22*tf*T*(2(N-df)+1)*1e6 exact; // is integer floor division
+    # on positive HUGEINTs, matching the engine's Python-int math.
+    "doc_bm25_topk": r"""
+        WITH tok AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, len(w) AS dl,
+                 len(list_filter(w, x -> x = 'merge'))  AS tf0,
+                 len(list_filter(w, x -> x = 'vector')) AS tf1,
+                 len(list_filter(w, x -> x = 'hash'))   AS tf2
+          FROM tok
+        ), st AS (
+          SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                 CAST(SUM(dl) AS HUGEINT) AS t,
+                 CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS HUGEINT) AS df0,
+                 CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS HUGEINT) AS df1,
+                 CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS HUGEINT) AS df2
+          FROM tf
+        ), scored AS (
+          SELECT doc_id, dl,
+            (CASE WHEN tf0 > 0 THEN
+               (22 * CAST(tf0 AS HUGEINT) * t * (2*(n-df0)+1) * 1000000)
+               // ((10 * CAST(tf0 AS HUGEINT) * t + 3*t + 9*CAST(dl AS HUGEINT)*n) * (2*df0+1))
+             ELSE 0 END)
+          + (CASE WHEN tf1 > 0 THEN
+               (22 * CAST(tf1 AS HUGEINT) * t * (2*(n-df1)+1) * 1000000)
+               // ((10 * CAST(tf1 AS HUGEINT) * t + 3*t + 9*CAST(dl AS HUGEINT)*n) * (2*df1+1))
+             ELSE 0 END)
+          + (CASE WHEN tf2 > 0 THEN
+               (22 * CAST(tf2 AS HUGEINT) * t * (2*(n-df2)+1) * 1000000)
+               // ((10 * CAST(tf2 AS HUGEINT) * t + 3*t + 9*CAST(dl AS HUGEINT)*n) * (2*df2+1))
+             ELSE 0 END) AS score
+          FROM tf, st
+          WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+        )
+        SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens, CAST(score AS BIGINT) AS score
+        FROM scored ORDER BY score DESC, doc_id LIMIT 20
+    """,
     "doc_hash_classifier": r"""
         WITH tok AS (
           SELECT doc_id,
@@ -8543,6 +8819,36 @@ def _pages_oracles(sf_dir: str) -> dict[str, str]:
                            '&amp;', '&') AS anchor,
                    CAST(COUNT(*) AS BIGINT) AS n_refs
             FROM m GROUP BY 1, 2
+        """,
+        # canonical anchor: same flat-anchor regex as pages_anchor_texts,
+        # then the (n DESC, anchor ASC) argmax per href.
+        "pages_anchor_top": f"""
+            WITH raw AS (
+              SELECT CASE WHEN substr(hex(html), 1, 18) = '3C21444F4354595045'
+                          THEN decode(html) END AS doc
+              FROM read_parquet('{pages}')
+            ), m AS (
+              SELECT unnest(regexp_extract_all(
+                       doc, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 0
+                     )) AS tag
+              FROM raw WHERE doc IS NOT NULL
+            ), p AS (
+              SELECT regexp_extract(tag, '<a href="([^"]*)"', 1) AS href,
+                     replace(regexp_extract(tag, '>([^<]*)</a>', 1),
+                             '&amp;', '&') AS anchor,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM m GROUP BY 1, 2
+            ), r AS (
+              SELECT href, anchor, n,
+                     row_number() OVER (
+                       PARTITION BY href ORDER BY n DESC, anchor ASC
+                     ) AS rn,
+                     CAST(COUNT(*) OVER (PARTITION BY href) AS BIGINT) AS n_anchors,
+                     CAST(SUM(n) OVER (PARTITION BY href) AS BIGINT) AS n_refs
+              FROM p
+            )
+            SELECT href, anchor AS top_anchor, n AS n_top, n_anchors, n_refs
+            FROM r WHERE rn = 1
         """,
         # crawl frontier: same edge regex, plus graph._resolve's
         # scheme+host rule for path-absolute hrefs, then NOT EXISTS vs
