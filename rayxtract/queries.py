@@ -5832,6 +5832,68 @@ def q_doc_phrase_search(sf_dir: str):
     )
 
 
+def q_doc_phrase_via_postings(sf_dir: str):
+    """PHRASE SEARCH, INDEX PATH (positional postings — how a search
+    system answers quoted queries WITHOUT rescanning text: intersect
+    the two terms' position lists and count adjacencies). Same result
+    contract and SQL oracle as `doc_phrase_search`, different physical
+    plan: the scan path re-reads text per query; this path emits
+    (doc_id, position) postings for the two phrase terms only, and ONE
+    hash(doc_id)-keyed exchange counts pos+1 adjacencies per doc — the
+    plan you run when the postings already exist on disk and the query
+    stream is large. Engine-vs-engine: the parity test proves both
+    plans hash-identical."""
+    w1, w2 = "stream", "column"
+    n_buckets = 16
+
+    def postings(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, langs, terms, poss = [], [], [], []
+        for did, lang, text in zip(
+            batch["doc_id"].values, batch["lang"].values, batch["text"].values
+        ):
+            for i, w in enumerate(text.split()):
+                if w == w1 or w == w2:
+                    ids.append(int(did))
+                    langs.append(lang)
+                    terms.append(w)
+                    poss.append(i)
+        out = pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "lang": pd.Series(langs, dtype="object"),
+                "term": pd.Series(terms, dtype="object"),
+                "pos": pd.Series(poss, dtype="int64"),
+            }
+        )
+        out["__bucket"] = (out["doc_id"] % n_buckets).astype("int64")
+        return out
+
+    def adjacency(group: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_id": [], "lang": [], "n_hits": []}
+        for (did, lang), g in group.groupby(["doc_id", "lang"]):
+            p1 = set(g.loc[g["term"] == w1, "pos"].astype(int))
+            p2 = g.loc[g["term"] == w2, "pos"].astype(int)
+            n = int(sum(1 for p in p2 if (p - 1) in p1))
+            if n:
+                rows["doc_id"].append(int(did))
+                rows["lang"].append(lang)
+                rows["n_hits"].append(n)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "lang": pd.Series(rows["lang"], dtype="object"),
+                "n_hits": pd.Series(rows["n_hits"], dtype="int64"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+        .map_batches(postings, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(adjacency, batch_format="pandas")
+    )
+
+
 _BM25_TERMS = ("merge", "vector", "hash")
 
 
@@ -7091,6 +7153,7 @@ QUERIES = {
     "doc_tfidf_top": q_doc_tfidf_top,
     "doc_bm25_topk": q_doc_bm25_topk,
     "doc_phrase_search": q_doc_phrase_search,
+    "doc_phrase_via_postings": q_doc_phrase_via_postings,
     "doc_dup_spans": q_doc_dup_spans,
     "doc_hash_classifier": q_doc_hash_classifier,
     "cust_with_orders": q_cust_with_orders,
@@ -8313,6 +8376,19 @@ ORACLE_SQL = {
         SELECT doc_id, word, tf, df, score FROM scored WHERE rn <= 3
     """,
     "doc_phrase_search": r"""
+        WITH tok AS (
+          SELECT doc_id, lang,
+                 list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+          FROM documents
+        )
+        SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM tok, UNNEST(range(1, len(w))) AS t(i)
+        WHERE w[i] = 'stream' AND w[i+1] = 'column'
+        GROUP BY doc_id, lang
+    """,
+    # index path: same contract, same oracle — the parity test proves the
+    # postings plan and the scan plan agree.
+    "doc_phrase_via_postings": r"""
         WITH tok AS (
           SELECT doc_id, lang,
                  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
