@@ -608,3 +608,128 @@ def dup_span_stats(
         return finalize_frame(batch[id_col].values, texts, starts_all)
 
     return joined.map_batches(finalize, batch_format="pandas")
+
+
+def cross_corpus_novelty(
+    old_ds,
+    new_ds,
+    w: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+):
+    """NOVELTY SCORING against an existing corpus: for every NEW
+    document, how many of its w-token windows already occur anywhere in
+    the OLD corpus (the memorization-risk / snapshot-overlap metric run
+    when a new crawl joins an existing training set).
+
+    Unlike :func:`ngram_contamination` (eval side bounded by design ->
+    broadcast) BOTH sides here are corpus-sized, so the overlap is ONE
+    hash(window)-bucketed exchange: old windows collapse to per-batch
+    DISTINCT hashes before moving, new windows pre-combine to
+    (doc, win_h, cnt) partials, and each bucket builds the old set and
+    probes its new rows locally (sorted-unique + np.isin). Per-doc
+    partial counts then sum through a second, doc-keyed exchange whose
+    size is bounded by the NEW doc count — text never moves at all.
+
+    Output per new doc with >= 1 window: (id_col, n_windows, n_seen),
+    window-position counts (duplicate windows within a doc all count),
+    so a DuckDB gram-unnest LEFT JOIN oracle checks it exactly.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .agg import bucketed_aggregate
+
+    def old_rows_cls():
+        kern = _WindowHashKernel(w)
+
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            hs = []
+            for text in batch[text_col].values:
+                h, _ = kern.doc_hashes(text)
+                hs.append(h)
+            cat = np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
+            u = np.unique(cat).view(np.int64)
+            return pd.DataFrame(
+                {
+                    "win_h": u,
+                    "doc": np.full(len(u), -1, dtype=np.int64),
+                    "cnt": np.zeros(len(u), dtype=np.int64),
+                    "side": np.zeros(len(u), dtype=np.int64),
+                    "__bucket": (u % n_buckets + n_buckets) % n_buckets,
+                }
+            )
+
+        return fn
+
+    def new_rows_cls():
+        kern = _WindowHashKernel(w)
+
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            hs, ids = [], []
+            for did, text in zip(batch[id_col].values, batch[text_col].values):
+                h, _ = kern.doc_hashes(text)
+                hs.append(h)
+                ids.append(np.full(len(h), did, dtype=np.int64))
+            cat = np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
+            did = np.concatenate(ids) if ids else np.empty(0, dtype=np.int64)
+            df = pd.DataFrame({"win_h": cat.view(np.int64), "doc": did})
+            g = df.groupby(["win_h", "doc"], as_index=False).size()
+            wh = g["win_h"].to_numpy(np.int64)
+            return pd.DataFrame(
+                {
+                    "win_h": wh,
+                    "doc": g["doc"].to_numpy(np.int64),
+                    "cnt": g["size"].to_numpy(np.int64),
+                    "side": np.ones(len(g), dtype=np.int64),
+                    "__bucket": (wh % n_buckets + n_buckets) % n_buckets,
+                }
+            )
+
+        return fn
+
+    rows = old_ds.map_batches(old_rows_cls(), batch_format="pandas").union(
+        new_ds.map_batches(new_rows_cls(), batch_format="pandas")
+    )
+
+    def probe_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        new = group[group["side"] == 1]
+        if len(new) == 0:
+            return pd.DataFrame(
+                {
+                    "doc": pd.Series([], dtype="int64"),
+                    "n_windows": pd.Series([], dtype="int64"),
+                    "n_seen": pd.Series([], dtype="int64"),
+                }
+            )
+        old = np.unique(
+            group.loc[group["side"] == 0, "win_h"].to_numpy(np.int64)
+        )
+        wh = new["win_h"].to_numpy(np.int64)
+        hit = (
+            np.isin(wh, old) if len(old) else np.zeros(len(wh), dtype=bool)
+        )
+        part = pd.DataFrame(
+            {
+                "doc": new["doc"].to_numpy(np.int64),
+                "n_windows": new["cnt"].to_numpy(np.int64),
+                "n_seen": new["cnt"].to_numpy(np.int64) * hit,
+            }
+        )
+        return part.groupby("doc", as_index=False).sum()
+
+    partials = rows.groupby("__bucket").map_groups(
+        probe_bucket, batch_format="pandas"
+    )
+    out = bucketed_aggregate(
+        partials,
+        keys=["doc"],
+        aggs={"n_windows": ("n_windows", "sum"), "n_seen": ("n_seen", "sum")},
+        n_buckets=n_buckets,
+    )
+
+    def rename(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.rename(columns={"doc": id_col})
+
+    return out.map_batches(rename, batch_format="pandas")

@@ -5832,6 +5832,29 @@ def q_doc_phrase_search(sf_dir: str):
     )
 
 
+def q_doc_novelty_vs_corpus(sf_dir: str):
+    """SNAPSHOT NOVELTY (new crawl vs existing training set): per NEW
+    doc (sources src10-19), how many of its 6-token windows already
+    occur anywhere in the OLD corpus (src0-9). Both sides corpus-sized
+    -> the overlap runs as ONE window-hash-bucketed exchange (old side
+    ships per-batch DISTINCT hashes, new side (doc, hash, cnt)
+    partials), NOT the broadcast path ngram-decontamination uses for
+    its bounded eval sets. Oracle: gram-unnest LEFT JOIN in DuckDB."""
+    from .dedup import cross_corpus_novelty
+
+    def side(pred):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            s = batch["source"].str.slice(3).astype(int)
+            return batch.loc[pred(s), ["doc_id", "text"]]
+
+        return fn
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    old = ds.map_batches(side(lambda s: s < 10), batch_format="pandas")
+    new = ds.map_batches(side(lambda s: s >= 10), batch_format="pandas")
+    return cross_corpus_novelty(old, new, w=6)
+
+
 def q_doc_phrase_via_postings(sf_dir: str):
     """PHRASE SEARCH, INDEX PATH (positional postings — how a search
     system answers quoted queries WITHOUT rescanning text: intersect
@@ -7154,6 +7177,7 @@ QUERIES = {
     "doc_bm25_topk": q_doc_bm25_topk,
     "doc_phrase_search": q_doc_phrase_search,
     "doc_phrase_via_postings": q_doc_phrase_via_postings,
+    "doc_novelty_vs_corpus": q_doc_novelty_vs_corpus,
     "doc_dup_spans": q_doc_dup_spans,
     "doc_hash_classifier": q_doc_hash_classifier,
     "cust_with_orders": q_cust_with_orders,
@@ -8385,6 +8409,29 @@ ORACLE_SQL = {
         FROM tok, UNNEST(range(1, len(w))) AS t(i)
         WHERE w[i] = 'stream' AND w[i+1] = 'column'
         GROUP BY doc_id, lang
+    """,
+    # novelty: 6-token windows of new-side docs (src10-19) probed against
+    # the DISTINCT window set of the old side (src0-9); DuckDB list slices
+    # are inclusive, so w[i : i+5] is the 6-token window at position i.
+    "doc_novelty_vs_corpus": r"""
+        WITH tok AS (
+          SELECT doc_id, CAST(substr(source, 4) AS INT) AS s,
+                 list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+          FROM documents
+        ), grams AS (
+          SELECT doc_id, s, array_to_string(w[i : i + 5], ' ') AS g
+          FROM tok, UNNEST(range(1, len(w) - 4)) AS t(i)
+          WHERE len(w) >= 6
+        ), old AS (
+          SELECT DISTINCT g FROM grams WHERE s < 10
+        ), nw AS (
+          SELECT doc_id, g FROM grams WHERE s >= 10
+        )
+        SELECT nw.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(CASE WHEN o.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+        FROM nw LEFT JOIN old o USING (g)
+        GROUP BY nw.doc_id
     """,
     # index path: same contract, same oracle — the parity test proves the
     # postings plan and the scan plan agree.
