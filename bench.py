@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "pages_anchor_top",
     "doc_bm25_topk",
     "emb_int8_quantize",
+    "pages_bm25_topk",
 ]
 
 

@@ -51,6 +51,7 @@ def _cleanup_stale_spills(root: str, keep: tuple[str, ...]) -> None:
         f"{root}.emb_input*",
         f"{root}.bpe_merges*",
         f"{root}.bpe_words*",
+        f"{root}.bm25_docs*",
     ):
         for d in _g.glob(pat):
             if d not in keep and ".tmp." not in d:
@@ -2305,6 +2306,41 @@ def q_pages_anchor_top(sf_dir: str):
     )
 
 
+def q_pages_bm25_topk(sf_dir: str):
+    """WEB-SCALE RANKED RETRIEVAL: integer-exact BM25 top-20 (shared
+    _bm25_topk engine — see q_doc_bm25_topk for the rational-arithmetic
+    derivation) over the EXTRACTED page corpus, 3-term query
+    "partition reader cluster". The extracted (url, text) table spills
+    once behind the marker-gated cache (extraction runs cold exactly
+    once; both BM25 passes and repeated sweeps re-read parquet), so the
+    query demonstrates retrieval over the flagship's own output at
+    corpus scale: stats pass + scoring pass stream the spill, the
+    local-top-k combiner ships <= 20 rows per batch, and the driver
+    only ever sees one scalar-stats row and the final 20. Oracle: the
+    same HUGEINT formula over the golden fixtures (byte-identity makes
+    golden_text == extracted text for every url)."""
+    from .neardup import _spill_and_reread
+    from .ops import ExtractConfig
+    from .pipeline import extraction_dataset
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    root = _oracle_corpus_root(sf_dir)
+    spill = f"{root}.bm25_docs_e{_SPILL_VERSION}"
+
+    def make():
+        ds = extraction_dataset(pages_dir, ExtractConfig()).map_batches(
+            lambda b: pd.DataFrame(
+                {"url": b["url"].astype(object), "text": b["text"]}
+            ),
+            batch_format="pandas",
+        )
+        return _spill_and_reread(
+            ds, spill, params={"cols": "url,text", "op": "bm25-docs"}
+        )
+
+    return _bm25_topk(make, id_col="url", terms=_BM25_PAGE_TERMS)
+
+
 def q_pages_crawl_frontier(sf_dir: str):
     """CRAWL-FRONTIER DISCOVERY (the expand step of every crawler): the
     resolved link targets that are NOT in the crawled set, each with its
@@ -2863,6 +2899,7 @@ def q_pages_neardup_exact(sf_dir: str):
             f"{root}.emb_input_e{_SPILL_VERSION}",
             f"{root}.bpe_merges_m{_BPE_MERGES}_e{_SPILL_VERSION}",
             f"{root}.bpe_words_m{_BPE_MERGES}_e{_SPILL_VERSION}",
+            f"{root}.bm25_docs_e{_SPILL_VERSION}",
         ),
     )
     # the verified-pair set is deterministic per (corpus root, params,
@@ -5918,6 +5955,71 @@ def q_doc_phrase_via_postings(sf_dir: str):
 
 
 _BM25_TERMS = ("merge", "vector", "hash")
+_BM25_PAGE_TERMS = ("partition", "reader", "cluster")
+
+
+def _bm25_topk(make_ds, id_col: str, terms: tuple, k: int = 20):
+    """Shared integer-exact BM25 engine (see q_doc_bm25_topk for the
+    formula derivation). ``make_ds()`` must return a fresh Dataset with
+    (id_col, text) each call — the corpus streams twice (stats pass,
+    scoring pass); callers hand a parquet re-read (raw table or spill),
+    never a pinned Dataset."""
+    from .agg import topk, tree_aggregate
+
+    SCALE = 1_000_000
+
+    def stat_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = [t.split() for t in batch["text"]]
+        row = {
+            "__k": np.int64(0),
+            "n_docs": np.int64(len(toks)),
+            "n_tok": np.int64(sum(len(w) for w in toks)),
+        }
+        for i, term in enumerate(terms):
+            row[f"df{i}"] = np.int64(sum(1 for w in toks if term in w))
+        return pd.DataFrame([row])
+
+    stats_ds = tree_aggregate(
+        make_ds().map_batches(stat_partial, batch_format="pandas"),
+        keys=["__k"],
+        aggs={
+            "n_docs": ("n_docs", "sum"),
+            "n_tok": ("n_tok", "sum"),
+            **{f"df{i}": (f"df{i}", "sum") for i in range(len(terms))},
+        },
+    )
+    st = stats_ds.take_all()[0]  # one scalar row — not a corpus gather
+    n, t = int(st["n_docs"]), int(st["n_tok"])
+    dfs = [int(st[f"df{i}"]) for i in range(len(terms))]
+    id_dtype = "int64" if id_col == "doc_id" else "object"
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, dls, scores = [], [], []
+        for did, text in zip(batch[id_col].values, batch["text"].values):
+            w = text.split()
+            tfs = [w.count(term) for term in terms]
+            if not any(tfs):
+                continue
+            dl = len(w)
+            s = 0
+            for tf, df in zip(tfs, dfs):
+                if tf:
+                    s += (22 * tf * t * (2 * (n - df) + 1) * SCALE) // (
+                        (10 * tf * t + 3 * t + 9 * dl * n) * (2 * df + 1)
+                    )
+            ids.append(int(did) if id_dtype == "int64" else did)
+            dls.append(dl)
+            scores.append(s)
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(ids, dtype=id_dtype),
+                "n_tokens": pd.Series(dls, dtype="int64"),
+                "score": pd.Series(scores, dtype="int64"),
+            }
+        )
+
+    scored = make_ds().map_batches(score, batch_format="pandas")
+    return topk(scored, keys=["score", id_col], descending=[True, False], k=k)
 
 
 def q_doc_bm25_topk(sf_dir: str):
@@ -5933,72 +6035,17 @@ def q_doc_bm25_topk(sf_dir: str):
 
     (monotone in the real BM25 with the log dropped — rank-equivalent
     for single-term contributions, and a fixed published variant for
-    the sum). Plan: pass 1 streams corpus stats (N, T, per-term df) as
-    tiny partial rows through the combiner tree; pass 2 re-streams the
-    column-pruned table, scores only matching docs with arbitrary-
-    precision ints (products exceed int64 at web scale — T ~ 1e12),
-    and the local-top-k combiner ships <= 20 rows per batch. Nothing
-    corpus-sized touches the driver."""
-    from .agg import topk, tree_aggregate
-
-    terms = _BM25_TERMS
-    SCALE = 1_000_000
-
-    def stat_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = [t.split() for t in batch["text"]]
-        row = {
-            "__k": np.int64(0),
-            "n_docs": np.int64(len(toks)),
-            "n_tok": np.int64(sum(len(w) for w in toks)),
-        }
-        for i, term in enumerate(terms):
-            row[f"df{i}"] = np.int64(sum(1 for w in toks if term in w))
-        return pd.DataFrame([row])
-
-    stats_ds = tree_aggregate(
-        _read(sf_dir, "documents", ["text"]).map_batches(
-            stat_partial, batch_format="pandas"
-        ),
-        keys=["__k"],
-        aggs={
-            "n_docs": ("n_docs", "sum"),
-            "n_tok": ("n_tok", "sum"),
-            **{f"df{i}": (f"df{i}", "sum") for i in range(len(terms))},
-        },
+    the sum). Plan (shared _bm25_topk engine): pass 1 streams corpus
+    stats (N, T, per-term df) as tiny partial rows through the combiner
+    tree; pass 2 re-streams the column-pruned table, scores only
+    matching docs with arbitrary-precision ints (products exceed int64
+    at web scale — T ~ 1e12), and the local-top-k combiner ships <= 20
+    rows per batch. Nothing corpus-sized touches the driver."""
+    return _bm25_topk(
+        lambda: _read(sf_dir, "documents", ["doc_id", "text"]),
+        id_col="doc_id",
+        terms=_BM25_TERMS,
     )
-    st = stats_ds.take_all()[0]  # one scalar row — not a corpus gather
-    n, t = int(st["n_docs"]), int(st["n_tok"])
-    dfs = [int(st[f"df{i}"]) for i in range(len(terms))]
-
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
-        ids, dls, scores = [], [], []
-        for did, text in zip(batch["doc_id"].values, batch["text"].values):
-            w = text.split()
-            tfs = [w.count(term) for term in terms]
-            if not any(tfs):
-                continue
-            dl = len(w)
-            s = 0
-            for tf, df in zip(tfs, dfs):
-                if tf:
-                    s += (22 * tf * t * (2 * (n - df) + 1) * SCALE) // (
-                        (10 * tf * t + 3 * t + 9 * dl * n) * (2 * df + 1)
-                    )
-            ids.append(int(did))
-            dls.append(dl)
-            scores.append(s)
-        return pd.DataFrame(
-            {
-                "doc_id": pd.Series(ids, dtype="int64"),
-                "n_tokens": pd.Series(dls, dtype="int64"),
-                "score": pd.Series(scores, dtype="int64"),
-            }
-        )
-
-    scored = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        score, batch_format="pandas"
-    )
-    return topk(scored, keys=["score", "doc_id"], descending=[True, False], k=20)
 
 
 def q_doc_dup_spans(sf_dir: str):
@@ -7208,6 +7255,7 @@ QUERIES = {
     "pages_crawl_frontier": q_pages_crawl_frontier,
     "pages_anchor_texts": q_pages_anchor_texts,
     "pages_anchor_top": q_pages_anchor_top,
+    "pages_bm25_topk": q_pages_bm25_topk,
     "doc_pmi_bigrams": q_doc_pmi_bigrams,
     "pages_extract": q_pages_extract,
     "pages_prompt_format": q_pages_prompt_format,
@@ -8991,6 +9039,46 @@ def _pages_oracles(sf_dir: str) -> dict[str, str]:
                            '&amp;', '&') AS anchor,
                    CAST(COUNT(*) AS BIGINT) AS n_refs
             FROM m GROUP BY 1, 2
+        """,
+        # BM25 over the extracted corpus: byte-identity makes golden_text
+        # the exact engine input; same HUGEINT rational as doc_bm25_topk.
+        "pages_bm25_topk": rf"""
+            WITH tok AS (
+              SELECT url,
+                     list_filter(regexp_split_to_array(golden_text, '\s+'), x -> x <> '') AS w
+              FROM (SELECT DISTINCT url, golden_text FROM read_parquet('{golden}'))
+            ), tf AS (
+              SELECT url, len(w) AS dl,
+                     len(list_filter(w, x -> x = 'partition')) AS tf0,
+                     len(list_filter(w, x -> x = 'reader'))    AS tf1,
+                     len(list_filter(w, x -> x = 'cluster'))   AS tf2
+              FROM tok
+            ), st AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(dl) AS HUGEINT) AS t,
+                     CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS HUGEINT) AS df0,
+                     CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS HUGEINT) AS df1,
+                     CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS HUGEINT) AS df2
+              FROM tf
+            ), scored AS (
+              SELECT url, dl,
+                (CASE WHEN tf0 > 0 THEN
+                   (22 * CAST(tf0 AS HUGEINT) * t * (2*(n-df0)+1) * 1000000)
+                   // ((10 * CAST(tf0 AS HUGEINT) * t + 3*t + 9*CAST(dl AS HUGEINT)*n) * (2*df0+1))
+                 ELSE 0 END)
+              + (CASE WHEN tf1 > 0 THEN
+                   (22 * CAST(tf1 AS HUGEINT) * t * (2*(n-df1)+1) * 1000000)
+                   // ((10 * CAST(tf1 AS HUGEINT) * t + 3*t + 9*CAST(dl AS HUGEINT)*n) * (2*df1+1))
+                 ELSE 0 END)
+              + (CASE WHEN tf2 > 0 THEN
+                   (22 * CAST(tf2 AS HUGEINT) * t * (2*(n-df2)+1) * 1000000)
+                   // ((10 * CAST(tf2 AS HUGEINT) * t + 3*t + 9*CAST(dl AS HUGEINT)*n) * (2*df2+1))
+                 ELSE 0 END) AS score
+              FROM tf, st
+              WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+            )
+            SELECT url, CAST(dl AS BIGINT) AS n_tokens, CAST(score AS BIGINT) AS score
+            FROM scored ORDER BY score DESC, url LIMIT 20
         """,
         # canonical anchor: same flat-anchor regex as pages_anchor_texts,
         # then the (n DESC, anchor ASC) argmax per href.
