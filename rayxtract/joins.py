@@ -34,6 +34,7 @@ __all__ = [
     "bucketed_join",
     "asof_join",
     "interval_join",
+    "bloom_prefilter",
     "find_hot_keys",
     "salted_bucket_ids",
 ]
@@ -185,6 +186,69 @@ def find_hot_keys(ds, key: str, min_frac: float = 0.05, n_buckets: int = 16):
     if pd.api.types.is_integer_dtype(vals):
         return set(int(x) for x in vals)
     return set(vals.tolist())
+
+
+def bloom_prefilter(
+    probe,
+    build,
+    probe_key: str,
+    build_key: str,
+    n_bits: int = 1 << 23,
+    k: int = 7,
+):
+    """Bloom-join prefilter (the classic shuffle-byte reducer for a
+    LOW-match-rate inner/semi join where the build side is too big to
+    broadcast raw but its KEY SET fits a fixed bit array): one streaming
+    pass over ``build`` folds per-batch Bloom partials over the hashed
+    key column, bitwise-OR-merged through a two-level tree, the final
+    bits ship ONCE via ``ray.put`` (n_bits/8 bytes regardless of build
+    cardinality), and ``probe`` rows whose key misses are dropped BEFORE
+    any exchange. A miss is a guaranteed non-match (no false negatives),
+    so composing with any inner join is exact; false positives merely
+    ride into the join and fall out there. Keys hash via ``_key_ints``
+    (int passthrough / string hash — same convention as bucketing).
+
+    Returns the filtered probe Dataset. Do NOT use before left/outer
+    joins (pruned rows must survive those)."""
+    import pickle
+
+    import ray
+
+    from .sketch import BloomFilter
+
+    def build_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter(n_bits=n_bits, k=k)
+        bf.add_many(_key_ints(batch[build_key].to_numpy()).view(np.uint64))
+        return pd.DataFrame({"__bf": pd.Series([pickle.dumps(bf)], dtype="object")})
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for blob in batch["__bf"]:
+            bf = pickle.loads(blob)
+            if acc is None:
+                acc = bf
+            else:
+                acc.bits |= bf.bits
+        return pd.DataFrame({"__bf": pd.Series([pickle.dumps(acc)], dtype="object")})
+
+    merged = (
+        build.map_batches(build_partial, batch_format="pandas")
+        .repartition(8)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+        .take_all()  # exactly ONE pickled bloom row — n_bits/8 bytes
+    )
+    bloom_ref = ray.put(pickle.loads(merged[0]["__bf"]))
+
+    def prune(batch: pd.DataFrame) -> pd.DataFrame:
+        bf: BloomFilter = ray.get(bloom_ref)
+        hit = bf.contains_many(
+            _key_ints(batch[probe_key].to_numpy()).view(np.uint64)
+        )
+        return batch[hit]
+
+    return probe.map_batches(prune, batch_format="pandas")
 
 
 def bucketed_join(

@@ -3361,6 +3361,53 @@ def q14_promo_revenue(sf_dir: str):
     )
 
 
+def q_lineitem_bloom_join(sf_dir: str):
+    """BLOOM-JOIN (the low-match-rate shuffle-byte reducer): revenue by
+    order priority for lineitems of top-value orders (~4% of orders
+    qualify at o_totalprice > 480000). The build side's KEY SET folds
+    into a fixed 1 MiB Bloom bit array (one streaming pass, OR-merge
+    tree, ray.put once), the probe fact table drops guaranteed
+    non-matching rows BEFORE the bucketed exchange (misses have no
+    false negatives; false positives fall out in the per-bucket merge),
+    and only the ~4% survivor slice shuffles. This is the plan for the
+    regime auto_join can't serve: build too big to broadcast raw, match
+    rate low enough that shuffling the whole probe side is mostly
+    wasted bytes."""
+    from .agg import tree_aggregate
+    from .joins import bloom_prefilter, bucketed_join
+
+    hi = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderpriority"]).map_batches(
+        lambda b: b.loc[
+            b["o_totalprice"] > 480000.0, ["o_orderkey", "o_orderpriority"]
+        ].astype({"o_orderkey": "int64"}),
+        batch_format="pandas",
+    )
+
+    def l_prep(batch: pd.DataFrame) -> pd.DataFrame:
+        ep = batch["l_extendedprice"].to_numpy(np.float64)
+        disc = batch["l_discount"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"].astype("int64").values,
+                "rev_cents": np.floor(ep * (1.0 - disc) * 100.0).astype("int64"),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(l_prep, batch_format="pandas")
+    keys_only = hi.map_batches(
+        lambda b: b[["o_orderkey"]], batch_format="pandas"
+    )
+    li_pruned = bloom_prefilter(li, keys_only, "l_orderkey", "o_orderkey")
+    joined = bucketed_join(li_pruned, hi, "l_orderkey", "o_orderkey", n_buckets=16)
+    return tree_aggregate(
+        joined,
+        keys=["o_orderpriority"],
+        aggs={"n_lines": ("rev_cents", "count"), "rev_cents": ("rev_cents", "sum")},
+    )
+
+
 def q18_large_orders(sf_dir: str):
     """TPC-H Q18 shape (large-volume customers) — the HAVING chain:
     per-order quantity sums flow through the bucketed exchange (order
@@ -7125,6 +7172,7 @@ QUERIES = {
     "q12_priority_by_flag": q12_priority_by_flag,
     "q14_promo_revenue": q14_promo_revenue,
     "q18_large_orders": q18_large_orders,
+    "lineitem_bloom_join": q_lineitem_bloom_join,
     "events_distinct_users_by_type": q_events_distinct_users_by_type,
     "pages_host_reservoir": q_pages_host_reservoir,
     "pages_crawl_diff": q_pages_crawl_diff,
@@ -7896,6 +7944,14 @@ ORACLE_SQL = {
                JOIN customer c ON o.o_custkey = c.c_custkey
         ORDER BY total_cents DESC, o.o_orderkey ASC
         LIMIT 20
+    """,
+    "lineitem_bloom_join": """
+        SELECT o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_totalprice > 480000
+        GROUP BY o.o_orderpriority
     """,
     "q10_returned_revenue": """
         WITH t AS (

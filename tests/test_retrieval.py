@@ -104,3 +104,62 @@ def test_cross_corpus_novelty_planted_counts(ray_session):
         for r in out.itertuples()
     }
     assert got == {1: (3, 2), 2: (4, 2), 3: (2, 0)}
+
+
+def test_bloom_prefilter_no_false_negatives(ray_session):
+    """Every probe row whose key exists in the build side MUST survive
+    the prefilter (bloom misses are guaranteed non-members); the
+    composed inner join equals the unfiltered join exactly."""
+    from rayxtract.joins import bloom_prefilter, bucketed_join
+
+    rng = np.random.default_rng(7)
+    probe = pd.DataFrame(
+        {
+            "k": rng.integers(0, 10_000, size=20_000).astype(np.int64),
+            "v": np.arange(20_000, dtype=np.int64),
+        }
+    )
+    build = pd.DataFrame(
+        {"k2": np.arange(0, 400, dtype=np.int64), "w": np.arange(400, dtype=np.int64)}
+    )  # 4% of the key space
+    p_ds, b_ds = _from_pandas(probe, 4), _from_pandas(build, 2)
+
+    pruned = bloom_prefilter(p_ds, b_ds, "k", "k2", n_bits=1 << 16)
+    got = (
+        bucketed_join(pruned, b_ds, "k", "k2", n_buckets=4)
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        probe.merge(build, left_on="k", right_on="k2")
+        .drop(columns=["k2"])
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+    # the prefilter must actually prune (~96% of probe rows are misses;
+    # a tiny false-positive rate is fine, keeping half is not)
+    n_kept = bloom_prefilter(p_ds, b_ds, "k", "k2", n_bits=1 << 16).count()
+    assert n_kept < 0.1 * len(probe)
+    assert n_kept >= len(exp.drop_duplicates(subset=["k", "v"]))
+
+
+def test_bloom_prefilter_string_keys(ray_session):
+    from rayxtract.joins import bloom_prefilter
+
+    probe = pd.DataFrame(
+        {"u": [f"http://site{i}/p" for i in range(2000)]}
+    )
+    build = pd.DataFrame({"b": [f"http://site{i}/p" for i in range(0, 2000, 50)]})
+    kept = (
+        bloom_prefilter(
+            _from_pandas(probe, 3), _from_pandas(build, 2), "u", "b",
+            n_bits=1 << 14,
+        )
+        .to_pandas()["u"]
+        .tolist()
+    )
+    required = set(build["b"])
+    assert required <= set(kept)
+    assert len(kept) < 0.2 * len(probe)
