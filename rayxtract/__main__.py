@@ -79,7 +79,24 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--src", required=True)
     pi.add_argument("--dest", required=True)
 
+    pq = sub.add_parser(
+        "query",
+        help="run a registered analytics query (see `query --list`) over an "
+             "sf-dir of parquet tables; write parquet or print rows",
+    )
+    pq.add_argument("name", nargs="?", help="query name from the registry")
+    pq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    pq.add_argument("--out", help="write result parquet here instead of printing")
+    pq.add_argument("--limit", type=int, default=20, help="rows to print without --out")
+    pq.add_argument("--list", action="store_true", help="list registered query names")
+
     args = p.parse_args(argv)
+    if args.cmd == "query" and args.list:
+        from .queries import QUERIES
+
+        for name in sorted(QUERIES):
+            print(name)
+        return 0
     _ray_up()
 
     if args.cmd == "extract":
@@ -127,6 +144,28 @@ def main(argv: list[str] | None = None) -> int:
         from .tools import import_jsonl
 
         print(json.dumps({"rows": import_jsonl(args.src, args.dest)}))
+    elif args.cmd == "query":
+        import ray.data
+
+        from .queries import QUERIES
+
+        if not args.name or args.name not in QUERIES:
+            known = ", ".join(sorted(QUERIES)[:8])
+            p.error(f"unknown query {args.name!r} (try --list; e.g. {known}, …)")
+        result = QUERIES[args.name](args.sf_dir)
+        if args.out:
+            if not isinstance(result, ray.data.Dataset):
+                result = ray.data.from_pandas(result)
+            result.write_parquet(args.out)
+            print(json.dumps({"query": args.name, "out": args.out}))
+        else:
+            df = (
+                result.limit(args.limit).to_pandas()
+                if isinstance(result, ray.data.Dataset)
+                else result.head(args.limit)
+            )
+            for row in json.loads(df.to_json(orient="records")):
+                print(json.dumps(row, ensure_ascii=False))
     return 0
 
 

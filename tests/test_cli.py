@@ -87,3 +87,30 @@ def test_cli_import_jsonl_roundtrip(cli_out, capsys, tmp_path):
         """
     ).fetchone()
     assert (n, tot) == (1000, 1000)
+
+
+def test_cli_query_list_and_run(capsys, tmp_path):
+    assert main(["query", "--list"]) == 0
+    names = capsys.readouterr().out.strip().splitlines()
+    assert "q1_pricing_summary" in names and "doc_bm25_topk" in names
+
+    assert main(
+        ["query", "lineitem_bloom_join", "--sf-dir", "/root/testdata/sf0.001"]
+    ) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows and {"o_orderpriority", "n_lines", "rev_cents"} <= set(rows[0])
+
+    out = str(tmp_path / "qout")
+    assert main(
+        ["query", "doc_bm25_topk", "--sf-dir", "/root/testdata/sf0.001",
+         "--out", out]
+    ) == 0
+    import duckdb
+
+    n = duckdb.sql(f"SELECT COUNT(*) FROM read_parquet('{out}/*.parquet')").fetchone()[0]
+    assert n == 20
+
+
+def test_cli_query_unknown_name_errors(capsys):
+    with pytest.raises(SystemExit):
+        main(["query", "no_such_query"])
