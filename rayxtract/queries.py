@@ -52,6 +52,7 @@ def _cleanup_stale_spills(root: str, keep: tuple[str, ...]) -> None:
         f"{root}.bpe_merges*",
         f"{root}.bpe_words*",
         f"{root}.bm25_docs*",
+        f"{root}.link_edges*",
     ):
         for d in _g.glob(pat):
             if d not in keep and ".tmp." not in d:
@@ -1633,6 +1634,28 @@ def _oracle_corpus_root(sf_dir: str = "/root/testdata/sf0.01") -> str:
     return f"{_CACHE_ROOT}/n{n}_s{DEFAULT_SEED}_v{GEN_VERSION}"
 
 
+def _link_edges_spilled(sf_dir: str):
+    """Raw (src_url, href, n_links) link-edge table behind the
+    marker-gated spill: SIX graph queries (link_edges, inbound_links,
+    pagerank(+agreement), hits(+agreement), crawl_frontier) consume the
+    same tolerant-DOM edge extraction — the walk over the full page
+    corpus (~11 s at the 300k tier) runs cold exactly once per corpus
+    and every later query streams the parquet. Same discipline (and
+    cleanup registration) as the neardup/emb/bm25 spills."""
+    import ray.data
+
+    from .graph import extract_link_edges
+    from .neardup import _spill_and_reread
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    root = _oracle_corpus_root(sf_dir)
+    spill = f"{root}.link_edges_e{_SPILL_VERSION}"
+    ds = ray.data.read_parquet(pages_dir, columns=["url", "html"])
+    return _spill_and_reread(
+        extract_link_edges(ds), spill, params={"op": "link-edges"}
+    )
+
+
 def q_pages_recrawl_winners(sf_dir: str):
     """The flagship's pass A as a first-class oracle-checked query: the
     distributed hash-bucketed winner reduce returns exactly the urls with
@@ -1965,13 +1988,7 @@ def q_pages_link_edges(sf_dir: str):
     the byte-prefix filter (payload starts '<!DOCTYPE') is the exact
     predicate both sides share — transport-gzip pages are out of scope
     for the SQL side (no gunzip in DuckDB)."""
-    import ray.data
-
-    from .graph import extract_link_edges
-
-    pages_dir, _ = _pages_corpus(sf_dir)
-    ds = ray.data.read_parquet(pages_dir, columns=["url", "html"])
-    edges = extract_link_edges(ds)
+    edges = _link_edges_spilled(sf_dir)
 
     def rename(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -1992,14 +2009,9 @@ def q_pages_inbound_links(sf_dir: str):
     hash(href)-bucketed exchange over the already-grouped (src, href,
     n) edge rows, never the raw anchors. Builds on the SAME tolerant-
     DOM edge definition (and oracle regex) as pages_link_edges."""
-    import ray.data
-
     from .agg import bucketed_aggregate
-    from .graph import extract_link_edges
 
-    pages_dir, _ = _pages_corpus(sf_dir)
-    ds = ray.data.read_parquet(pages_dir, columns=["url", "html"])
-    edges = extract_link_edges(ds)
+    edges = _link_edges_spilled(sf_dir)
     return bucketed_aggregate(
         edges.map_batches(
             lambda b: pd.DataFrame(
@@ -2029,18 +2041,21 @@ def q_pages_pagerank(sf_dir: str):
     deterministic result set. No SQL oracle (iterative float fixpoint);
     the two kernels are golden-tested equivalent to 1e-12
     (tests/test_graph.py) and the edge input is itself oracle-checked
-    (pages_link_edges)."""
-    import ray.data
-
+    (pages_link_edges). Query-level driver_threshold=20M (same call the
+    HITS query makes): the sf0.1 graph is 2.76M edges — just past the
+    library's 2M default — and the distributed loop pays ~2 exchanges
+    per round for a graph that trivially fits one node's memory; any
+    one-node graph belongs on the dense kernel, the Dataset loop is for
+    graphs that DON'T fit (and stays covered by pages_pagerank_agreement
+    at driver_threshold=0)."""
     from .agg import topk
-    from .graph import extract_link_edges, pagerank, resolve_edges
+    from .graph import pagerank, resolve_edges
 
-    pages_dir, _ = _pages_corpus(sf_dir)
-    ds = ray.data.read_parquet(pages_dir, columns=["url", "html"])
-    edges = resolve_edges(extract_link_edges(ds))
+    edges = resolve_edges(_link_edges_spilled(sf_dir))
     ranks = pagerank(
         edges, damping=0.85, n_iter=10, src_col="src_url",
         dst_col="dst_url", weight_col="n_links",
+        driver_threshold=20_000_000,
     )
 
     def micro(batch: pd.DataFrame) -> pd.DataFrame:
@@ -2069,14 +2084,9 @@ def q_pages_pagerank_agreement(sf_dir: str):
     node sets (micro-rank + url tiebreak on both sides). Oracle: total
     overlap. VALIDATION query — the reference gathers the edge list by
     design (that is what makes it a reference)."""
-    import ray.data
+    from .graph import pagerank, pagerank_reference, resolve_edges
 
-    from .graph import (extract_link_edges, pagerank, pagerank_reference,
-                        resolve_edges)
-
-    pages_dir, _ = _pages_corpus(sf_dir)
-    ds = ray.data.read_parquet(pages_dir, columns=["url", "html"])
-    edges = resolve_edges(extract_link_edges(ds)).materialize()
+    edges = resolve_edges(_link_edges_spilled(sf_dir)).materialize()
     dist = pagerank(
         edges, damping=0.85, n_iter=3, src_col="src_url", dst_col="dst_url",
         weight_col="n_links", driver_threshold=0,
@@ -2120,14 +2130,10 @@ def q_pages_hits(sf_dir: str):
     equivalence-gated by pages_hits_agreement (driver_threshold=0) and
     tests/test_graph.py, and the edge input is itself oracle-checked
     (pages_link_edges)."""
-    import ray.data
-
     from .agg import topk
-    from .graph import extract_link_edges, hits, resolve_edges
+    from .graph import hits, resolve_edges
 
-    pages_dir, _ = _pages_corpus(sf_dir)
-    ds = ray.data.read_parquet(pages_dir, columns=["url", "html"])
-    edges = resolve_edges(extract_link_edges(ds)).select_columns(
+    edges = resolve_edges(_link_edges_spilled(sf_dir)).select_columns(
         ["src_url", "dst_url"]
     )
     scores = hits(edges, n_iter=10, driver_threshold=20_000_000)
@@ -2162,14 +2168,10 @@ def q_pages_hits_agreement(sf_dir: str):
     authority sets AND top-20 hub sets (nano-score + url tiebreak on both
     sides). Oracle: total overlap on both axes. VALIDATION query — the
     reference gathers the edge list by design."""
-    import ray.data
+    from .graph import hits, hits_reference, resolve_edges
 
-    from .graph import extract_link_edges, hits, hits_reference, resolve_edges
-
-    pages_dir, _ = _pages_corpus(sf_dir)
-    ds = ray.data.read_parquet(pages_dir, columns=["url", "html"])
     edges = (
-        resolve_edges(extract_link_edges(ds))
+        resolve_edges(_link_edges_spilled(sf_dir))
         .select_columns(["src_url", "dst_url"])
         .materialize()
     )
@@ -2356,12 +2358,11 @@ def q_pages_crawl_frontier(sf_dir: str):
     import ray.data
 
     from .agg import bucketed_aggregate
-    from .graph import extract_link_edges, resolve_edges
+    from .graph import resolve_edges
     from .joins import bucketed_join
 
     pages_dir, _ = _pages_corpus(sf_dir)
-    ds = ray.data.read_parquet(pages_dir, columns=["url", "html"])
-    edges = resolve_edges(extract_link_edges(ds))
+    edges = resolve_edges(_link_edges_spilled(sf_dir))
 
     per_src = bucketed_aggregate(
         edges.map_batches(
@@ -2900,6 +2901,7 @@ def q_pages_neardup_exact(sf_dir: str):
             f"{root}.bpe_merges_m{_BPE_MERGES}_e{_SPILL_VERSION}",
             f"{root}.bpe_words_m{_BPE_MERGES}_e{_SPILL_VERSION}",
             f"{root}.bm25_docs_e{_SPILL_VERSION}",
+            f"{root}.link_edges_e{_SPILL_VERSION}",
         ),
     )
     # the verified-pair set is deterministic per (corpus root, params,
