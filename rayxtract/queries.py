@@ -53,6 +53,7 @@ def _cleanup_stale_spills(root: str, keep: tuple[str, ...]) -> None:
         f"{root}.bpe_words*",
         f"{root}.bm25_docs*",
         f"{root}.link_edges*",
+        f"{root}.anchor_pairs*",
     ):
         for d in _g.glob(pat):
             if d not in keep and ".tmp." not in d:
@@ -1656,6 +1657,28 @@ def _link_edges_spilled(sf_dir: str):
     )
 
 
+def _anchor_pairs_spilled(sf_dir: str):
+    """Raw (href, anchor) pair table behind the marker-gated spill —
+    shared by pages_anchor_texts and pages_anchor_top (both otherwise
+    re-walk every page's DOM)."""
+    import ray.data
+
+    from .graph import AnchorExtractBatch
+    from .neardup import _spill_and_reread
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    root = _oracle_corpus_root(sf_dir)
+    spill = f"{root}.anchor_pairs_e{_SPILL_VERSION}"
+    ds = ray.data.read_parquet(pages_dir, columns=["url", "html"])
+    pairs = ds.map_batches(
+        AnchorExtractBatch,
+        batch_format="pandas",
+        concurrency=(1, 32),
+        batch_size=256,
+    )
+    return _spill_and_reread(pairs, spill, params={"op": "anchor-pairs"})
+
+
 def q_pages_recrawl_winners(sf_dir: str):
     """The flagship's pass A as a first-class oracle-checked query: the
     distributed hash-bucketed winner reduce returns exactly the urls with
@@ -2208,19 +2231,9 @@ def q_pages_anchor_texts(sf_dir: str):
     move, never raw pages. Oracle: the synth corpus' anchors are flat
     ``<a href="X">text</a>``, so one DuckDB regex re-derives the exact
     pair set."""
-    import ray.data
-
     from .agg import bucketed_aggregate
-    from .graph import AnchorExtractBatch
 
-    pages_dir, _ = _pages_corpus(sf_dir)
-    ds = ray.data.read_parquet(pages_dir, columns=["url", "html"])
-    pairs = ds.map_batches(
-        AnchorExtractBatch,
-        batch_format="pandas",
-        concurrency=(1, 32),
-        batch_size=256,
-    )
+    pairs = _anchor_pairs_spilled(sf_dir)
     return bucketed_aggregate(
         pairs.map_batches(
             lambda b: pd.DataFrame(
@@ -2249,19 +2262,8 @@ def q_pages_anchor_top(sf_dir: str):
     share a bucket by construction, so no second shuffle."""
     import zlib as _z
 
-    import ray.data
-
-    from .graph import AnchorExtractBatch
-
     n_buckets = 16
-    pages_dir, _ = _pages_corpus(sf_dir)
-    ds = ray.data.read_parquet(pages_dir, columns=["url", "html"])
-    pairs = ds.map_batches(
-        AnchorExtractBatch,
-        batch_format="pandas",
-        concurrency=(1, 32),
-        batch_size=256,
-    )
+    pairs = _anchor_pairs_spilled(sf_dir)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         g = (
@@ -2902,6 +2904,7 @@ def q_pages_neardup_exact(sf_dir: str):
             f"{root}.bpe_words_m{_BPE_MERGES}_e{_SPILL_VERSION}",
             f"{root}.bm25_docs_e{_SPILL_VERSION}",
             f"{root}.link_edges_e{_SPILL_VERSION}",
+            f"{root}.anchor_pairs_e{_SPILL_VERSION}",
         ),
     )
     # the verified-pair set is deterministic per (corpus root, params,
