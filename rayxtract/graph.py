@@ -278,8 +278,16 @@ def pagerank(
     dst_col: str = "dst_url",
     weight_col: str | None = None,
     driver_threshold: int = 2_000_000,
+    seeds=None,
 ):
     """Distributed PageRank over (src, dst[, weight]) string-url edges.
+
+    ``seeds`` (optional url collection) switches to PERSONALIZED
+    PageRank: teleport + dangling mass land uniformly on the seed nodes
+    (a seed SET is small by definition — it broadcasts as hashed node
+    ids inside the per-round update; nothing else changes shape). Same
+    fixed-n_iter uniform-rank init as the dense reference, so the two
+    kernels stay bit-comparable.
 
     Returns a Dataset (url, rank) over every node that appears as a src or
     dst. Fixed ``n_iter`` damped power iterations with uniform
@@ -321,6 +329,7 @@ def pagerank(
             pagerank_reference(
                 edges, damping=damping, n_iter=n_iter,
                 src_col=src_col, dst_col=dst_col, weight_col=weight_col,
+                seeds=seeds,
             )
         )
 
@@ -408,6 +417,40 @@ def pagerank(
             }
         )
 
+    if seeds is None:
+        seed_arr = None
+        n_seed_present = 0
+    else:
+        # the teleport target set: hashed node ids of the seed urls that
+        # actually appear in the graph (a seed SET is small by
+        # definition — the array rides into every update task closure)
+        seed_arr = np.unique(
+            np.asarray(
+                url_node_id([str(s) for s in set(seeds)]), dtype=np.int64
+            )
+        )
+        n_seed_present = (
+            node_ids.map_batches(
+                lambda b: pd.DataFrame(
+                    {
+                        "n": [
+                            int(
+                                np.isin(
+                                    b["node"].to_numpy(np.int64), seed_arr
+                                ).sum()
+                            )
+                        ]
+                    }
+                ),
+                batch_format="pandas",
+            ).sum("n")
+            or 0
+        )
+        if n_seed_present == 0:
+            raise ValueError(
+                "personalized pagerank: no seed url is in the graph"
+            )
+
     base = (1.0 - damping) / n_nodes
     for _ in range(n_iter):
         joined = bucketed_join(
@@ -422,16 +465,27 @@ def pagerank(
         # rank mass is exactly 1 per round; non-dangling nodes forward all
         # of theirs, so the dangling mass is the remainder — no extra pass
         dangling = max(0.0, 1.0 - (sums.sum("c") or 0.0))
-        uniform = base + damping * dangling / n_nodes
+        if seed_arr is None:
+            uniform = base + damping * dangling / n_nodes
 
-        def update(batch: pd.DataFrame, u=uniform) -> pd.DataFrame:
-            c = batch["c"].astype("float64").fillna(0.0).values
-            return pd.DataFrame(
-                {
-                    "node": batch["node"].astype("int64").values,
-                    "rank": u + damping * c,
-                }
-            )
+            def update(batch: pd.DataFrame, u=uniform) -> pd.DataFrame:
+                c = batch["c"].astype("float64").fillna(0.0).values
+                return pd.DataFrame(
+                    {
+                        "node": batch["node"].astype("int64").values,
+                        "rank": u + damping * c,
+                    }
+                )
+        else:
+            seed_u = (1.0 - damping + damping * dangling) / n_seed_present
+
+            def update(batch: pd.DataFrame, su=seed_u) -> pd.DataFrame:
+                c = batch["c"].astype("float64").fillna(0.0).values
+                node_np = batch["node"].to_numpy(np.int64)
+                tele = np.where(np.isin(node_np, seed_arr), su, 0.0)
+                return pd.DataFrame(
+                    {"node": node_np, "rank": tele + damping * c}
+                )
 
         # repartition caps the state's block count: the join's union emits
         # blocks(left)+blocks(right), so WITHOUT this the per-round block
@@ -461,12 +515,20 @@ def pagerank_reference(
     src_col: str = "src_url",
     dst_col: str = "dst_url",
     weight_col: str | None = None,
+    seeds=None,
 ) -> pd.DataFrame:
     """Dense numpy PageRank — the golden oracle for :func:`pagerank`
     (same formulation, same iteration count; driver-side kernel of the
     hybrid). np.unique(return_inverse) builds the sorted node index at C
     speed — same ordering as sorted(set(...)), measured several-fold
-    faster on multi-million-edge url graphs."""
+    faster on multi-million-edge url graphs.
+
+    ``seeds``: optional url collection — PERSONALIZED PageRank (Page et
+    al. 1999 §6; Haveliwala 2002): teleport AND dangling mass land
+    uniformly on the seed nodes present in the graph instead of on all
+    nodes (rank init stays uniform so a fixed-n_iter run is exactly
+    reproducible distributed-vs-dense). Seeds absent from the graph are
+    ignored; all-absent raises."""
     m = len(edges)
     both = np.concatenate(
         [edges[src_col].to_numpy(dtype=object), edges[dst_col].to_numpy(dtype=object)]
@@ -487,12 +549,19 @@ def pagerank_reference(
     di = inv[m:]
     out_w = np.zeros(n)
     np.add.at(out_w, si, w)
+    if seeds is None:
+        p = np.full(n, 1.0 / n)
+    else:
+        mask = np.isin(urls, np.unique(np.asarray(list(seeds), dtype=object).astype(str)))
+        if not mask.any():
+            raise ValueError("personalized pagerank: no seed url is in the graph")
+        p = mask.astype(np.float64) / mask.sum()
     r = np.full(n, 1.0 / n)
     for _ in range(n_iter):
         dangling = r[out_w == 0].sum()
         c = np.zeros(n)
         np.add.at(c, di, r[si] * w / np.where(out_w[si] == 0, 1, out_w[si]))
-        r = (1 - damping) / n + damping * (c + dangling / n)
+        r = (1 - damping) * p + damping * (c + dangling * p)
     return pd.DataFrame({"url": urls, "rank": r})
 
 

@@ -2135,6 +2135,104 @@ def q_pages_pagerank_agreement(sf_dir: str):
     )
 
 
+_PPR_SEED_PREFIX = "https://site0000.example/"
+
+
+def _ppr_seeds(sf_dir: str) -> list:
+    """Seed urls for personalized PageRank: every crawled url of one
+    trusted host (~300 urls at the 300k tier — a seed set is small by
+    definition, the ONLY driver gather in the PPR queries)."""
+    import ray.data
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    df = (
+        ray.data.read_parquet(pages_dir, columns=["url"])
+        .map_batches(
+            lambda b: b.loc[
+                b["url"].str.startswith(_PPR_SEED_PREFIX), ["url"]
+            ].drop_duplicates(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    # an all-empty-block Dataset loses its pandas schema on to_pandas
+    if "url" not in df.columns or not len(df):
+        raise ValueError(f"no crawled urls under {_PPR_SEED_PREFIX!r}")
+    return sorted(df["url"].unique().tolist())
+
+
+def q_pages_ppr(sf_dir: str):
+    """PERSONALIZED PAGERANK (Haveliwala 2002 — the crawl-prioritization
+    / TrustRank shape: rank flows out from a trusted seed host instead
+    of uniformly): teleport + dangling mass land on the crawled urls of
+    one host; top-100 targets by nano-rank with url tiebreak. Same
+    hybrid kernel + 20M dense threshold as pages_pagerank; the seed set
+    rides into the update tasks as hashed node ids. Rows-only (float
+    fixpoint) — dense/distributed equivalence gated by
+    pages_ppr_agreement and tests/test_graph.py."""
+    from .agg import topk
+    from .graph import pagerank, resolve_edges
+
+    edges = resolve_edges(_link_edges_spilled(sf_dir))
+    ranks = pagerank(
+        edges, damping=0.85, n_iter=10, src_col="src_url",
+        dst_col="dst_url", weight_col="n_links",
+        driver_threshold=20_000_000, seeds=_ppr_seeds(sf_dir),
+    )
+
+    def nano(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "url": batch["url"].values,
+                "rank_nano": np.rint(
+                    batch["rank"].astype("float64") * 1e9
+                ).astype("int64"),
+            }
+        )
+
+    return topk(
+        ranks.map_batches(nano, batch_format="pandas"),
+        ["rank_nano", "url"],
+        descending=[True, False],
+        k=100,
+    )
+
+
+def q_pages_ppr_agreement(sf_dir: str):
+    """Self-gate for the personalized-PageRank fixpoint (same pattern as
+    pages_pagerank_agreement): distributed kernel at driver_threshold=0
+    vs dense reference, 3 iterations, SAME seed set; integer top-20
+    overlap with a total-agreement constant oracle."""
+    from .graph import pagerank, pagerank_reference, resolve_edges
+
+    seeds = _ppr_seeds(sf_dir)
+    edges = resolve_edges(_link_edges_spilled(sf_dir)).materialize()
+    dist = pagerank(
+        edges, damping=0.85, n_iter=3, src_col="src_url", dst_col="dst_url",
+        weight_col="n_links", driver_threshold=0, seeds=seeds,
+    ).to_pandas()
+    ref = pagerank_reference(
+        edges.to_pandas(), damping=0.85, n_iter=3, weight_col="n_links",
+        seeds=seeds,
+    )
+
+    def top20(df: pd.DataFrame) -> set:
+        d = df.copy()
+        d["rank_nano"] = np.rint(d["rank"].astype("float64") * 1e9).astype(
+            "int64"
+        )
+        d = d.sort_values(
+            ["rank_nano", "url"], ascending=[False, True], kind="mergesort"
+        )
+        return set(d["url"].head(20))
+
+    n_agree = len(top20(dist) & top20(ref))
+    return pd.DataFrame(
+        {"k": pd.Series([20], dtype="int64"),
+         "n_agree": pd.Series([n_agree], dtype="int64")}
+    )
+
+
 def q_pages_hits(sf_dir: str):
     """HITS hubs-and-authorities over the extracted link graph
     (graph.hits): the mutual-reinforcement complement to PageRank —
@@ -7303,6 +7401,8 @@ QUERIES = {
     "pages_inbound_links": q_pages_inbound_links,
     "pages_pagerank": q_pages_pagerank,
     "pages_pagerank_agreement": q_pages_pagerank_agreement,
+    "pages_ppr": q_pages_ppr,
+    "pages_ppr_agreement": q_pages_ppr_agreement,
     "pages_hits": q_pages_hits,
     "pages_hits_agreement": q_pages_hits_agreement,
     "pages_crawl_frontier": q_pages_crawl_frontier,
@@ -7354,6 +7454,9 @@ ORACLE_SQL = {
         )
     """,
     "pages_pagerank_agreement": """
+        SELECT CAST(20 AS BIGINT) AS k, CAST(20 AS BIGINT) AS n_agree
+    """,
+    "pages_ppr_agreement": """
         SELECT CAST(20 AS BIGINT) AS k, CAST(20 AS BIGINT) AS n_agree
     """,
     "pages_hits_agreement": """

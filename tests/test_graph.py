@@ -262,3 +262,52 @@ def test_hits_multigraph_duplicate_edges_weighted(ray_session):
     # u carries 3 of the 4 parallel edges -> the bigger hub
     s = got.set_index("url")
     assert s.loc["u", "hub"] > s.loc["v", "hub"]
+
+
+def test_personalized_pagerank_matches_dense_and_concentrates(ray_session):
+    """Seeded (personalized) PageRank: distributed kernel == dense
+    reference to 1e-12 with the SAME seed set; mass conserved; rank
+    concentrates on the seed neighborhood vs uniform PageRank."""
+    import ray.data
+
+    from rayxtract.graph import pagerank, pagerank_reference
+
+    edges = _rand_edges(np.random.RandomState(11))
+    seeds = [u for u in edges["src_url"].unique()[:3]]
+
+    got = (
+        pagerank(
+            ray.data.from_pandas(edges),
+            n_iter=6,
+            weight_col="n_links",
+            driver_threshold=0,
+            seeds=seeds,
+        )
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pagerank_reference(edges, n_iter=6, weight_col="n_links", seeds=seeds)
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert list(got["url"]) == list(exp["url"])
+    np.testing.assert_allclose(got["rank"], exp["rank"], rtol=0, atol=1e-12)
+    assert got["rank"].sum() == pytest.approx(1.0, abs=1e-9)
+
+    # concentration: the seeds' total rank must exceed their uniform-PR
+    # share (teleport lands only on them)
+    uni = pagerank_reference(edges, n_iter=6, weight_col="n_links")
+    seed_mass = got.set_index("url").loc[seeds, "rank"].sum()
+    seed_mass_uni = uni.set_index("url").loc[seeds, "rank"].sum()
+    assert seed_mass > 2 * seed_mass_uni
+
+    # absent seeds raise on both kernels
+    with pytest.raises(ValueError):
+        pagerank_reference(edges, n_iter=2, seeds=["https://nowhere.example/"])
+    with pytest.raises(ValueError):
+        pagerank(
+            ray.data.from_pandas(edges), n_iter=2, driver_threshold=0,
+            seeds=["https://nowhere.example/"],
+        )
