@@ -56,6 +56,15 @@ def main(argv: list[str] | None = None) -> int:
              "(auto switches on dup-url count)",
     )
 
+    pb = sub.add_parser(
+        "build",
+        help="curated-training-set build: extraction + langid + quality "
+             "gate, manifested + resumable like extract",
+    )
+    pb.add_argument("--pages", required=True)
+    pb.add_argument("--out", required=True)
+    pb.add_argument("--no-resume", action="store_true")
+
     ps = sub.add_parser("status", help="newest-first crawl listing")
     ps.add_argument("--out", required=True)
     ps.add_argument("--limit", type=int, default=50)
@@ -112,6 +121,13 @@ def main(argv: list[str] | None = None) -> int:
                 loser_filter=args.loser_filter,
             ),
             resume=not args.no_resume,
+        )
+        print(json.dumps(report))
+    elif args.cmd == "build":
+        from .pipeline import run_curation_build
+
+        report = run_curation_build(
+            args.pages, args.out, resume=not args.no_resume
         )
         print(json.dumps(report))
     elif args.cmd == "status":

@@ -53,6 +53,7 @@ from .ops import ExtractConfig, LayoutParse, extract_batch
 __all__ = [
     "extraction_dataset",
     "run_extraction",
+    "run_curation_build",
     "compute_recrawl_winners",
     "resolve_tie_rows",
     "list_shards",
@@ -609,10 +610,20 @@ def run_extraction(
     out_dir: str,
     cfg: ExtractConfig | None = None,
     resume: bool = True,
+    transform=None,
 ) -> dict:
     """Run (or resume) the pipeline to shard-partitioned parquet + manifests.
 
     Returns a job report: per-partition metrics totals and timing.
+
+    ``transform`` (optional, Dataset -> Dataset) splices extra
+    SHARD-ALIGNED stages between extraction and the partitioned write —
+    per-batch maps/filters only (anything that shuffles rows across
+    partitions would break the shard == output-partition resume
+    contract). It must preserve ``partition_id`` and the metric columns
+    (n_chars, is_ocr_fallback, is_parse_failure, text_crc); row FILTERS
+    are fine — manifests then record the kept rows, and resume
+    semantics are unchanged (see :func:`run_curation_build`).
     """
     import ray.data
 
@@ -643,6 +654,8 @@ def run_extraction(
     skipped = len(done)
     if skipped < n_shards:
         ds = extraction_dataset(pages_path, cfg, skip_partitions=done)
+        if transform is not None:
+            ds = transform(ds)
         ds.write_parquet(out_dir, partition_cols=["partition_id"])
         # persist the executed plan's per-stage breakdown next to the
         # manifests — the run-level half of the lineage story (the
@@ -749,3 +762,63 @@ def run_extraction(
     with ThreadPoolExecutor(max_workers=16) as pool:
         list(pool.map(_write_one, stats.to_dict("records")))
     return totals
+
+
+def run_curation_build(
+    pages_path: str,
+    out_dir: str,
+    cfg: ExtractConfig | None = None,
+    resume: bool = True,
+) -> dict:
+    """FLAGSHIP #2 — curated-training-set build as ONE resumable job:
+    extraction (dedup'd, byte-identical text) -> warm language-ID actor
+    pool -> vectorized quality gate (en, >= 200 chars, <= 10% digits,
+    integer cross-multiplied), written shard-partitioned with the SAME
+    per-partition lineage manifests and resume semantics as the raw
+    extraction job (the gate is a per-batch row filter, so output
+    partitions stay aligned with input shards and a re-run skips
+    complete shards at the read). The gate itself is oracle-checked
+    end-to-end by the pages_curation_pipeline query; this entry point
+    adds the manifested write + resume around it.
+
+    Report: run_extraction's totals — ``rows``/``chars`` count the rows
+    the gate KEPT.
+    """
+
+    def transform(ds):
+        import numpy as np
+        import pandas as pd
+
+        from .textops import LangIdBatch, add_quality_counts
+
+        ds = ds.map_batches(
+            LangIdBatch, batch_format="pandas", batch_size=512,
+            concurrency=(1, 8),
+        )
+        ds = ds.map_batches(add_quality_counts, batch_format="pandas")
+
+        # explicit projection: the curated set keeps scalar columns only
+        # (`spans` is a list column pandas round-trips as ragged object
+        # arrays Arrow can't rebuild — and a training set doesn't need
+        # extraction spans; re-derive from the raw pages if ever needed)
+        keep_cols = [
+            "partition_id", "url", "warc_ts", "lang", "lang_pred", "text",
+            "n_chars", "n_chars_q", "n_tokens", "n_digits", "n_punct",
+            "is_ocr_fallback", "is_parse_failure", "text_crc",
+        ]
+
+        def gate(batch: pd.DataFrame) -> pd.DataFrame:
+            n_chars = batch["n_chars_q"].to_numpy(np.int64)
+            keep = (
+                (batch["lang_pred"] == "en").to_numpy()
+                & (n_chars >= 200)
+                & (batch["n_digits"].to_numpy(np.int64) * 10 <= n_chars)
+            )
+            cols = [c for c in keep_cols if c in batch.columns]
+            return batch.loc[keep, cols]
+
+        return ds.map_batches(gate, batch_format="pandas")
+
+    return run_extraction(
+        pages_path, out_dir, cfg, resume=resume, transform=transform
+    )

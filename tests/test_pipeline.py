@@ -454,3 +454,57 @@ def test_run_writes_stage_stats(small_corpus, tmp_path):
     run_extraction(pages_dir, out, ExtractConfig(), resume=False)
     stats = open(os.path.join(out, "_stats.txt")).read()
     assert "ReadParquet" in stats or "Operator" in stats
+
+
+def test_curation_build_manifested_and_resumable(small_corpus, tmp_path):
+    """run_curation_build: gate output equals the plain (unmanifested)
+    curation DAG run over the same corpus; a second call skips every
+    partition at the read; the report counts kept rows."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from rayxtract.ops import ExtractConfig
+    from rayxtract.pipeline import extraction_dataset, run_curation_build
+    from rayxtract.textops import LangIdBatch, add_quality_counts
+
+    pages_dir, _ = small_corpus
+    out = str(tmp_path / "build_out")
+    report = run_curation_build(pages_dir, out, ExtractConfig())
+    assert report["partitions_skipped_on_resume"] == 0
+    assert 0 < report["rows"] < 1000  # the gate must actually drop rows
+
+    # independent expectation: same stages as a plain Dataset run
+    ds = extraction_dataset(pages_dir, ExtractConfig())
+    ds = ds.map_batches(
+        LangIdBatch, batch_format="pandas", batch_size=512, concurrency=(1, 4)
+    )
+    ds = ds.map_batches(add_quality_counts, batch_format="pandas")
+
+    def gate(batch: pd.DataFrame) -> pd.DataFrame:
+        n_chars = batch["n_chars_q"].to_numpy(np.int64)
+        keep = (
+            (batch["lang_pred"] == "en").to_numpy()
+            & (n_chars >= 200)
+            & (batch["n_digits"].to_numpy(np.int64) * 10 <= n_chars)
+        )
+        return batch.loc[keep]
+
+    exp = (
+        ds.map_batches(gate, batch_format="pandas")
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    got = duckdb.sql(
+        f"SELECT url, text FROM read_parquet('{out}/*/*.parquet', "
+        "hive_partitioning=1) ORDER BY url"
+    ).df()
+    assert report["rows"] == len(exp) == len(got)
+    assert list(got["url"]) == list(exp["url"])
+    assert list(got["text"]) == list(exp["text"])
+
+    # resume: everything already manifested -> nothing re-runs
+    report2 = run_curation_build(pages_dir, out, ExtractConfig())
+    assert report2["partitions_skipped_on_resume"] == report["partitions"]
+    assert report2["rows"] == report["rows"]
