@@ -5584,6 +5584,54 @@ def q_events_windowed_topk(sf_dir: str):
     return picked.select_columns(["window_id", "event_type", "n"])
 
 
+def q_events_zorder_layout(sf_dir: str):
+    """Z-ORDER LAYOUT (Morton-curve clustering — the lakehouse table-
+    layout trick that makes min/max zone maps effective on TWO filter
+    columns at once): interleave the low 16 bits of user_id with the
+    low 16 bits of the event's hour bucket, split the curve into 16
+    fixed-width code ranges (top 4 bits — no sort, no shuffle), and
+    report per-range row counts + min/max of BOTH dimensions. The
+    min/max spans ARE the payoff being demonstrated: each z-range
+    bounds user AND time simultaneously, which a single-column sort
+    can't do. Fully vectorized per batch; the only exchange is the
+    16-row combiner-tree aggregate. Integer-exact, so the SQL oracle
+    replays the same 16-term bit interleave."""
+    from .agg import tree_aggregate
+
+    def zcode(batch: pd.DataFrame) -> pd.DataFrame:
+        a = (batch["user_id"].to_numpy(np.int64) & 0xFFFF).astype(np.int64)
+        hour = (
+            batch["ts"].to_numpy("datetime64[us]").astype(np.int64)
+            // 3_600_000_000
+        )
+        b = (hour & 0xFFFF).astype(np.int64)
+        z = np.zeros(len(a), dtype=np.int64)
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return pd.DataFrame(
+            {
+                "zbucket": (z >> 28).astype("int64"),
+                "user_id": batch["user_id"].astype("int64").values,
+                "hour": hour,
+            }
+        )
+
+    return tree_aggregate(
+        _read(sf_dir, "events", ["ts", "user_id"]).map_batches(
+            zcode, batch_format="pandas"
+        ),
+        keys=["zbucket"],
+        aggs={
+            "n_rows": ("user_id", "count"),
+            "min_user": ("user_id", "min"),
+            "max_user": ("user_id", "max"),
+            "min_hour": ("hour", "min"),
+            "max_hour": ("hour", "max"),
+        },
+    )
+
+
 def q_events_ntile_buckets(sf_dir: str):
     """GLOBAL NTILE / RANGE PARTITIONER: assign every event to one of 8
     equal-count buckets by global (value, event_id) rank — the explicit
@@ -7268,6 +7316,7 @@ QUERIES = {
     "events_daily_active": q_events_daily_active,
     "events_winsorize": q_events_winsorize,
     "events_ntile_buckets": q_events_ntile_buckets,
+    "events_zorder_layout": q_events_zorder_layout,
     "events_windowed_topk": q_events_windowed_topk,
     "events_attribution_window": q_events_attribution_window,
     "q3_shipping_priority": q3_shipping_priority,
@@ -8459,6 +8508,43 @@ ORACLE_SQL = {
                  row_number() OVER (PARTITION BY window_id ORDER BY n DESC, event_type ASC) AS rn
           FROM c
         ) WHERE rn <= 2
+    """,
+    # z-order: 16-term Morton interleave of (user_id & 0xFFFF) with the
+    # hour bucket, fixed-width split on the top 4 of 32 code bits.
+    "events_zorder_layout": """
+        WITH x AS (
+          SELECT user_id,
+                 CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+                 CAST(user_id AS BIGINT) & 65535 AS a,
+                 (CAST(epoch_us(ts) // 3600000000 AS BIGINT)) & 65535 AS b
+          FROM events
+        ), z AS (
+          SELECT user_id, hour,
+            (((a >> 0) & 1) << 0)  | (((b >> 0) & 1) << 1)  |
+            (((a >> 1) & 1) << 2)  | (((b >> 1) & 1) << 3)  |
+            (((a >> 2) & 1) << 4)  | (((b >> 2) & 1) << 5)  |
+            (((a >> 3) & 1) << 6)  | (((b >> 3) & 1) << 7)  |
+            (((a >> 4) & 1) << 8)  | (((b >> 4) & 1) << 9)  |
+            (((a >> 5) & 1) << 10) | (((b >> 5) & 1) << 11) |
+            (((a >> 6) & 1) << 12) | (((b >> 6) & 1) << 13) |
+            (((a >> 7) & 1) << 14) | (((b >> 7) & 1) << 15) |
+            (((a >> 8) & 1) << 16) | (((b >> 8) & 1) << 17) |
+            (((a >> 9) & 1) << 18) | (((b >> 9) & 1) << 19) |
+            (((a >> 10) & 1) << 20) | (((b >> 10) & 1) << 21) |
+            (((a >> 11) & 1) << 22) | (((b >> 11) & 1) << 23) |
+            (((a >> 12) & 1) << 24) | (((b >> 12) & 1) << 25) |
+            (((a >> 13) & 1) << 26) | (((b >> 13) & 1) << 27) |
+            (((a >> 14) & 1) << 28) | (((b >> 14) & 1) << 29) |
+            (((a >> 15) & 1) << 30) | (((b >> 15) & 1) << 31) AS zc
+          FROM x
+        )
+        SELECT CAST(zc >> 28 AS BIGINT) AS zbucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(user_id) AS BIGINT) AS min_user,
+               CAST(MAX(user_id) AS BIGINT) AS max_user,
+               CAST(MIN(hour) AS BIGINT) AS min_hour,
+               CAST(MAX(hour) AS BIGINT) AS max_hour
+        FROM z GROUP BY 1
     """,
     "events_ntile_buckets": """
         SELECT event_id,
