@@ -1679,6 +1679,62 @@ def _anchor_pairs_spilled(sf_dir: str):
     return _spill_and_reread(pairs, spill, params={"op": "anchor-pairs"})
 
 
+def q_pages_zone_maps(sf_dir: str):
+    """ZONE MAPS from parquet FOOTERS (the prune-at-the-read machinery:
+    a planner consults per-shard min/max before scheduling any scan —
+    this query reads ONLY footers, zero data pages): per input shard,
+    row count + min/max url and warc_ts folded across its row groups.
+    One raw Ray task per shard (a Dataset job's startup dwarfs a
+    footer read — same rationale as the winner pass); the oracle
+    re-derives the identical spans the expensive way, by scanning."""
+    import ray
+
+    from .pipeline import list_shards
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    shards = list_shards(pages_dir)
+
+    @ray.remote(num_cpus=1)
+    def zone(path: str, sid: int) -> dict:
+        import numpy as _np
+        import pyarrow.parquet as pq
+
+        md = pq.read_metadata(path)
+        min_u = max_u = None
+        min_t = max_t = None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                st = c.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                if c.path_in_schema == "url":
+                    lo, hi = st.min, st.max
+                    min_u = lo if min_u is None else min(min_u, lo)
+                    max_u = hi if max_u is None else max(max_u, hi)
+                elif c.path_in_schema == "warc_ts":
+                    lo = _np.datetime64(st.min, "us").astype("int64")
+                    hi = _np.datetime64(st.max, "us").astype("int64")
+                    min_t = lo if min_t is None else min(min_t, lo)
+                    max_t = hi if max_t is None else max(max_t, hi)
+        return {
+            "shard_id": sid,
+            "n_rows": int(md.num_rows),
+            "min_url": min_u,
+            "max_url": max_u,
+            "min_ts_us": int(min_t),
+            "max_ts_us": int(max_t),
+        }
+
+    recs = ray.get([zone.remote(p, i) for i, p in enumerate(shards)])
+    df = pd.DataFrame(recs)
+    return df.astype(
+        {"shard_id": "int64", "n_rows": "int64",
+         "min_ts_us": "int64", "max_ts_us": "int64"}
+    )
+
+
 def q_pages_recrawl_winners(sf_dir: str):
     """The flagship's pass A as a first-class oracle-checked query: the
     distributed hash-bucketed winner reduce returns exactly the urls with
@@ -7455,6 +7511,7 @@ QUERIES = {
     "pages_hits": q_pages_hits,
     "pages_hits_agreement": q_pages_hits_agreement,
     "pages_crawl_frontier": q_pages_crawl_frontier,
+    "pages_zone_maps": q_pages_zone_maps,
     "pages_anchor_texts": q_pages_anchor_texts,
     "pages_anchor_top": q_pages_anchor_top,
     "pages_bm25_topk": q_pages_bm25_topk,
@@ -9289,6 +9346,26 @@ def _pages_oracles(sf_dir: str) -> dict[str, str]:
                            '&amp;', '&') AS anchor,
                    CAST(COUNT(*) AS BIGINT) AS n_refs
             FROM m GROUP BY 1, 2
+        """,
+        # zone maps: the oracle re-derives the footer spans by scanning;
+        # shard_id = rank of the (sorted) file path, matching list_shards
+        "pages_zone_maps": f"""
+            WITH f AS (
+              SELECT url, warc_ts, filename
+              FROM read_parquet('{pages}', filename=1)
+            ), ids AS (
+              SELECT filename,
+                     CAST(row_number() OVER (ORDER BY filename) - 1 AS BIGINT) AS shard_id
+              FROM (SELECT DISTINCT filename FROM f)
+            )
+            SELECT i.shard_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   MIN(url) AS min_url,
+                   MAX(url) AS max_url,
+                   CAST(MIN(epoch_us(warc_ts)) AS BIGINT) AS min_ts_us,
+                   CAST(MAX(epoch_us(warc_ts)) AS BIGINT) AS max_ts_us
+            FROM f JOIN ids i USING (filename)
+            GROUP BY i.shard_id
         """,
         # BM25 over the extracted corpus: byte-identity makes golden_text
         # the exact engine input; same HUGEINT rational as doc_bm25_topk.
