@@ -100,12 +100,18 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--list", action="store_true", help="list registered query names")
 
     args = p.parse_args(argv)
-    if args.cmd == "query" and args.list:
+    if args.cmd == "query":
+        # both the listing and the name validation run BEFORE Ray boots —
+        # a typo'd name should cost an argparse error, not a cluster start
         from .queries import QUERIES
 
-        for name in sorted(QUERIES):
-            print(name)
-        return 0
+        if args.list:
+            for name in sorted(QUERIES):
+                print(name)
+            return 0
+        if not args.name or args.name not in QUERIES:
+            known = ", ".join(sorted(QUERIES)[:8])
+            p.error(f"unknown query {args.name!r} (try --list; e.g. {known}, …)")
     _ray_up()
 
     if args.cmd == "extract":
@@ -165,9 +171,6 @@ def main(argv: list[str] | None = None) -> int:
 
         from .queries import QUERIES
 
-        if not args.name or args.name not in QUERIES:
-            known = ", ".join(sorted(QUERIES)[:8])
-            p.error(f"unknown query {args.name!r} (try --list; e.g. {known}, …)")
         result = QUERIES[args.name](args.sf_dir)
         if args.out:
             if not isinstance(result, ray.data.Dataset):

@@ -65,27 +65,35 @@ def _hrefs_of_tree(root) -> list[str]:
             if isinstance(ch, str):
                 continue
             if ch.tag == "a":
-                attrs = ch.attrs
-                if isinstance(attrs, str):
-                    m = _HREF_RE.search(attrs)
-                    if m:
-                        out.append(m.group(1) or m.group(2) or m.group(3) or "")
-                else:
-                    for k, v in attrs:
-                        if k == "href" and v is not None:
-                            out.append(v)
-                            break
+                href = _href_of(ch)
+                if href is not None:
+                    out.append(href)
             stack.append(ch)
     return out
 
 
+def _href_of(node):
+    """href attribute of an element node, or None — shared by the link
+    and anchor tree walks (attrs arrive as a raw string from the fast
+    tokenizer or as (k, v) pairs)."""
+    attrs = node.attrs
+    if isinstance(attrs, str):
+        m = _HREF_RE.search(attrs)
+        if m:
+            return m.group(1) or m.group(2) or m.group(3) or ""
+        return None
+    for k, v in attrs:
+        if k == "href" and v is not None:
+            return v
+    return None
+
+
 def _anchors_of_tree(root) -> list[tuple]:
-    """All (href, anchor_text) pairs in document order. Anchor text is the
-    concatenation of every text descendant of the <a> node (synth corpus
-    anchors are flat ``<a href>text</a>``, where this equals the raw
-    between-tags text a regex oracle sees; nested markup would still
-    concatenate correctly here, it just falls outside the oracle's
-    contract)."""
+    """All (href, anchor_text) pairs in document order. Anchor text is
+    the concatenation of every text descendant of the <a> node in
+    DOCUMENT order — ``<a href>foo<b>bar</b>baz</a>`` yields
+    ``foobarbaz`` (unit-tested; the synth-corpus oracle only exercises
+    the flat single-text case)."""
     out: list[tuple] = []
     stack = [root]
     while stack:
@@ -94,27 +102,19 @@ def _anchors_of_tree(root) -> list[tuple]:
             if isinstance(ch, str):
                 continue
             if ch.tag == "a":
-                href = None
-                attrs = ch.attrs
-                if isinstance(attrs, str):
-                    m = _HREF_RE.search(attrs)
-                    if m:
-                        href = m.group(1) or m.group(2) or m.group(3) or ""
-                else:
-                    for k, v in attrs:
-                        if k == "href" and v is not None:
-                            href = v
-                            break
+                href = _href_of(ch)
                 if href is not None:
+                    # strings are appended when POPPED (not at push
+                    # time), so multiple/mixed text children come out
+                    # in document order
                     texts: list[str] = []
-                    astack = [ch]
+                    astack: list = list(reversed(ch.children))
                     while astack:
                         an = astack.pop()
-                        for ac in reversed(an.children):
-                            if isinstance(ac, str):
-                                texts.append(ac)
-                            else:
-                                astack.append(ac)
+                        if isinstance(an, str):
+                            texts.append(an)
+                        else:
+                            astack.extend(reversed(an.children))
                     out.append((href, "".join(texts)))
             stack.append(ch)
     return out

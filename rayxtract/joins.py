@@ -239,7 +239,14 @@ def bloom_prefilter(
         .map_batches(merge, batch_format="pandas", batch_size=None)
         .take_all()  # exactly ONE pickled bloom row — n_bits/8 bytes
     )
-    bloom_ref = ray.put(pickle.loads(merged[0]["__bf"]))
+    bf_final = pickle.loads(merged[0]["__bf"]) if merged else None
+    if bf_final is None:
+        # empty build side: nothing can match — emit an empty probe with
+        # the schema intact rather than crashing on a missing bloom row
+        return probe.map_batches(
+            lambda b: b.iloc[0:0], batch_format="pandas"
+        )
+    bloom_ref = ray.put(bf_final)
 
     def prune(batch: pd.DataFrame) -> pd.DataFrame:
         bf: BloomFilter = ray.get(bloom_ref)

@@ -90,9 +90,10 @@ def shard_fingerprint(shard_path: str) -> dict:
 
 
 def completed_partitions_for(
-    out_dir: str, input_path: str, shard_files: list[str]
+    out_dir: str, input_path: str, shard_files: list[str],
+    job: str = "extract",
 ) -> set[int]:
-    """Partition ids whose manifest matches the CURRENT input.
+    """Partition ids whose manifest matches the CURRENT input AND job.
 
     A manifest is resumable only if it records the same input path, the
     same shard file for its pid — shard_id is the sorted-file-list index,
@@ -101,7 +102,13 @@ def completed_partitions_for(
     skipping stale data (ADVICE r1, pipeline.py:186) — AND the same shard
     content fingerprint (size + mtime_ns): a shard rewritten in place is
     re-run, not trusted. Manifests without a fingerprint (pre-r3) are
-    treated as stale."""
+    treated as stale.
+
+    ``job`` is the transform identity: an out_dir written by
+    `rayxtract extract` must NOT satisfy a `rayxtract build` resume (or
+    vice versa) — the partitions would be silently un-curated /
+    silently gated. Manifests without a job field (pre this change)
+    are treated as "extract"."""
     import os as _os
 
     input_path = _os.path.abspath(input_path)
@@ -112,6 +119,7 @@ def completed_partitions_for(
         m = read_manifest(out_dir, pid)
         if (
             m is not None
+            and m.get("job", "extract") == job
             and m.get("input") == input_path
             and m.get("shard_file") == _os.path.basename(shard_files[pid])
             and m.get("shard_size") is not None

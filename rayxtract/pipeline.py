@@ -611,6 +611,7 @@ def run_extraction(
     cfg: ExtractConfig | None = None,
     resume: bool = True,
     transform=None,
+    job: str = "extract",
 ) -> dict:
     """Run (or resume) the pipeline to shard-partitioned parquet + manifests.
 
@@ -640,7 +641,7 @@ def run_extraction(
     # resume trusts a manifest only when its (input, shard_file) lineage
     # matches the current input — stale manifests are wiped and re-run
     done = (
-        mf.completed_partitions_for(out_dir, pages_path, shards)
+        mf.completed_partitions_for(out_dir, pages_path, shards, job=job)
         if resume
         else set()
     )
@@ -749,6 +750,7 @@ def run_extraction(
                 "parse_failures": int(rec["parse_failures"]),
                 "crc_sum": int(rec["crc_sum"]),
                 "max_chars": int(rec["max_chars"]),
+                "job": job,
                 "input": os.path.abspath(pages_path),
                 "shard_file": os.path.basename(shards[pid]),
                 # content fingerprint (taken at run START, pre-read):
@@ -820,5 +822,8 @@ def run_curation_build(
         return ds.map_batches(gate, batch_format="pandas")
 
     return run_extraction(
-        pages_path, out_dir, cfg, resume=resume, transform=transform
+        pages_path, out_dir, cfg, resume=resume, transform=transform,
+        # gate identity: bump if the gate predicate/columns change, so a
+        # resume never trusts partitions curated under different rules
+        job="curate:en200d10:v1",
     )

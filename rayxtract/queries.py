@@ -1718,6 +1718,11 @@ def q_pages_zone_maps(sf_dir: str):
                     hi = _np.datetime64(st.max, "us").astype("int64")
                     min_t = lo if min_t is None else min(min_t, lo)
                     max_t = hi if max_t is None else max(max_t, hi)
+        if md.num_rows == 0 or min_u is None or min_t is None:
+            # empty shard or footer without statistics: no zone map to
+            # report (mirrors the oracle, whose scan-side group simply
+            # has no rows for such a shard)
+            return None
         return {
             "shard_id": sid,
             "n_rows": int(md.num_rows),
@@ -1727,8 +1732,15 @@ def q_pages_zone_maps(sf_dir: str):
             "max_ts_us": int(max_t),
         }
 
-    recs = ray.get([zone.remote(p, i) for i, p in enumerate(shards)])
-    df = pd.DataFrame(recs)
+    recs = [
+        r for r in ray.get([zone.remote(p, i) for i, p in enumerate(shards)])
+        if r is not None
+    ]
+    df = pd.DataFrame(
+        recs,
+        columns=["shard_id", "n_rows", "min_url", "max_url",
+                 "min_ts_us", "max_ts_us"],
+    )
     return df.astype(
         {"shard_id": "int64", "n_rows": "int64",
          "min_ts_us": "int64", "max_ts_us": "int64"}

@@ -60,7 +60,6 @@ def test_shuffle_stage_survives_worker_crash(ray_session):
     import ray.data
 
     marker = _marker()
-    crashed = {"flag": False}
 
     def agg_group(group: pd.DataFrame) -> pd.DataFrame:
         if not os.path.exists(marker):

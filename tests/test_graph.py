@@ -311,3 +311,20 @@ def test_personalized_pagerank_matches_dense_and_concentrates(ray_session):
             ray.data.from_pandas(edges), n_iter=2, driver_threshold=0,
             seeds=["https://nowhere.example/"],
         )
+
+
+def test_anchor_text_document_order_nested():
+    """Anchor text concatenates text descendants in DOCUMENT order —
+    mixed/multiple text children must not come out scrambled."""
+    from rayxtract.dom import _build_tree_fast
+    from rayxtract.graph import _anchors_of_tree
+
+    html = (
+        '<html><body>'
+        '<a href="/x">foo<b>bar</b>baz</a>'
+        '<p><a href="/y">A<i>B<b>C</b>D</i>E</a></p>'
+        '</body></html>'
+    )
+    got = _anchors_of_tree(_build_tree_fast(html))
+    assert ("/x", "foobarbaz") in got
+    assert ("/y", "ABCDE") in got

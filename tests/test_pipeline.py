@@ -508,3 +508,26 @@ def test_curation_build_manifested_and_resumable(small_corpus, tmp_path):
     report2 = run_curation_build(pages_dir, out, ExtractConfig())
     assert report2["partitions_skipped_on_resume"] == report["partitions"]
     assert report2["rows"] == report["rows"]
+
+
+def test_build_resume_rejects_extract_manifests(small_corpus, tmp_path):
+    """Job identity in manifests: an out dir written by the RAW
+    extraction job must not satisfy a curation-build resume (the
+    partitions would silently stay un-curated), and vice versa."""
+    from rayxtract.ops import ExtractConfig
+    from rayxtract.pipeline import run_curation_build, run_extraction
+
+    pages_dir, _ = small_corpus
+    out = str(tmp_path / "mixed_out")
+    r1 = run_extraction(pages_dir, out, ExtractConfig())
+    assert r1["rows"] == 1000
+
+    r2 = run_curation_build(pages_dir, out, ExtractConfig())
+    # nothing may be "skipped on resume" — every partition re-runs
+    # under the curate job identity, and the output is now gated
+    assert r2["partitions_skipped_on_resume"] == 0
+    assert 0 < r2["rows"] < r1["rows"]
+
+    # and the build's own manifests DO satisfy a second build
+    r3 = run_curation_build(pages_dir, out, ExtractConfig())
+    assert r3["partitions_skipped_on_resume"] == r2["partitions"]

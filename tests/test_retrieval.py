@@ -163,3 +163,17 @@ def test_bloom_prefilter_string_keys(ray_session):
     required = set(build["b"])
     assert required <= set(kept)
     assert len(kept) < 0.2 * len(probe)
+
+
+def test_bloom_prefilter_empty_build_side(ray_session):
+    """An empty build side means no probe row can match: the prefilter
+    must return an empty (schema-intact) probe, not crash."""
+    from rayxtract.joins import bloom_prefilter
+
+    probe = pd.DataFrame({"k": np.arange(100, dtype=np.int64)})
+    build = pd.DataFrame({"k2": pd.Series([], dtype="int64")})
+    out = bloom_prefilter(
+        _from_pandas(probe, 2), _from_pandas(build, 1), "k", "k2",
+        n_bits=1 << 12,
+    ).to_pandas()
+    assert len(out) == 0
