@@ -5652,6 +5652,61 @@ def q_events_windowed_topk(sf_dir: str):
     return picked.select_columns(["window_id", "event_type", "n"])
 
 
+def q_events_type_bigrams(sf_dir: str):
+    """EVENT-SEQUENCE MINING (the Markov-transition table behind funnel
+    design and next-action prediction): for every user, consecutive
+    event-type pairs in (ts, event_id) order, counted globally. One
+    hash(user)-keyed exchange; each bucket sorts its own users' rows
+    and emits per-batch (prev, next, n) partials, merged in the
+    combiner tree — raw events cross the exchange once, transitions
+    (bounded by |types|^2) are what aggregates."""
+    from .agg import tree_aggregate
+
+    n_buckets = 16
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype("int64").values,
+                "ts_us": batch["ts"]
+                .to_numpy("datetime64[us]")
+                .astype("int64"),
+                "event_id": batch["event_id"].astype("int64").values,
+                "event_type": batch["event_type"].astype(object).values,
+                "__bucket": (batch["user_id"].astype("int64") % n_buckets).values,
+            }
+        )
+
+    def transitions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort"
+        )
+        same_user = g["user_id"].to_numpy()[1:] == g["user_id"].to_numpy()[:-1]
+        prev = g["event_type"].to_numpy(object)[:-1][same_user]
+        nxt = g["event_type"].to_numpy(object)[1:][same_user]
+        out = pd.DataFrame({"prev_type": prev, "event_type": nxt})
+        out = out.groupby(["prev_type", "event_type"], as_index=False).size()
+        return pd.DataFrame(
+            {
+                "prev_type": out["prev_type"].astype(object).values,
+                "event_type": out["event_type"].astype(object).values,
+                "n_pairs": out["size"].astype("int64").values,
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+        .map_batches(prep, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(transitions, batch_format="pandas")
+    )
+    return tree_aggregate(
+        parts,
+        keys=["prev_type", "event_type"],
+        aggs={"n_pairs": ("n_pairs", "sum")},
+    )
+
+
 def q_events_zorder_layout(sf_dir: str):
     """Z-ORDER LAYOUT (Morton-curve clustering — the lakehouse table-
     layout trick that makes min/max zone maps effective on TWO filter
@@ -7385,6 +7440,7 @@ QUERIES = {
     "events_winsorize": q_events_winsorize,
     "events_ntile_buckets": q_events_ntile_buckets,
     "events_zorder_layout": q_events_zorder_layout,
+    "events_type_bigrams": q_events_type_bigrams,
     "events_windowed_topk": q_events_windowed_topk,
     "events_attribution_window": q_events_attribution_window,
     "q3_shipping_priority": q3_shipping_priority,
@@ -8577,6 +8633,18 @@ ORACLE_SQL = {
                  row_number() OVER (PARTITION BY window_id ORDER BY n DESC, event_type ASC) AS rn
           FROM c
         ) WHERE rn <= 2
+    """,
+    "events_type_bigrams": """
+        WITH s AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS prev_type
+          FROM events
+        )
+        SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM s WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
     """,
     # z-order: 16-term Morton interleave of (user_id & 0xFFFF) with the
     # hour bucket, fixed-width split on the top 4 of 32 code bits.
