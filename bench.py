@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "doc_bm25_topk",
     "emb_int8_quantize",
     "pages_bm25_topk",
+    "lineitem_bloom_join",
+    "events_zorder_layout",
 ]
 
 
