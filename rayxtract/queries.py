@@ -1413,6 +1413,120 @@ def q_emb_cluster_medoids(sf_dir: str):
     )
 
 
+_PQ_SUBS = 4      # 64-dim vectors -> 4 subspaces x 16 dims
+_PQ_WIDTH = 16
+_PQ_K = 16        # 4 bits per subspace -> one 16-bit code per vector
+
+
+def _pq_subspace_ds(emb, s: int):
+    def sub(batch: pd.DataFrame) -> pd.DataFrame:
+        x = np.stack(batch["embedding"].to_numpy())
+        lo, hi = s * _PQ_WIDTH, (s + 1) * _PQ_WIDTH
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].astype("int64").values,
+                "embedding": list(x[:, lo:hi]),
+            }
+        )
+
+    return emb.map_batches(sub, batch_format="pandas")
+
+
+def _pq_fit_centroids(emb) -> list:
+    from .ann import kmeans_fit
+
+    cents = []
+    for s in range(_PQ_SUBS):
+        c, _ = kmeans_fit(
+            _pq_subspace_ds(emb, s), k=_PQ_K, n_iter=5, seed=13 + s,
+            pin=False,
+        )
+        cents.append(np.asarray(c, dtype=np.float64))
+    return cents
+
+
+def q_emb_pq_codes(sf_dir: str):
+    """PRODUCT QUANTIZATION (Jegou et al. 2011 — the billion-vector ANN
+    compression standard: split the vector into subspaces, k-means each,
+    store only per-subspace centroid ids): 4 subspaces x 16 dims x 16
+    centroids -> one 16-bit code per vector, 16x smaller than the
+    float32 row and 4x smaller than the int8 scalar codes. Each
+    subspace codebook trains via the distributed Lloyd kernel over the
+    spilled table (only 4 x 16 x 16 centroid floats ever reach the
+    driver); ONE final pass computes all four argmins per vector and
+    packs the nibbles. Rows-only (kmeans fixpoint upstream) — gated by
+    emb_pq_agreement and the kmeans golden tests."""
+    import ray as _ray
+
+    emb = _emb_spilled(sf_dir)
+    ref = _ray.put(_pq_fit_centroids(emb))
+
+    def code(batch: pd.DataFrame) -> pd.DataFrame:
+        cl = _ray.get(ref)
+        x = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        pq = np.zeros(len(x), dtype=np.int64)
+        for s, c in enumerate(cl):
+            xs = x[:, s * _PQ_WIDTH : (s + 1) * _PQ_WIDTH]
+            d2 = (
+                (xs * xs).sum(axis=1)[:, None]
+                - 2.0 * (xs @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+            )
+            pq |= np.argmin(d2, axis=1).astype(np.int64) << (4 * s)
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].astype("int64").values,
+                "pq_code": pq,
+            }
+        )
+
+    return emb.map_batches(code, batch_format="pandas")
+
+
+def q_emb_pq_agreement(sf_dir: str):
+    """Self-gate for the PQ codebooks (the kmeans-agreement pattern per
+    subspace): every subspace's distributed Lloyd fit is replayed by the
+    dense numpy kmeans_reference from the SAME deterministic init, and
+    per-vector codes must agree (numerical boundary ties under the
+    reference centroids tolerated, same 1e-9 rule as
+    emb_kmeans_agreement). VALIDATION query — the dense side gathers
+    the matrix by design."""
+    from .ann import _kmeans_init, kmeans_reference
+
+    emb = _emb_spilled(sf_dir)
+    cents_d = _pq_fit_centroids(emb)
+    pdf = emb.to_pandas().sort_values("vec_id")
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+
+    dist_codes = (
+        q_emb_pq_codes(sf_dir).to_pandas().sort_values("vec_id")
+    )["pq_code"].to_numpy(np.int64)
+
+    n = len(pdf)
+    agree = np.ones(n, dtype=bool)
+    for s in range(_PQ_SUBS):
+        sub_ds = _pq_subspace_ds(emb, s)
+        init = _kmeans_init(sub_ds, _PQ_K, 13 + s, "vec_id", "embedding")
+        cents_r, _ = kmeans_reference(mat[:, s * _PQ_WIDTH : (s + 1) * _PQ_WIDTH], init, n_iter=5)
+        xs = mat[:, s * _PQ_WIDTH : (s + 1) * _PQ_WIDTH]
+        d2 = (
+            (xs * xs).sum(axis=1)[:, None]
+            - 2.0 * (xs @ cents_r.T)
+            + (cents_r * cents_r).sum(axis=1)[None, :]
+        )
+        a_r = np.argmin(d2, axis=1)
+        a_d = (dist_codes >> (4 * s)) & 0xF
+        rows = np.arange(n)
+        tie = np.abs(d2[rows, a_d] - d2[rows, a_r]) <= 1e-9 * (
+            1.0 + np.abs(d2[rows, a_r])
+        )
+        agree &= (a_d == a_r) | tie
+    return pd.DataFrame(
+        {"n_vecs": pd.Series([n], dtype="int64"),
+         "n_agree": pd.Series([int(agree.sum())], dtype="int64")}
+    )
+
+
 def q_emb_kmeans_agreement(sf_dir: str):
     """Driver-oracle SELF-GATE for the kmeans fixpoint (VERDICT r3 next
     #4, the IVF-recall pattern): the distributed Lloyd kernel and the
@@ -7527,6 +7641,8 @@ QUERIES = {
     "emb_cluster_medoids": q_emb_cluster_medoids,
     "emb_label_counts": q_emb_label_counts,
     "emb_int8_quantize": q_emb_int8_quantize,
+    "emb_pq_codes": q_emb_pq_codes,
+    "emb_pq_agreement": q_emb_pq_agreement,
     "emb_neardup": q_emb_neardup,
     "emb_neardup_exact": q_emb_neardup_exact,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
@@ -7610,6 +7726,11 @@ ORACLE_SQL = {
         FROM embeddings
     """,
     "emb_pca_agreement": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(COUNT(*) AS BIGINT) AS n_agree
+        FROM embeddings
+    """,
+    "emb_pq_agreement": """
         SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
                CAST(COUNT(*) AS BIGINT) AS n_agree
         FROM embeddings
