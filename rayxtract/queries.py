@@ -1527,6 +1527,80 @@ def q_emb_pq_agreement(sf_dir: str):
     )
 
 
+def q_emb_pq_adc_recall(sf_dir: str):
+    """ADC RETRIEVAL RECALL (asymmetric distance computation — how a PQ
+    index actually answers queries: per-subspace lookup tables of
+    query-to-centroid distances, vector distance = sum of 4 table
+    lookups instead of a 64-dim dot product): per query, |top-10 by ADC
+    ∩ top-10 by exact L2|, BOTH computed in-engine over the same table
+    in ONE pass per query (the batch emits adc_nano AND exact_nano; two
+    local-top-k combiners reduce each side to <= 10 rows per batch).
+    Rows-only by nature (ADC is approximate); the row VALUES are the
+    gate — floor asserted in tests/test_retrieval.py."""
+    import ray as _ray
+
+    from .agg import topk
+
+    emb = _emb_spilled(sf_dir)
+    q = _query_matrix(sf_dir)
+    cents = _pq_fit_centroids(emb)
+    luts = np.stack(
+        [
+            np.stack(
+                [
+                    ((c - q[qi, s * _PQ_WIDTH : (s + 1) * _PQ_WIDTH][None, :]) ** 2).sum(axis=1)
+                    for s, c in enumerate(cents)
+                ]
+            )
+            for qi in range(len(q))
+        ]
+    )  # (n_queries, 4, 16)
+    ref = _ray.put((cents, luts, q))
+
+    rows = []
+    for qi in range(len(q)):
+
+        def score(batch: pd.DataFrame, qi=qi) -> pd.DataFrame:
+            cl, l, qm = _ray.get(ref)
+            x = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            exact = ((x - qm[qi][None, :]) ** 2).sum(axis=1)
+            adc = np.zeros(len(x))
+            for s, c in enumerate(cl):
+                xs = x[:, s * _PQ_WIDTH : (s + 1) * _PQ_WIDTH]
+                d2 = (
+                    (xs * xs).sum(axis=1)[:, None]
+                    - 2.0 * (xs @ c.T)
+                    + (c * c).sum(axis=1)[None, :]
+                )
+                adc += l[qi, s, np.argmin(d2, axis=1)]
+            return pd.DataFrame(
+                {
+                    "vec_id": batch["vec_id"].astype("int64").values,
+                    "adc_nano": np.rint(adc * 1e9).astype("int64"),
+                    "exact_nano": np.rint(exact * 1e9).astype("int64"),
+                }
+            )
+
+        scored = emb.map_batches(score, batch_format="pandas")
+        top_adc = topk(
+            scored, ["adc_nano", "vec_id"], descending=[False, False], k=10
+        ).to_pandas()
+        top_ex = topk(
+            scored, ["exact_nano", "vec_id"], descending=[False, False], k=10
+        ).to_pandas()
+        rows.append(
+            {
+                "query_id": qi,
+                "n_overlap": len(
+                    set(top_adc["vec_id"].astype(int))
+                    & set(top_ex["vec_id"].astype(int))
+                ),
+                "k": 10,
+            }
+        )
+    return pd.DataFrame(rows).astype("int64")
+
+
 def q_emb_kmeans_agreement(sf_dir: str):
     """Driver-oracle SELF-GATE for the kmeans fixpoint (VERDICT r3 next
     #4, the IVF-recall pattern): the distributed Lloyd kernel and the
@@ -7643,6 +7717,7 @@ QUERIES = {
     "emb_int8_quantize": q_emb_int8_quantize,
     "emb_pq_codes": q_emb_pq_codes,
     "emb_pq_agreement": q_emb_pq_agreement,
+    "emb_pq_adc_recall": q_emb_pq_adc_recall,
     "emb_neardup": q_emb_neardup,
     "emb_neardup_exact": q_emb_neardup_exact,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,

@@ -177,3 +177,17 @@ def test_bloom_prefilter_empty_build_side(ray_session):
         n_bits=1 << 12,
     ).to_pandas()
     assert len(out) == 0
+
+
+def test_pq_adc_recall_floor(ray_session):
+    """ADC recall gate: the synthetic embeddings are uniform randoms —
+    PQ's adversarial case (no cluster structure to exploit), so 16-bit
+    codes legitimately sit in the 2-3/10 recall regime. The floor that
+    must ALWAYS hold: every query recovers at least one true neighbor
+    (the query vector itself is in the table; its ADC distance is pure
+    quantization error and stays near the top)."""
+    from rayxtract.queries import QUERIES
+
+    df = QUERIES["emb_pq_adc_recall"]("/root/testdata/sf0.001")
+    assert list(df["k"]) == [10, 10]
+    assert (df["n_overlap"] >= 1).all()
