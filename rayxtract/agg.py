@@ -18,6 +18,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from . import scale as _scale
+
 __all__ = [
     "tree_aggregate",
     "bucketed_aggregate",
@@ -101,7 +103,7 @@ def bucketed_aggregate(
     ds,
     keys: list[str],
     aggs: dict[str, tuple[str, str]],
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
 ):
     """Grouped aggregate for LARGE-cardinality keys: partial combine, then
     a hash(key)-bucketed exchange with one merge per bucket — no single
@@ -109,6 +111,7 @@ def bucketed_aggregate(
     when results are corpus-sized, e.g. a web-scale vocabulary count).
     Only partial rows move through the exchange. Same ``aggs`` spec as
     tree_aggregate."""
+    n_buckets = _scale.resolve(n_buckets)  # size-derived unless explicit
     for out, (col, fn) in aggs.items():
         if fn not in _AGG_FUNCS:
             raise ValueError(f"unsupported agg fn {fn} for {out}")

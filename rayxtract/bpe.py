@@ -43,7 +43,7 @@ __all__ = [
 ]
 
 
-def word_count_table(ds, text_col: str = "text", n_buckets: int = 16):
+def word_count_table(ds, text_col: str = "text", n_buckets: int | None = None):
     """(word, cnt) over a whitespace-split corpus — one bucketed exchange
     of per-batch partial counts (vocabulary-sized output)."""
     from .agg import bucketed_aggregate
@@ -126,7 +126,7 @@ def bpe_train(
     ds,
     text_col: str = "text",
     n_merges: int = 200,
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
     driver_threshold: int = 500_000,
 ):
     """Train a BPE merge list over a corpus. Returns a DataFrame
@@ -145,7 +145,7 @@ def bpe_train(
 def bpe_train_from_table(
     wc_ds,
     n_merges: int = 200,
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
     driver_threshold: int = 500_000,
 ):
     """Train from a MATERIALIZED (word, cnt) vocabulary table — the
@@ -166,7 +166,7 @@ def bpe_train_from_table(
     )
 
 
-def _bpe_train_distributed(wc_ds, n_merges: int, n_buckets: int) -> list:
+def _bpe_train_distributed(wc_ds, n_merges: int, n_buckets: int | None) -> list:
     """Distributed merge rounds over the vocabulary table: per round, ONE
     pair-count exchange (per-batch partials -> tree aggregate -> top-1
     with the deterministic tie-break) and one broadcast merge

@@ -37,6 +37,8 @@ import zlib
 import numpy as np
 import pandas as pd
 
+from . import scale as _scale
+
 __all__ = [
     "split_assign",
     "stratified_sample",
@@ -252,7 +254,7 @@ def paragraph_dedup(
     id_col: str = "url",
     text_col: str = "text",
     sep: str = "\n",
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
 ):
     """Global exact paragraph dedup, C4-style (arXiv:1910.10683 §2.2): every
     repeated paragraph survives only at its first occurrence — the globally
@@ -274,6 +276,7 @@ def paragraph_dedup(
     pages) emit no row — callers left-join against the id universe if they
     need explicit zeros. At corpus scale the exploded stage streams;
     nothing here materializes the dataset or holds per-corpus state."""
+    n_buckets = _scale.resolve(n_buckets)
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         ids, idxs, paras, n_ins = [], [], [], []

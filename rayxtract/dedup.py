@@ -20,6 +20,8 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from . import scale as _scale
+
 __all__ = [
     "dedup_keep_latest",
     "local_keep_latest",
@@ -229,7 +231,7 @@ def decontaminate(
                 "bloom path requires a deterministic, re-computable ds"
             )
     evs = eval_ds.map_batches(fp_eval, batch_format="pandas")
-    joined = bucketed_join(suspects, evs, "__fpi", "__fpe", n_buckets=32, how="left")
+    joined = bucketed_join(suspects, evs, "__fpi", "__fpe", how="left")
 
     def anti(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch[batch["__hit"].isna()].drop(columns=["__fpi", "__hit"])
@@ -390,7 +392,7 @@ def dup_span_stats(
     w: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
     mode: str = "auto",
     broadcast_limit: int = 5_000_000,
 ):
@@ -616,7 +618,7 @@ def cross_corpus_novelty(
     w: int = 6,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
 ):
     """NOVELTY SCORING against an existing corpus: for every NEW
     document, how many of its w-token windows already occur anywhere in
@@ -640,6 +642,8 @@ def cross_corpus_novelty(
     import pandas as pd
 
     from .agg import bucketed_aggregate
+
+    n_buckets = _scale.resolve(n_buckets)
 
     def old_rows_cls():
         kern = _WindowHashKernel(w)

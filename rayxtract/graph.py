@@ -35,6 +35,8 @@ import re
 import numpy as np
 import pandas as pd
 
+from . import scale as _scale
+
 __all__ = [
     "extract_link_edges",
     "pagerank",
@@ -191,7 +193,7 @@ class LinkExtractBatch:
         )
 
 
-def extract_link_edges(pages_ds, n_buckets: int = 16):
+def extract_link_edges(pages_ds, n_buckets: int | None = None):
     """Weighted link edges (src_url, href, n_links) from a pages Dataset.
 
     Input needs (url, html); pass a column-pruned read. The count combine
@@ -199,6 +201,7 @@ def extract_link_edges(pages_ds, n_buckets: int = 16):
     edge set (large-cardinality groupby discipline, same as
     agg.bucketed_aggregate but keyed on a string pair)."""
 
+    n_buckets = _scale.resolve(n_buckets)  # size-derived unless explicit
     # (1, 32) x 256: the pool autoscales to the node (8-cap starved a
     # 32-CPU box), and 256 pages/task amortizes task overhead — measured
     # 17.8 -> 11.2 s on the 300k-page tier for the identical walk. HTML
@@ -273,7 +276,7 @@ def pagerank(
     edges,
     damping: float = 0.85,
     n_iter: int = 10,
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
     src_col: str = "src_url",
     dst_col: str = "dst_url",
     weight_col: str | None = None,
@@ -315,6 +318,7 @@ def pagerank(
     The per-round repartition caps block growth (union doubles it
     otherwise); driver traffic per round is ONE scalar.
     """
+    n_buckets = _scale.resolve(n_buckets)
     import ray.data
 
     from .agg import bucketed_aggregate
@@ -580,7 +584,7 @@ def resolve_edges(edges_ds, src_col: str = "src_url", href_col: str = "href"):
 
 
 def triangle_count(
-    edges_ds, a_col: str = "a", b_col: str = "b", n_buckets: int = 16
+    edges_ds, a_col: str = "a", b_col: str = "b", n_buckets: int | None = None
 ) -> int:
     """Exact GLOBAL TRIANGLE COUNT via degree-ordered orientation — the
     textbook distributed formulation (orient every undirected edge from
@@ -599,6 +603,7 @@ def triangle_count(
     ONE string-keyed bucketed join. The only driver value is the final
     count. Tie-breaks compare RAW node values in both the orientation and
     the wedge ordering — the two must agree or triangles are missed."""
+    n_buckets = _scale.resolve(n_buckets)
     from .agg import bucketed_aggregate
     from .joins import auto_join, bucketed_join
 
@@ -718,7 +723,7 @@ def triangle_count(
 def hits(
     edges,
     n_iter: int = 10,
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
     src_col: str = "src_url",
     dst_col: str = "dst_url",
     driver_threshold: int = 2_000_000,
@@ -747,6 +752,7 @@ def hits(
     Duplicate (src, dst) rows act as parallel edges (weight = occurrence
     count) in BOTH kernels, so the equivalence gate covers multigraphs.
     """
+    n_buckets = _scale.resolve(n_buckets)
     import ray.data
 
     from .agg import bucketed_aggregate

@@ -35,6 +35,8 @@ import zlib
 import numpy as np
 import pandas as pd
 
+from . import scale as _scale
+
 SCALE = 1_000_000
 
 
@@ -104,12 +106,14 @@ def score_bucket(group: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def bigram_fluency(ds, n_buckets: int = 32):
+def bigram_fluency(ds, n_buckets: int | None = None):
     """``(doc_id, n_bigrams, fluency)`` for every doc with >= 1 bigram;
     ``fluency = sum(occ * (c12 * SCALE // c1)) // n_bigrams`` — the
     scaled-integer mean MLE bigram probability under the corpus-trained
     model. Input needs columns ``doc_id`` and ``text``."""
     from .agg import bucketed_aggregate
+
+    n_buckets = _scale.resolve(n_buckets)
 
     exploded = ds.map_batches(
         lambda b: explode_bigram_counts(b, n_buckets), batch_format="pandas"
@@ -164,7 +168,7 @@ def explode_global_bigrams(batch: pd.DataFrame, n_buckets: int = 32) -> pd.DataF
     return out
 
 
-def pmi_bigrams(ds, min_count: int = 5, k: int = 50, n_buckets: int = 32):
+def pmi_bigrams(ds, min_count: int = 5, k: int = 50, n_buckets: int | None = None):
     """Top-k bigram collocations by pointwise mutual information
     (Church & Hanks 1990) — the phrase-mining signal used to build
     phrase vocabularies for training corpora.
@@ -188,6 +192,7 @@ def pmi_bigrams(ds, min_count: int = 5, k: int = 50, n_buckets: int = 32):
     """
     from .agg import topk
 
+    n_buckets = _scale.resolve(n_buckets)
     exploded = ds.map_batches(
         lambda b: explode_global_bigrams(b, n_buckets), batch_format="pandas"
     )

@@ -29,6 +29,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from . import scale as _scale
+
 logger = logging.getLogger(__name__)
 
 # ---------------------------------------------------------------------------
@@ -513,7 +515,7 @@ def minhash_candidate_pairs(
         ),
         batch_format="pandas",
     )
-    n_join_buckets = 16
+    n_join_buckets = _scale.exchange_buckets()
     with_a = bucketed_join(
         pairs, sigs_b, "doc_a", "doc_id", n_buckets=n_join_buckets
     ).map_batches(_rename_sig("sig_a"), batch_format="pandas")
@@ -593,10 +595,10 @@ def ngram_jaccard_verify(
         return fn
 
     with_a = bucketed_join(
-        pairs_ds, texts_ds, "doc_a", id_col, n_buckets=16
+        pairs_ds, texts_ds, "doc_a", id_col
     ).map_batches(_rename(text_col, "__text_a"), batch_format="pandas")
     with_ab = bucketed_join(
-        with_a, texts_ds, "doc_b", id_col, n_buckets=16
+        with_a, texts_ds, "doc_b", id_col
     ).map_batches(_rename(text_col, "__text_b"), batch_format="pandas")
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
@@ -659,7 +661,7 @@ def prefix_filter_pairs(
     ds,
     k: int = 3,
     threshold: float = 0.5,
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ):
@@ -698,6 +700,8 @@ def prefix_filter_pairs(
     import math
 
     import ray
+
+    n_buckets = _scale.resolve(n_buckets)
 
     from .agg import bucketed_aggregate
     from .joins import bucketed_join
@@ -1510,7 +1514,7 @@ def label_propagation_clusters(pairs, max_rounds: int = 64):
     )
     prev_sum = None
     for _ in range(max_rounds):
-        prop = bucketed_join(edges, labels, "src", "node", n_buckets=8)
+        prop = bucketed_join(edges, labels, "src", "node")
 
         def msg(batch: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame(

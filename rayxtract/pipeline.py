@@ -48,6 +48,7 @@ import pandas as pd
 import pyarrow as pa
 
 from . import manifest as mf
+from . import scale as _scale
 from .ops import ExtractConfig, LayoutParse, extract_batch
 
 __all__ = [
@@ -139,7 +140,7 @@ def _concat_frames_fn(*frames):
     return pd.concat(frames, ignore_index=True)
 
 
-def _winner_pass(pages_path: str, n_buckets: int = 16):
+def _winner_pass(pages_path: str, n_buckets: int | None = None):
     """Pass A, fully distributed: hash-bucketed two-level reduce.
 
     Reads just (url, warc_ts) — column pruning keeps this pass ~0.1% of the
@@ -157,6 +158,8 @@ def _winner_pass(pages_path: str, n_buckets: int = 16):
     200k-row two-column table — worse than the whole extraction; the raw
     bucketed task reduce is ~1s.)"""
     import ray
+
+    n_buckets = _scale.resolve(n_buckets)
 
     shard_partial = ray.remote(num_cpus=1)(_shard_partial_fn)
     bucket_reduce = ray.remote(num_cpus=1)(_bucket_reduce_fn)
@@ -184,7 +187,7 @@ def _winner_pass(pages_path: str, n_buckets: int = 16):
     return per_shard, winner_refs, ties, int(sum(counts))
 
 
-def _split_winner_refs(pages_path: str, n_buckets: int = 16):
+def _split_winner_refs(pages_path: str, n_buckets: int | None = None):
     """(winner frame refs, ties dict) — see ``_winner_pass``."""
     _, winner_refs, ties, _ = _winner_pass(pages_path, n_buckets)
     return winner_refs, ties
@@ -236,7 +239,7 @@ def _shard_winner_maps(per_shard, winner_refs, n_buckets: int):
 
 
 def compute_recrawl_winners(
-    pages_path: str, n_buckets: int = 16
+    pages_path: str, n_buckets: int | None = None
 ) -> tuple[dict[str, int], dict[str, int]]:
     """Driver-side view of pass A (the BROADCAST filter path).
 
@@ -402,7 +405,7 @@ def _keep_mask(urls, ts, idx, wts, tie_idx):
     return keep
 
 
-def _antijoin_losers(ds, winner_refs, tie_urls: frozenset, n_buckets: int = 32):
+def _antijoin_losers(ds, winner_refs, tie_urls: frozenset, n_buckets: int | None = None):
     """The 10^12-scale loser filter: hash(url)-bucketed ANTI-join of the
     page stream against the DISTRIBUTED winner table — the winner side is
     never gathered to the driver or broadcast (VERDICT r2 "What's missing"
@@ -414,6 +417,7 @@ def _antijoin_losers(ds, winner_refs, tie_urls: frozenset, n_buckets: int = 32):
     import ray
     import ray.data
 
+    n_buckets = _scale.resolve(n_buckets)
     ties_ref = ray.put(tie_urls)
     winners_ds = ray.data.from_pandas_refs(list(winner_refs))
 
@@ -488,6 +492,8 @@ def extraction_dataset(
     import ray.data
 
     cfg = cfg or ExtractConfig()
+    _scale.hint_from_dir(pages_path)  # size-derived exchange fan-out
+    nb = _scale.resolve(None)
     shards = list_shards(pages_path)
     shard_of = {path: i for i, path in enumerate(shards)}
     todo = [
@@ -496,7 +502,7 @@ def extraction_dataset(
         if not skip_partitions or shard_of[p] not in skip_partitions
     ]
 
-    per_shard, winner_refs, ties, n_dup = _winner_pass(pages_path)
+    per_shard, winner_refs, ties, n_dup = _winner_pass(pages_path, nb)
     mode = cfg.loser_filter
     if mode == "auto":
         mode = (
@@ -511,7 +517,7 @@ def extraction_dataset(
     if mode == "broadcast":
         winners_ref = ray.put((_gather_winners(winner_refs), frozenset(ties)))
     elif mode == "shardmap":
-        shard_maps = _shard_winner_maps(per_shard, winner_refs, n_buckets=16)
+        shard_maps = _shard_winner_maps(per_shard, winner_refs, n_buckets=nb)
         ties_ref = ray.put(frozenset(ties))
 
     ds = ray.data.read_parquet(

@@ -23,6 +23,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from . import scale as _scale
+
 __all__ = ["QUERIES", "ORACLE_SQL", "flagship_entry"]
 
 
@@ -464,7 +466,7 @@ def q_join_supplier_nation(sf_dir: str):
 
     s = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
     n = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
-    return bucketed_join(s, n, "s_nationkey", "n_nationkey", n_buckets=8)
+    return bucketed_join(s, n, "s_nationkey", "n_nationkey")
 
 
 def q_orders_cust_nation(sf_dir: str):
@@ -484,7 +486,7 @@ def q_orders_cust_nation(sf_dir: str):
 
     o = o.map_batches(price_filter, batch_format="pandas")
     c = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    oc = bucketed_join(o, c, "o_custkey", "c_custkey", n_buckets=16)
+    oc = bucketed_join(o, c, "o_custkey", "c_custkey")
 
     n = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     n_ref = ray.put(dict(zip(n["n_nationkey"].astype(int), n["n_name"])))
@@ -513,7 +515,7 @@ def q_cust_left_orders(sf_dir: str):
 
     c = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     o = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    j = bucketed_join(c, o, "c_custkey", "o_custkey", n_buckets=16, how="left")
+    j = bucketed_join(c, o, "c_custkey", "o_custkey", how="left")
 
     def fill(batch: pd.DataFrame) -> pd.DataFrame:
         batch["o_orderkey"] = (
@@ -529,12 +531,16 @@ def q_orders_right_cust(sf_dir: str):
     instead of tell-the-caller-to-swap): orders RIGHT JOIN customer —
     every customer survives, customers without orders carry a typed-null
     o_orderkey, coalesced to -1 for the driver hash. Exercises the
-    right-preserving merge + key-coalescing path directly."""
-    from .joins import bucketed_join
+    right-preserving merge + key-coalescing path directly — via
+    ``auto_join`` (r4 VERDICT task 7): below the broadcast limit the
+    right side ships once and the unmatched-customer residual comes from
+    the key-projected matched-set pass; above it, the bucketed exchange
+    runs the identical contract."""
+    from .joins import auto_join
 
     o = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     c = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    j = bucketed_join(o, c, "o_custkey", "c_custkey", n_buckets=16, how="right")
+    j = auto_join(o, c, "o_custkey", "c_custkey", how="right")
 
     def fill(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -1195,7 +1201,6 @@ def q_doc_top_terms(sf_dir: str):
         ),
         keys=["word"],
         aggs={"n": ("n", "sum")},
-        n_buckets=16,
     )
     return agg.sort(["n", "word"], descending=[True, False]).limit(20)
 
@@ -1808,7 +1813,9 @@ def q_emb_neardup(sf_dir: str):
 def _pages_corpus(sf_dir: str):
     from .synth import ensure_corpus, sf_dir_to_n_pages
 
-    return ensure_corpus(sf_dir_to_n_pages(sf_dir))
+    out = ensure_corpus(sf_dir_to_n_pages(sf_dir))
+    _scale.hint_from_dir(out[0])  # corpus bytes dominate the sf tables
+    return out
 
 
 def _oracle_corpus_root(sf_dir: str = "/root/testdata/sf0.01") -> str:
@@ -1978,7 +1985,6 @@ def q_pages_url_host_join(sf_dir: str):
         ),
         keys=["url"],
         aggs={"n_crawls": ("one", "sum")},
-        n_buckets=16,
     ).materialize()
     uniq = counts.map_batches(
         lambda b: pd.DataFrame(
@@ -1993,7 +1999,7 @@ def q_pages_url_host_join(sf_dir: str):
         ),
         batch_format="pandas",
     )
-    joined = bucketed_join(uniq, dups, "url", "durl", n_buckets=16, how="left")
+    joined = bucketed_join(uniq, dups, "url", "durl", how="left")
     return joined.map_batches(
         lambda b: pd.DataFrame(
             {"url": b["url"].astype(object),
@@ -2052,7 +2058,6 @@ def q_pages_top_domains(sf_dir: str):
         ds.map_batches(partial, batch_format="pandas"),
         keys=["host"],
         aggs={"n": ("n", "sum")},
-        n_buckets=8,
     )
     return agg.sort(["n", "host"], descending=[True, False]).limit(20)
 
@@ -2184,12 +2189,11 @@ def q_pages_host_quality_filter(sf_dir: str):
         docs,
         keys=["host"],
         aggs={"host_n": ("n_chars", "count"), "host_sum": ("n_chars", "sum")},
-        n_buckets=16,
     ).map_batches(
         lambda b: b.rename(columns={"host": "h"}), batch_format="pandas"
     )
 
-    joined = bucketed_join(docs, hosts, "host", "h", n_buckets=16, how="inner")
+    joined = bucketed_join(docs, hosts, "host", "h", how="inner")
     return joined.map_batches(
         lambda b: pd.DataFrame(
             {
@@ -2242,7 +2246,6 @@ def q_pages_crawl_diff(sf_dir: str):
         ds.map_batches(partial, batch_format="pandas"),
         keys=["url"],
         aggs={"n_crawls": ("one", "sum"), "lo": ("lo", "min"), "hi": ("hi", "max")},
-        n_buckets=16,
     )
     return agg.map_batches(
         lambda b: pd.DataFrame(
@@ -2304,7 +2307,6 @@ def q_pages_inbound_links(sf_dir: str):
         ),
         keys=["href"],
         aggs={"n_src": ("one", "sum"), "n_refs": ("n_links", "sum")},
-        n_buckets=16,
     )
 
 
@@ -2601,7 +2603,6 @@ def q_pages_anchor_texts(sf_dir: str):
         ),
         keys=["href", "anchor"],
         aggs={"n_refs": ("one", "sum")},
-        n_buckets=16,
     )
 
 
@@ -2616,7 +2617,7 @@ def q_pages_anchor_top(sf_dir: str):
     share a bucket by construction, so no second shuffle."""
     import zlib as _z
 
-    n_buckets = 16
+    n_buckets = _scale.exchange_buckets()
     pairs = _anchor_pairs_spilled(sf_dir)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -2733,7 +2734,6 @@ def q_pages_crawl_frontier(sf_dir: str):
         ),
         keys=["dst_url", "src_url"],
         aggs={"n": ("n_links", "sum")},
-        n_buckets=16,
     )
     inbound = bucketed_aggregate(
         per_src.map_batches(
@@ -2748,7 +2748,6 @@ def q_pages_crawl_frontier(sf_dir: str):
         ),
         keys=["url"],
         aggs={"n_src": ("one", "sum"), "n_refs": ("n", "sum")},
-        n_buckets=16,
     )
     crawled = ray.data.read_parquet(pages_dir, columns=["url"]).map_batches(
         lambda b: pd.DataFrame(
@@ -3537,7 +3536,7 @@ def q3_shipping_priority(sf_dir: str):
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
     ).map_batches(l_filter, batch_format="pandas")
 
-    joined = bucketed_join(li, o, "l_orderkey", "o_orderkey", n_buckets=16)
+    joined = bucketed_join(li, o, "l_orderkey", "o_orderkey")
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.groupby(
@@ -3634,7 +3633,7 @@ def q12_priority_by_flag(sf_dir: str):
         sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_shipdate"]
     ).map_batches(l_filter, batch_format="pandas")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = bucketed_join(li, orders, "l_orderkey", "o_orderkey", n_buckets=16)
+    joined = bucketed_join(li, orders, "l_orderkey", "o_orderkey")
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         high = (
@@ -3759,7 +3758,7 @@ def q_lineitem_bloom_join(sf_dir: str):
         lambda b: b[["o_orderkey"]], batch_format="pandas"
     )
     li_pruned = bloom_prefilter(li, keys_only, "l_orderkey", "o_orderkey")
-    joined = bucketed_join(li_pruned, hi, "l_orderkey", "o_orderkey", n_buckets=16)
+    joined = bucketed_join(li_pruned, hi, "l_orderkey", "o_orderkey")
     return tree_aggregate(
         joined,
         keys=["o_orderpriority"],
@@ -3794,7 +3793,6 @@ def q18_large_orders(sf_dir: str):
         ),
         keys=["l_orderkey"],
         aggs={"sum_qty": ("qty", "sum")},
-        n_buckets=16,
     )
     winners = sums.map_batches(
         lambda b: b[b["sum_qty"] > 250], batch_format="pandas"
@@ -3876,7 +3874,7 @@ def q10_returned_revenue(sf_dir: str):
     li = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]
     ).map_batches(l_filter, batch_format="pandas")
-    joined = bucketed_join(li, orders, "l_orderkey", "o_orderkey", n_buckets=16)
+    joined = bucketed_join(li, orders, "l_orderkey", "o_orderkey")
 
     per_cust = tree_aggregate(
         joined.map_batches(
@@ -4006,7 +4004,6 @@ def q4_order_priority(sf_dir: str):
         ),
         keys=["l_orderkey"],
         aggs={"n": ("one", "sum")},
-        n_buckets=16,
     ).map_batches(lambda b: b[["l_orderkey"]], batch_format="pandas")
 
     def o_filter(batch: pd.DataFrame) -> pd.DataFrame:
@@ -4089,7 +4086,6 @@ def q13_cust_order_histogram(sf_dir: str):
         ),
         keys=["o_custkey"],
         aggs={"c_count": ("one", "sum")},
-        n_buckets=16,
     )
     hist = tree_aggregate(
         per_cust.map_batches(
@@ -4151,7 +4147,6 @@ def q15_top_supplier(sf_dir: str):
         ).map_batches(l_prep, batch_format="pandas"),
         keys=["l_suppkey"],
         aggs={"total_rev_cents": ("rev_cents", "sum")},
-        n_buckets=16,
     ).materialize()
     mx = tree_aggregate(
         rev.map_batches(
@@ -4239,7 +4234,7 @@ def q7_volume_shipping(sf_dir: str):
         "o_custkey",
         "c_custkey",
     )
-    j = bucketed_join(li, orders, "l_orderkey", "o_orderkey", n_buckets=16)
+    j = bucketed_join(li, orders, "l_orderkey", "o_orderkey")
 
     def attach(batch: pd.DataFrame) -> pd.DataFrame:
         lut = ray.get(ref)
@@ -4330,7 +4325,7 @@ def q8_market_share(sf_dir: str):
     orders = _read(
         sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
     ).map_batches(o_prep, batch_format="pandas")
-    j = bucketed_join(li, orders, "l_orderkey", "o_orderkey", n_buckets=16)
+    j = bucketed_join(li, orders, "l_orderkey", "o_orderkey")
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
         lambda b: b.rename(columns={"s_nationkey": "sup_nationkey"}),
@@ -4509,7 +4504,6 @@ def q11_important_parts(sf_dir: str):
         ),
         keys=["l_partkey"],
         aggs={"value_cents": ("value_cents", "sum")},
-        n_buckets=16,
     ).materialize()  # per-part rows: |part| rows, re-read by two consumers
     g = tree_aggregate(
         per_part.map_batches(
@@ -4593,7 +4587,6 @@ def q16_supplier_cnt(sf_dir: str):
         ),
         keys=["p_brand", "p_type", "p_size", "l_suppkey"],
         aggs={"n": ("one", "sum")},
-        n_buckets=16,
     )
     return tree_aggregate(
         distinct.map_batches(
@@ -4658,7 +4651,6 @@ def q17_small_qty_revenue(sf_dir: str):
         ),
         keys=["l_partkey"],
         aggs={"sum_qty": ("sum_qty", "sum"), "n": ("n", "sum")},
-        n_buckets=16,
     )
     j = auto_join(li, stats, "l_partkey", "l_partkey")
 
@@ -4724,12 +4716,11 @@ def q21_sole_return_supplier(sf_dir: str):
         ),
         batch_format="pandas",
     )
-    j = bucketed_join(li, orders, "l_orderkey", "o_orderkey", n_buckets=16)
+    j = bucketed_join(li, orders, "l_orderkey", "o_orderkey")
     per_os = bucketed_aggregate(
         j,
         keys=["l_orderkey", "l_suppkey"],
         aggs={"has_r": ("is_r", "max")},
-        n_buckets=16,
     )
 
     def order_bucket(batch: pd.DataFrame) -> pd.DataFrame:
@@ -4850,10 +4841,9 @@ def q22_sales_opportunity(sf_dir: str):
         ),
         keys=["o_custkey"],
         aggs={"n_orders": ("one", "sum")},
-        n_buckets=16,
     )
     j = bucketed_join(
-        cust, has_orders, "c_custkey", "o_custkey", n_buckets=16, how="left"
+        cust, has_orders, "c_custkey", "o_custkey", how="left"
     )
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -4909,13 +4899,11 @@ def q_events_retention_cohorts(sf_dir: str):
         ),
         keys=["user_id", "day"],
         aggs={"n": ("one", "sum")},
-        n_buckets=16,
     ).materialize()  # (user, day)-distinct rows; two consumers below
     cohort = bucketed_aggregate(
         ud,
         keys=["user_id"],
         aggs={"cohort_day": ("day", "min")},
-        n_buckets=16,
     )
     j = auto_join(ud, cohort, "user_id", "user_id")
 
@@ -4970,7 +4958,6 @@ def _supplier_coship_edges(sf_dir: str):
         ).map_batches(l_prep, batch_format="pandas"),
         keys=["l_partkey", "l_suppkey"],
         aggs={"n": ("one", "sum")},
-        n_buckets=16,
     )
 
     def pbkt(batch: pd.DataFrame) -> pd.DataFrame:
@@ -5021,7 +5008,7 @@ def q_supplier_triangles(sf_dir: str):
     from .graph import triangle_count
 
     edges = _supplier_coship_edges(sf_dir)
-    n_tri = triangle_count(edges, "a", "b", n_buckets=16)
+    n_tri = triangle_count(edges, "a", "b")
     return pd.DataFrame({"n_triangles": pd.Series([n_tri], dtype="int64")})
 
 
@@ -5058,7 +5045,6 @@ def q_supplier_bfs_hops(sf_dir: str):
         ),
         keys=["src", "dst"],
         aggs={"n": ("one", "sum")},
-        n_buckets=16,
     ).materialize()  # edge-dimension-sized; re-joined every round
 
     src_min = tree_aggregate(
@@ -5085,7 +5071,7 @@ def q_supplier_bfs_hops(sf_dir: str):
     frontier = dist
     for _hop in range(1, 7):
         nbrs = bucketed_join(
-            frontier, adj, "l_suppkey", "src", n_buckets=16
+            frontier, adj, "l_suppkey", "src"
         ).map_batches(
             lambda b: pd.DataFrame(
                 {
@@ -5097,7 +5083,6 @@ def q_supplier_bfs_hops(sf_dir: str):
         )
         nbrs = bucketed_aggregate(
             nbrs, keys=["l_suppkey"], aggs={"hops": ("hops", "min")},
-            n_buckets=16,
         )
         probe = bucketed_join(
             nbrs,
@@ -5110,7 +5095,6 @@ def q_supplier_bfs_hops(sf_dir: str):
             ),
             "l_suppkey",
             "seen_key",
-            n_buckets=16,
             how="left",
         )
         new = probe.map_batches(
@@ -5170,7 +5154,6 @@ def q20_part_suppliers(sf_dir: str):
         li,
         keys=["l_partkey", "l_suppkey"],
         aggs={"qty": ("qty", "sum")},
-        n_buckets=16,
     )
     qual = per_ps.map_batches(
         lambda b: pd.DataFrame(
@@ -5188,7 +5171,7 @@ def q20_part_suppliers(sf_dir: str):
         batch_format="pandas",
     )
     supp_keys = bucketed_aggregate(
-        qual, keys=["l_suppkey"], aggs={"n": ("one", "sum")}, n_buckets=16
+        qual, keys=["l_suppkey"], aggs={"n": ("one", "sum")}
     )
     supp = _read(
         sf_dir, "supplier", ["s_suppkey", "s_name", "s_acctbal"]
@@ -5382,7 +5365,6 @@ def q_join_size_stats(sf_dir: str):
         ),
         keys=["l_orderkey"],
         aggs={"n_l": ("one", "sum")},
-        n_buckets=16,
     )
     o = bucketed_aggregate(
         _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
@@ -5396,9 +5378,8 @@ def q_join_size_stats(sf_dir: str):
         ),
         keys=["o_orderkey"],
         aggs={"n_o": ("one", "sum")},
-        n_buckets=16,
     )
-    both = bucketed_join(li, o, "l_orderkey", "o_orderkey", n_buckets=16)
+    both = bucketed_join(li, o, "l_orderkey", "o_orderkey")
     return tree_aggregate(
         both.map_batches(
             lambda b: pd.DataFrame(
@@ -5508,7 +5489,7 @@ def q_events_key_skew(sf_dir: str):
     # (bounded by distinct keys), so the corpus projection is never
     # pinned and never re-scanned for a second aggregate
     counts = bucketed_aggregate(
-        ev, keys=["user_id"], aggs={"n": ("one", "sum")}, n_buckets=16
+        ev, keys=["user_id"], aggs={"n": ("one", "sum")}
     ).materialize()
     tot = tree_aggregate(
         counts.map_batches(
@@ -5593,11 +5574,10 @@ def q_orders_above_cust_avg(sf_dir: str):
         orders,
         keys=["o_custkey"],
         aggs={"cust_n": ("total_cents", "count"), "cust_sum": ("total_cents", "sum")},
-        n_buckets=16,
     ).map_batches(
         lambda b: b.rename(columns={"o_custkey": "ck"}), batch_format="pandas"
     )
-    joined = bucketed_join(orders, per_cust, "o_custkey", "ck", n_buckets=16)
+    joined = bucketed_join(orders, per_cust, "o_custkey", "ck")
     return joined.map_batches(
         lambda b: b.loc[
             b["total_cents"].to_numpy(np.int64) * b["cust_n"].to_numpy(np.int64)
@@ -5639,7 +5619,6 @@ def q_doc_except_texts(sf_dir: str):
         ),
         keys=["text_md5"],
         aggs={"in0": ("in0", "max"), "in1": ("in1", "max")},
-        n_buckets=16,
     )
     return agg.map_batches(
         lambda b: b.loc[(b["in0"] == 1) & (b["in1"] == 0), ["text_md5"]],
@@ -5678,7 +5657,6 @@ def q_events_distinct_users_by_type(sf_dir: str):
         ),
         keys=["event_type", "user_id"],
         aggs={"n": ("one", "sum")},
-        n_buckets=16,
     )
     exact = tree_aggregate(
         pairs, keys=["event_type"], aggs={"exact_users": ("user_id", "count")}
@@ -5850,7 +5828,7 @@ def q_events_type_bigrams(sf_dir: str):
     (bounded by |types|^2) are what aggregates."""
     from .agg import tree_aggregate
 
-    n_buckets = 16
+    n_buckets = _scale.exchange_buckets()
 
     def prep(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -6285,7 +6263,7 @@ def q_doc_tfidf_top(sf_dir: str):
     float-ordering hazard (ties broken by word)."""
     import zlib as _z
 
-    n_buckets = 32
+    n_buckets = _scale.exchange_buckets()
 
     def explode_counts(batch: pd.DataFrame) -> pd.DataFrame:
         ids, words, tfs = [], [], []
@@ -6413,7 +6391,7 @@ def q_doc_phrase_via_postings(sf_dir: str):
     stream is large. Engine-vs-engine: the parity test proves both
     plans hash-identical."""
     w1, w2 = "stream", "column"
-    n_buckets = 16
+    n_buckets = _scale.exchange_buckets()
 
     def postings(batch: pd.DataFrame) -> pd.DataFrame:
         ids, langs, terms, poss = [], [], [], []
@@ -6812,7 +6790,7 @@ def q_doc_ccnet_buckets(sf_dir: str):
         ),
         batch_format="pandas",
     )
-    j = bucketed_join(fl, langs, "doc_id", "did", n_buckets=16).materialize()
+    j = bucketed_join(fl, langs, "doc_id", "did").materialize()
 
     ns = (
         tree_aggregate(j, keys=["lang"], aggs={"n": ("fluency", "count")})
@@ -7241,7 +7219,7 @@ def q_revenue_by_nation(sf_dir: str):
         "lineitem",
         ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
-    j = bucketed_join(l, o, "l_orderkey", "o_orderkey", n_buckets=16)
+    j = bucketed_join(l, o, "l_orderkey", "o_orderkey")
 
     # customer and supplier scale with SF — attach their nation keys
     # through the size-adaptive auto_join (broadcast merge below the row
@@ -7350,7 +7328,7 @@ def q_events_salted_join(sf_dir: str):
         )
     )
     j = bucketed_join(
-        ev(), dim, "k", "kd", n_buckets=8, hot_keys=hot, salt=4
+        ev(), dim, "k", "kd", hot_keys=hot, salt=4
     )
 
     def cast(batch: pd.DataFrame) -> pd.DataFrame:
@@ -7791,6 +7769,29 @@ QUERIES = {
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
 }
+
+
+def _with_scale_hint(fn):
+    """Registry wrapper: stamp the size-derived exchange-fan-out hint from
+    the query's input directory before it runs (scale.py — every
+    bucketed_join/bucketed_aggregate with the default ``n_buckets=None``
+    then sizes its exchange to the actual input bytes instead of a fixed
+    16; at the sandbox tiers the derived value IS 16, so oracles keep
+    their layout)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(sf_dir: str):
+        # SET (not raise): each query's hint is scoped to its own input;
+        # corpus helpers (_pages_corpus) then RAISE it when the synth
+        # corpus is bigger than the sf tables.
+        _scale.set_scale_hint(_scale.dir_bytes(sf_dir))
+        return fn(sf_dir)
+
+    return wrapped
+
+
+QUERIES = {k: _with_scale_hint(v) for k, v in QUERIES.items()}
 
 ORACLE_SQL = {
     # fixpoint self-gates (VERDICT r3 next #4): the query computes an
