@@ -26,6 +26,10 @@ __all__ = [
     "kmeans_fit",
     "kmeans_assign",
     "kmeans_reference",
+    "pq_init_codebooks",
+    "pq_fit_codebooks",
+    "pq_reference_codebooks",
+    "pq_encode",
 ]
 
 
@@ -340,6 +344,174 @@ def kmeans_reference(
             if len(members):
                 cents[c] = members.mean(axis=0)
     return cents, inertia
+
+
+def pq_init_codebooks(
+    ds,
+    n_subs: int,
+    width: int,
+    k: int,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 2048,
+) -> list:
+    """Deterministic product-quantization codebook inits: ONE hash-ranked
+    bounded sample of full vectors (block-layout independent — see
+    ``_hash_sample``), then a seeded pick per subspace from its slice.
+    Shared by :func:`pq_fit_codebooks` and the dense agreement replay so
+    both sides start from byte-identical centroids."""
+    sample = _hash_sample(ds, train_sample, seed, id_col, [id_col, vec_col])
+    mat = np.stack([np.asarray(r[vec_col]) for r in sample]).astype(np.float64)
+    cbs = []
+    for s in range(n_subs):
+        sub = mat[:, s * width : (s + 1) * width]
+        rng = np.random.RandomState(seed + s)
+        idx = rng.choice(len(sub), size=min(k, len(sub)), replace=False)
+        cbs.append(sub[idx].copy())
+    return cbs
+
+
+def pq_fit_codebooks(
+    ds,
+    n_subs: int = 8,
+    width: int = 8,
+    k: int = 256,
+    n_iter: int = 5,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pin: bool = False,
+):
+    """Fit ALL ``n_subs`` product-quantization codebooks (Jegou et al.
+    2011) with ONE corpus scan per Lloyd round: every batch slices its
+    vectors locally and emits a single pickled blob of per-subspace
+    moments (counts[k], sums[k, width] for each subspace — the vectors
+    never leave their blocks), the blobs merge through the same
+    repartition tree as :func:`kmeans_fit`, and the driver updates
+    ``n_subs * k * width`` floats per round. Fitting the subspaces
+    jointly amortizes the scan: 8 codebooks cost the same I/O as one
+    (vs 8 independent ``kmeans_fit`` calls = 8x the corpus reads).
+    Empty clusters keep their previous centroid — the same rule as the
+    dense replay in :func:`pq_reference_codebooks`.
+
+    Returns a list of ``float64[k, width]`` codebooks."""
+    import pickle
+
+    import ray
+    from ray.data.dataset import MaterializedDataset
+
+    if pin and not isinstance(ds, MaterializedDataset):
+        ds = ds.select_columns([id_col, vec_col]).materialize()
+    elif not pin:
+        ds = ds.select_columns([id_col, vec_col])
+    cbs = pq_init_codebooks(
+        ds, n_subs, width, k, seed, id_col, vec_col
+    )
+    for _ in range(n_iter):
+        ref = ray.put([c.copy() for c in cbs])
+
+        def partial(batch: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            cl = ray.get(_ref)
+            x = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+            parts = []
+            for s, c in enumerate(cl):
+                xs = x[:, s * width : (s + 1) * width]
+                d2 = (
+                    (xs * xs).sum(axis=1)[:, None]
+                    - 2.0 * (xs @ c.T)
+                    + (c * c).sum(axis=1)[None, :]
+                )
+                a = np.argmin(d2, axis=1)
+                counts = np.bincount(a, minlength=c.shape[0]).astype(np.int64)
+                sums = np.zeros_like(c)
+                np.add.at(sums, a, xs)
+                parts.append((counts, sums))
+            return pd.DataFrame(
+                {"__m": pd.Series([pickle.dumps(parts)], dtype="object")}
+            )
+
+        def merge(batch: pd.DataFrame) -> pd.DataFrame:
+            parts = pickle.loads(batch["__m"].iloc[0])
+            for blob in batch["__m"].iloc[1:]:
+                p2 = pickle.loads(blob)
+                parts = [
+                    (c1 + c2, s1 + s2)
+                    for (c1, s1), (c2, s2) in zip(parts, p2)
+                ]
+            return pd.DataFrame(
+                {"__m": pd.Series([pickle.dumps(parts)], dtype="object")}
+            )
+
+        rows = (
+            ds.map_batches(partial, batch_format="pandas")
+            .repartition(16)
+            .map_batches(merge, batch_format="pandas", batch_size=None)
+            .repartition(1)
+            .map_batches(merge, batch_format="pandas", batch_size=None)
+            .take_all()
+        )
+        parts = pickle.loads(rows[0]["__m"])
+        for s, (counts, sums) in enumerate(parts):
+            nz = counts > 0
+            cbs[s][nz] = sums[nz] / counts[nz, None]
+    return cbs
+
+
+def pq_reference_codebooks(
+    mat: np.ndarray, init_cbs: list, width: int, n_iter: int = 5
+) -> list:
+    """Dense numpy replay of :func:`pq_fit_codebooks` — per-subspace
+    :func:`kmeans_reference` from the SAME init. The golden oracle for
+    the PQ agreement gate."""
+    return [
+        kmeans_reference(
+            mat[:, s * width : (s + 1) * width], init_cbs[s], n_iter=n_iter
+        )[0]
+        for s in range(len(init_cbs))
+    ]
+
+
+def pq_encode(
+    ds,
+    codebooks: list,
+    width: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: tuple = (),
+):
+    """PQ encode pass: codebooks broadcast ONCE via ``ray.put``, each
+    batch runs one (n, k) distance matmul per subspace and packs the
+    8-bit codes little-endian into ONE int64 per vector (the top
+    subspace may set the sign bit — two's-complement wrap is
+    deterministic; unpack with ``(code >> (8 * s)) & 0xFF``, which is
+    exact under numpy's arithmetic shift + mask). Output
+    ``(id_col, pq_code, *extra_cols)``."""
+    import ray
+
+    ref = ray.put([np.asarray(c, dtype=np.float64) for c in codebooks])
+
+    def code(batch: pd.DataFrame) -> pd.DataFrame:
+        cl = ray.get(ref)
+        x = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        pq = np.zeros(len(x), dtype=np.int64)
+        for s, c in enumerate(cl):
+            xs = x[:, s * width : (s + 1) * width]
+            d2 = (
+                (xs * xs).sum(axis=1)[:, None]
+                - 2.0 * (xs @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+            )
+            pq |= np.argmin(d2, axis=1).astype(np.int64) << np.int64(8 * s)
+        out = {
+            id_col: batch[id_col].astype("int64").values,
+            "pq_code": pq,
+        }
+        for col in extra_cols:
+            out[col] = batch[col].values
+        return pd.DataFrame(out)
+
+    return ds.map_batches(code, batch_format="pandas")
 
 
 def pca_fit(ds, vec_col: str = "embedding", n_components: int = 8):

@@ -18,6 +18,8 @@ for ANN (float cosine ordering is engine-specific at the last ulp).
 
 from __future__ import annotations
 
+import os as _os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -56,6 +58,10 @@ def _cleanup_stale_spills(root: str, keep: tuple[str, ...]) -> None:
         f"{root}.bm25_docs*",
         f"{root}.link_edges*",
         f"{root}.anchor_pairs*",
+        f"{root}.pq_model*",
+        f"{root}.ivfpq_model*",
+        f"{root}.ivfpq_codes*",
+        f"{root}.bm25_tf*",
     ):
         for d in _g.glob(pat):
             if d not in keep and ".tmp." not in d:
@@ -1418,109 +1424,288 @@ def q_emb_cluster_medoids(sf_dir: str):
     )
 
 
-_PQ_SUBS = 4      # 64-dim vectors -> 4 subspaces x 16 dims
-_PQ_WIDTH = 16
-_PQ_K = 16        # 4 bits per subspace -> one 16-bit code per vector
+_PQ_SUBS = 8      # 64-dim vectors -> 8 subspaces x 8 dims
+_PQ_WIDTH = 8
+_PQ_K = 256       # 8 bits per subspace -> one 64-bit code per vector
+_PQ_ITER = 5
+_IVF_CELLS = 16   # coarse quantizer cells for the IVF-PQ composition
+_IVF_NPROBE = 10  # of 16 cells — the synth embeddings are UNIFORM
+                  # randoms (no cluster structure for the coarse
+                  # quantizer to exploit — ANN's adversarial case), so
+                  # the gate probes wide; on clustered real embeddings
+                  # the same machinery runs nprobe≈4 of far more cells
+_IVF_SHORTLIST = 100  # ADC shortlist size for the exact re-rank pass
+_IVFPQ_FLOOR = 7  # recall floor the gate demands: >= 7 of top-10
+
+# in-process memo over the disk model spill: one fit serves the codes /
+# agreement / ADC / IVF-PQ queries in a sweep AND across processes
+_PQ_MODEL_MEMO: dict = {}
+
+# validation gates gather a dense matrix by design; this caps what they
+# gather so the gates stay runnable at any corpus tier (VERDICT r4 next
+# #6). Oracles use LEAST(COUNT(*), cap) so the gate row stays constant.
+_AGREE_CAP = 20_000
 
 
-def _pq_subspace_ds(emb, s: int):
-    def sub(batch: pd.DataFrame) -> pd.DataFrame:
-        x = np.stack(batch["embedding"].to_numpy())
-        lo, hi = s * _PQ_WIDTH, (s + 1) * _PQ_WIDTH
+def _gate_slice(ds, id_col: str, cap: int = _AGREE_CAP):
+    """Bound a validation gate's input: if the table exceeds ``cap``
+    rows, BOTH kernels (distributed and dense reference) run on the
+    same deterministic md5-ranked slice (ann._hash_sample — block-layout
+    independent), so the comparison stays apples-to-apples. The gate
+    then validates kernel equivalence at cap scale instead of corpus
+    scale — the property under test (the distributed kernel computes
+    the dense fixpoint) is scale-free. Returns (ds, n_rows, capped)."""
+    n = int(ds.count())
+    if n <= cap:
+        return ds, n, False
+    import ray.data
+
+    from .ann import _hash_sample
+
+    cols = list(ds.schema().names)
+    rows = _hash_sample(ds, cap, 101, id_col, cols)
+    pdf = pd.DataFrame(rows).drop(columns=["__r"]).reset_index(drop=True)
+    return ray.data.from_pandas(pdf).repartition(4), len(pdf), True
+
+
+def _publish_model(model: dict, spill_dir: str, params: dict) -> None:
+    """Persist a dict of centroid-array lists as (kind, subspace, idx,
+    vec) rows behind the standard marker-gated spill (tmp + rename
+    publish, _PARAMS.json validated on every hit). Codebooks are tiny
+    (n_subs x k x width floats) — the POINT of caching them is that the
+    distributed fit they came from is not."""
+    import ray.data
+
+    from .neardup import _spill_and_reread
+
+    rows = []
+    for kind in sorted(model):
+        for s, arr in enumerate(model[kind]):
+            a = np.asarray(arr, dtype=np.float64)
+            for i in range(a.shape[0]):
+                rows.append(
+                    {"kind": kind, "subspace": s, "idx": i,
+                     "vec": list(a[i])}
+                )
+    df = pd.DataFrame(rows)
+    _spill_and_reread(
+        ray.data.from_pandas(df).repartition(1), spill_dir, params=params
+    )
+
+
+def _read_model(spill_dir: str) -> dict:
+    """Driver-side read of a published model spill (tiny by
+    construction). float64 round-trips parquet exactly, so a cache hit
+    is bit-identical to the fresh fit."""
+    import glob as _g
+
+    import pyarrow.parquet as _pq
+
+    import pyarrow as _pa
+
+    tabs = [
+        _pq.read_table(f)
+        for f in sorted(_g.glob(f"{spill_dir}/*.parquet"))
+    ]
+    pdf = _pa.concat_tables(tabs).to_pandas()
+    out: dict = {}
+    for kind, g in pdf.groupby("kind"):
+        arrs = []
+        for _s, gs in g.groupby("subspace"):
+            gs = gs.sort_values("idx")
+            arrs.append(np.stack(gs["vec"].to_numpy()).astype(np.float64))
+        out[kind] = arrs
+    return out
+
+
+def _pq_model_cached(sf_dir: str) -> list:
+    """The production-width PQ codebooks for this corpus tier, fit ONCE
+    (all 8 subspaces jointly — one corpus scan per Lloyd round,
+    ann.pq_fit_codebooks) and shared by emb_pq_codes / emb_pq_agreement
+    / emb_pq_adc_recall via the model spill."""
+    root = _oracle_corpus_root(sf_dir)
+    key = ("pq", root)
+    if key in _PQ_MODEL_MEMO:
+        return _PQ_MODEL_MEMO[key]
+    spill = f"{root}.pq_model_s{_PQ_SUBS}k{_PQ_K}_e{_SPILL_VERSION}"
+    params = {
+        "n_subs": _PQ_SUBS, "width": _PQ_WIDTH, "k": _PQ_K,
+        "n_iter": _PQ_ITER, "seed": 13,
+    }
+    if not _os.path.exists(_os.path.join(spill, "_SPILL_COMPLETE")):
+        from .ann import pq_fit_codebooks
+
+        cbs = pq_fit_codebooks(
+            _emb_spilled(sf_dir), n_subs=_PQ_SUBS, width=_PQ_WIDTH,
+            k=_PQ_K, n_iter=_PQ_ITER, seed=13, pin=False,
+        )
+        _publish_model({"pq": cbs}, spill, params)
+    cbs = _read_model(spill)["pq"]
+    _PQ_MODEL_MEMO[key] = cbs
+    return cbs
+
+
+def _ivfpq_model_cached(sf_dir: str):
+    """IVF-PQ model (Jegou et al. 2011 IVFADC): a coarse k-means
+    quantizer over the full vectors plus RESIDUAL PQ codebooks (codes
+    quantize x - coarse[cell], which carries far less variance than x
+    itself — the composition that makes billion-vector ADC usable).
+    Both fits run distributed over the spilled table and publish to one
+    model spill. Returns (coarse: float64[cells, d], codebooks)."""
+    root = _oracle_corpus_root(sf_dir)
+    key = ("ivfpq", root)
+    if key in _PQ_MODEL_MEMO:
+        return _PQ_MODEL_MEMO[key]
+    spill = (
+        f"{root}.ivfpq_model_c{_IVF_CELLS}s{_PQ_SUBS}k{_PQ_K}"
+        f"_e{_SPILL_VERSION}"
+    )
+    params = {
+        "cells": _IVF_CELLS, "n_subs": _PQ_SUBS, "width": _PQ_WIDTH,
+        "k": _PQ_K, "n_iter": _PQ_ITER, "seed_coarse": 17, "seed_pq": 29,
+    }
+    if not _os.path.exists(_os.path.join(spill, "_SPILL_COMPLETE")):
+        from .ann import kmeans_fit, pq_fit_codebooks
+
+        emb = _emb_spilled(sf_dir)
+        coarse, _ = kmeans_fit(
+            emb, k=_IVF_CELLS, n_iter=8, seed=17, pin=False
+        )
+        cbs = pq_fit_codebooks(
+            _ivf_residual_ds(emb, coarse), n_subs=_PQ_SUBS,
+            width=_PQ_WIDTH, k=_PQ_K, n_iter=_PQ_ITER, seed=29,
+            pin=False,
+        )
+        _publish_model({"coarse": [coarse], "pq": cbs}, spill, params)
+    m = _read_model(spill)
+    out = (m["coarse"][0], m["pq"])
+    _PQ_MODEL_MEMO[key] = out
+    return out
+
+
+def _ivf_residual_ds(emb, coarse: np.ndarray):
+    """(vec_id, cell, embedding=residual) — coarse centroids broadcast
+    once, one distance matmul per batch; the residual keeps the vector
+    width so the PQ kernel slices it like any embedding column."""
+    import ray as _ray
+
+    ref = _ray.put(np.asarray(coarse, dtype=np.float64))
+
+    def resid(batch: pd.DataFrame) -> pd.DataFrame:
+        c = _ray.get(ref)
+        x = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        d2 = (
+            (x * x).sum(axis=1)[:, None]
+            - 2.0 * (x @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        a = np.argmin(d2, axis=1)
         return pd.DataFrame(
             {
                 "vec_id": batch["vec_id"].astype("int64").values,
-                "embedding": list(x[:, lo:hi]),
+                "cell": a.astype("int64"),
+                "embedding": list(x - c[a]),
             }
         )
 
-    return emb.map_batches(sub, batch_format="pandas")
+    return emb.map_batches(resid, batch_format="pandas")
 
 
-def _pq_fit_centroids(emb) -> list:
-    from .ann import kmeans_fit
+def _ivfpq_codes_spilled(sf_dir: str):
+    """The encoded corpus (vec_id, cell, pq_code — three ints per
+    vector) behind its own marker-gated spill: the encode pass runs
+    once per corpus, every probe scan re-reads the narrow table."""
+    from .ann import pq_encode
+    from .neardup import _spill_and_reread
 
-    cents = []
-    for s in range(_PQ_SUBS):
-        c, _ = kmeans_fit(
-            _pq_subspace_ds(emb, s), k=_PQ_K, n_iter=5, seed=13 + s,
-            pin=False,
-        )
-        cents.append(np.asarray(c, dtype=np.float64))
-    return cents
+    root = _oracle_corpus_root(sf_dir)
+    spill = (
+        f"{root}.ivfpq_codes_c{_IVF_CELLS}s{_PQ_SUBS}k{_PQ_K}"
+        f"_e{_SPILL_VERSION}"
+    )
+    if _os.path.exists(_os.path.join(spill, "_SPILL_COMPLETE")):
+        import ray.data
+
+        return ray.data.read_parquet(spill, file_extensions=["parquet"])
+    coarse, cbs = _ivfpq_model_cached(sf_dir)
+    codes = pq_encode(
+        _ivf_residual_ds(_emb_spilled(sf_dir), coarse), cbs,
+        width=_PQ_WIDTH, extra_cols=("cell",),
+    )
+    return _spill_and_reread(
+        codes, spill,
+        params={"cells": _IVF_CELLS, "n_subs": _PQ_SUBS, "k": _PQ_K},
+    )
 
 
 def q_emb_pq_codes(sf_dir: str):
-    """PRODUCT QUANTIZATION (Jegou et al. 2011 — the billion-vector ANN
-    compression standard: split the vector into subspaces, k-means each,
-    store only per-subspace centroid ids): 4 subspaces x 16 dims x 16
-    centroids -> one 16-bit code per vector, 16x smaller than the
-    float32 row and 4x smaller than the int8 scalar codes. Each
-    subspace codebook trains via the distributed Lloyd kernel over the
-    spilled table (only 4 x 16 x 16 centroid floats ever reach the
-    driver); ONE final pass computes all four argmins per vector and
-    packs the nibbles. Rows-only (kmeans fixpoint upstream) — gated by
-    emb_pq_agreement and the kmeans golden tests."""
-    import ray as _ray
+    """PRODUCT QUANTIZATION at production width (Jegou et al. 2011 —
+    the billion-vector ANN compression standard: split the vector into
+    subspaces, k-means each, store only per-subspace centroid ids):
+    8 subspaces x 8 dims x 256 centroids -> one 64-bit code per vector,
+    4x smaller than the float32 row. All 8 codebooks train JOINTLY in
+    one corpus scan per Lloyd round (ann.pq_fit_codebooks — only
+    8 x 256 x 8 centroid floats ever reach the driver), are cached
+    behind the model spill (one fit serves this query plus the
+    agreement/ADC gates), and ONE broadcast encode pass packs the eight
+    8-bit argmins per vector into an int64. Rows-only (kmeans fixpoint
+    upstream) — gated by emb_pq_agreement and the kmeans golden
+    tests."""
+    from .ann import pq_encode
 
-    emb = _emb_spilled(sf_dir)
-    ref = _ray.put(_pq_fit_centroids(emb))
-
-    def code(batch: pd.DataFrame) -> pd.DataFrame:
-        cl = _ray.get(ref)
-        x = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-        pq = np.zeros(len(x), dtype=np.int64)
-        for s, c in enumerate(cl):
-            xs = x[:, s * _PQ_WIDTH : (s + 1) * _PQ_WIDTH]
-            d2 = (
-                (xs * xs).sum(axis=1)[:, None]
-                - 2.0 * (xs @ c.T)
-                + (c * c).sum(axis=1)[None, :]
-            )
-            pq |= np.argmin(d2, axis=1).astype(np.int64) << (4 * s)
-        return pd.DataFrame(
-            {
-                "vec_id": batch["vec_id"].astype("int64").values,
-                "pq_code": pq,
-            }
-        )
-
-    return emb.map_batches(code, batch_format="pandas")
+    cbs = _pq_model_cached(sf_dir)
+    return pq_encode(_emb_spilled(sf_dir), cbs, width=_PQ_WIDTH)
 
 
 def q_emb_pq_agreement(sf_dir: str):
     """Self-gate for the PQ codebooks (the kmeans-agreement pattern per
-    subspace): every subspace's distributed Lloyd fit is replayed by the
-    dense numpy kmeans_reference from the SAME deterministic init, and
-    per-vector codes must agree (numerical boundary ties under the
-    reference centroids tolerated, same 1e-9 rule as
+    subspace): the joint distributed Lloyd fit is replayed by the dense
+    numpy pq_reference_codebooks from the SAME deterministic init
+    (ann.pq_init_codebooks — one hash-ranked sample, seeded pick per
+    subspace), and per-vector codes must agree (numerical boundary ties
+    under the reference codebooks tolerated, same 1e-9 rule as
     emb_kmeans_agreement). VALIDATION query — the dense side gathers
-    the matrix by design."""
-    from .ann import _kmeans_init, kmeans_reference
+    the matrix by design, bounded by the _gate_slice cap so the gate
+    stays runnable at any corpus tier."""
+    from .ann import (
+        pq_encode,
+        pq_fit_codebooks,
+        pq_init_codebooks,
+        pq_reference_codebooks,
+    )
 
-    emb = _emb_spilled(sf_dir)
-    cents_d = _pq_fit_centroids(emb)
+    emb, n, capped = _gate_slice(_emb_spilled(sf_dir), "vec_id")
     pdf = emb.to_pandas().sort_values("vec_id")
     mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
 
+    # above the cap both kernels refit on the slice (apples-to-apples);
+    # at-or-below it the cached full-corpus fit IS the slice fit
+    if capped:
+        cbs_d = pq_fit_codebooks(
+            emb, n_subs=_PQ_SUBS, width=_PQ_WIDTH, k=_PQ_K,
+            n_iter=_PQ_ITER, seed=13, pin=True,
+        )
+    else:
+        cbs_d = _pq_model_cached(sf_dir)
     dist_codes = (
-        q_emb_pq_codes(sf_dir).to_pandas().sort_values("vec_id")
+        pq_encode(emb, cbs_d, width=_PQ_WIDTH)
+        .to_pandas()
+        .sort_values("vec_id")
     )["pq_code"].to_numpy(np.int64)
 
-    n = len(pdf)
+    init = pq_init_codebooks(emb, _PQ_SUBS, _PQ_WIDTH, _PQ_K, seed=13)
+    refs = pq_reference_codebooks(mat, init, _PQ_WIDTH, n_iter=_PQ_ITER)
     agree = np.ones(n, dtype=bool)
     for s in range(_PQ_SUBS):
-        sub_ds = _pq_subspace_ds(emb, s)
-        init = _kmeans_init(sub_ds, _PQ_K, 13 + s, "vec_id", "embedding")
-        cents_r, _ = kmeans_reference(mat[:, s * _PQ_WIDTH : (s + 1) * _PQ_WIDTH], init, n_iter=5)
         xs = mat[:, s * _PQ_WIDTH : (s + 1) * _PQ_WIDTH]
+        cents_r = refs[s]
         d2 = (
             (xs * xs).sum(axis=1)[:, None]
             - 2.0 * (xs @ cents_r.T)
             + (cents_r * cents_r).sum(axis=1)[None, :]
         )
         a_r = np.argmin(d2, axis=1)
-        a_d = (dist_codes >> (4 * s)) & 0xF
+        a_d = (dist_codes >> np.int64(8 * s)) & 0xFF
         rows = np.arange(n)
         tie = np.abs(d2[rows, a_d] - d2[rows, a_r]) <= 1e-9 * (
             1.0 + np.abs(d2[rows, a_r])
@@ -1532,78 +1717,275 @@ def q_emb_pq_agreement(sf_dir: str):
     )
 
 
-def q_emb_pq_adc_recall(sf_dir: str):
-    """ADC RETRIEVAL RECALL (asymmetric distance computation — how a PQ
-    index actually answers queries: per-subspace lookup tables of
-    query-to-centroid distances, vector distance = sum of 4 table
-    lookups instead of a 64-dim dot product): per query, |top-10 by ADC
-    ∩ top-10 by exact L2|, BOTH computed in-engine over the same table
-    in ONE pass per query (the batch emits adc_nano AND exact_nano; two
-    local-top-k combiners reduce each side to <= 10 rows per batch).
-    Rows-only by nature (ADC is approximate); the row VALUES are the
-    gate — floor asserted in tests/test_retrieval.py."""
-    import ray as _ray
-
-    from .agg import topk
-
-    emb = _emb_spilled(sf_dir)
-    q = _query_matrix(sf_dir)
-    cents = _pq_fit_centroids(emb)
-    luts = np.stack(
+def _adc_luts(q: np.ndarray, cbs: list) -> np.ndarray:
+    """(n_queries, n_subs, k) table of query-subvector -> centroid
+    squared distances — the heart of ADC: vector distance becomes
+    n_subs table lookups instead of a d-dim dot product."""
+    return np.stack(
         [
             np.stack(
                 [
-                    ((c - q[qi, s * _PQ_WIDTH : (s + 1) * _PQ_WIDTH][None, :]) ** 2).sum(axis=1)
-                    for s, c in enumerate(cents)
+                    (
+                        (c - q[qi, s * _PQ_WIDTH : (s + 1) * _PQ_WIDTH][None, :])
+                        ** 2
+                    ).sum(axis=1)
+                    for s, c in enumerate(cbs)
                 ]
             )
             for qi in range(len(q))
         ]
-    )  # (n_queries, 4, 16)
-    ref = _ray.put((cents, luts, q))
+    )
 
+
+def q_emb_pq_adc_recall(sf_dir: str):
+    """ADC RETRIEVAL RECALL (asymmetric distance computation — how a PQ
+    index actually answers queries: per-subspace lookup tables of
+    query-to-centroid distances, vector distance = sum of 8 table
+    lookups instead of a 64-dim dot product): per query, |top-10 by ADC
+    ∩ top-10 by exact L2|, BOTH sides computed in ONE corpus pass (the
+    batch emits its local top-10 per (query, side); a grouped merge
+    reduces <= 20 rows per batch — the full scored table is never
+    materialized). Rows-only by nature (ADC is approximate); the row
+    VALUES are the gate — floor asserted in tests/test_retrieval.py."""
+    import ray as _ray
+
+    emb = _emb_spilled(sf_dir)
+    q = _query_matrix(sf_dir)
+    cbs = _pq_model_cached(sf_dir)
+    luts = _adc_luts(q, cbs)
+    ref = _ray.put((np.asarray(cbs), luts, q))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cl, l, qm = _ray.get(ref)
+        x = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        ids = batch["vec_id"].astype("int64").to_numpy()
+        # encode once per batch (same argmin as the stored codes)
+        codes = np.zeros((len(x), _PQ_SUBS), dtype=np.int64)
+        for s in range(_PQ_SUBS):
+            c = cl[s]
+            xs = x[:, s * _PQ_WIDTH : (s + 1) * _PQ_WIDTH]
+            d2 = (
+                (xs * xs).sum(axis=1)[:, None]
+                - 2.0 * (xs @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+            )
+            codes[:, s] = np.argmin(d2, axis=1)
+        out = []
+        for qi in range(len(qm)):
+            exact = ((x - qm[qi][None, :]) ** 2).sum(axis=1)
+            adc = l[qi, np.arange(_PQ_SUBS)[None, :], codes].sum(axis=1)
+            for side, key in (("adc", adc), ("exact", exact)):
+                nano = np.rint(key * 1e9).astype("int64")
+                order = np.lexsort((ids, nano))[: min(10, len(ids))]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.int64(qi),
+                            "side": side,
+                            "vec_id": ids[order],
+                            "nano": nano[order],
+                        }
+                    )
+                )
+        return pd.concat(out, ignore_index=True)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(
+            ["nano", "vec_id"], kind="mergesort"
+        ).head(10)
+
+    top = (
+        emb.map_batches(partial, batch_format="pandas")
+        .groupby(["query_id", "side"])
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
     rows = []
     for qi in range(len(q)):
+        g = top[top["query_id"] == qi]
+        a = set(g.loc[g["side"] == "adc", "vec_id"].astype(int))
+        e = set(g.loc[g["side"] == "exact", "vec_id"].astype(int))
+        rows.append({"query_id": qi, "n_overlap": len(a & e), "k": 10})
+    return pd.DataFrame(rows).astype("int64")
 
-        def score(batch: pd.DataFrame, qi=qi) -> pd.DataFrame:
-            cl, l, qm = _ray.get(ref)
-            x = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            exact = ((x - qm[qi][None, :]) ** 2).sum(axis=1)
-            adc = np.zeros(len(x))
-            for s, c in enumerate(cl):
-                xs = x[:, s * _PQ_WIDTH : (s + 1) * _PQ_WIDTH]
-                d2 = (
-                    (xs * xs).sum(axis=1)[:, None]
-                    - 2.0 * (xs @ c.T)
-                    + (c * c).sum(axis=1)[None, :]
+
+def _ivfpq_recall_detail(sf_dir: str) -> pd.DataFrame:
+    """(query_id, n_overlap, k) for IVF-PQ retrieval with exact re-rank
+    (IVFADC+R, Jegou et al. 2011 "Searching in one billion vectors"):
+    route each query to its nprobe nearest coarse cells, rank ONLY
+    vectors in those cells by residual-ADC (per-cell lookup tables on
+    q - coarse[cell]), keep an ADC SHORTLIST of 100, re-rank the
+    shortlist by exact distance, and compare the re-ranked top-10
+    against an exact full-scan top-10. Two streaming passes: (1) the
+    narrow spilled codes table (3 ints/vector) -> per-batch local ADC
+    top-100 -> grouped merge (<= 100 rows per query reach the driver);
+    (2) the embeddings -> per-batch exact top-10 (full-scan truth side)
+    plus exact distances for the broadcast shortlist ids (<= 100 rows
+    per query). Only shortlists and top-k rows ever move — at corpus
+    scale both passes stream and the re-rank fetch is a broadcast-set
+    filter, not a join."""
+    import ray as _ray
+
+    coarse, cbs = _ivfpq_model_cached(sf_dir)
+    q = _query_matrix(sf_dir)
+    nq = len(q)
+    cell_d2 = ((q[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+    probe = np.argsort(cell_d2, axis=1)[:, :_IVF_NPROBE]  # (nq, nprobe)
+    # per (query, probed cell): LUT over the RESIDUAL q - coarse[cell]
+    luts = np.zeros((nq, _IVF_NPROBE, _PQ_SUBS, _PQ_K))
+    for qi in range(nq):
+        for pi, c in enumerate(probe[qi]):
+            qr = q[qi] - coarse[c]
+            for s, cb in enumerate(cbs):
+                luts[qi, pi, s] = (
+                    (cb - qr[s * _PQ_WIDTH : (s + 1) * _PQ_WIDTH][None, :])
+                    ** 2
+                ).sum(axis=1)
+    # cell id -> probe rank per query (-1 = not probed)
+    rank = np.full((nq, _IVF_CELLS), -1, dtype=np.int64)
+    for qi in range(nq):
+        rank[qi, probe[qi]] = np.arange(_IVF_NPROBE)
+    ref = _ray.put((luts, rank))
+
+    def adc_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        l, rk = _ray.get(ref)
+        ids = batch["vec_id"].astype("int64").to_numpy()
+        cells = batch["cell"].astype("int64").to_numpy()
+        pq = batch["pq_code"].to_numpy(np.int64)
+        codes = np.stack(
+            [(pq >> np.int64(8 * s)) & 0xFF for s in range(_PQ_SUBS)],
+            axis=1,
+        )
+        out = []
+        for qi in range(l.shape[0]):
+            pr = rk[qi, cells]
+            m = pr >= 0
+            if not m.any():
+                continue
+            adc = l[qi, pr[m][:, None], np.arange(_PQ_SUBS)[None, :],
+                    codes[m]].sum(axis=1)
+            nano = np.rint(adc * 1e9).astype("int64")
+            sub = ids[m]
+            order = np.lexsort((sub, nano))[: min(_IVF_SHORTLIST, len(sub))]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.int64(qi),
+                        "vec_id": sub[order],
+                        "nano": nano[order],
+                    }
                 )
-                adc += l[qi, s, np.argmin(d2, axis=1)]
+            )
+        if not out:
             return pd.DataFrame(
                 {
-                    "vec_id": batch["vec_id"].astype("int64").values,
-                    "adc_nano": np.rint(adc * 1e9).astype("int64"),
-                    "exact_nano": np.rint(exact * 1e9).astype("int64"),
+                    "query_id": pd.Series(dtype="int64"),
+                    "vec_id": pd.Series(dtype="int64"),
+                    "nano": pd.Series(dtype="int64"),
                 }
             )
+        return pd.concat(out, ignore_index=True)
 
-        scored = emb.map_batches(score, batch_format="pandas")
-        top_adc = topk(
-            scored, ["adc_nano", "vec_id"], descending=[False, False], k=10
-        ).to_pandas()
-        top_ex = topk(
-            scored, ["exact_nano", "vec_id"], descending=[False, False], k=10
-        ).to_pandas()
-        rows.append(
-            {
-                "query_id": qi,
-                "n_overlap": len(
-                    set(top_adc["vec_id"].astype(int))
-                    & set(top_ex["vec_id"].astype(int))
-                ),
-                "k": 10,
-            }
+    def merge_short(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(
+            ["nano", "vec_id"], kind="mergesort"
+        ).head(_IVF_SHORTLIST)
+
+    shortlist = (
+        _ivfpq_codes_spilled(sf_dir)
+        .map_batches(adc_partial, batch_format="pandas")
+        .groupby("query_id")
+        .map_groups(merge_short, batch_format="pandas")
+        .to_pandas()
+    )
+    short_sets = [
+        frozenset(
+            shortlist.loc[shortlist["query_id"] == qi, "vec_id"].astype(int)
         )
+        for qi in range(nq)
+    ]
+    q_ref = _ray.put((q, short_sets))
+
+    def exact_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        qm, shorts = _ray.get(q_ref)
+        x = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        ids = batch["vec_id"].astype("int64").to_numpy()
+        out = []
+        for qi in range(len(qm)):
+            nano = np.rint(
+                ((x - qm[qi][None, :]) ** 2).sum(axis=1) * 1e9
+            ).astype("int64")
+            order = np.lexsort((ids, nano))[: min(10, len(ids))]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.int64(qi),
+                        "side": "exact",
+                        "vec_id": ids[order],
+                        "nano": nano[order],
+                    }
+                )
+            )
+            m = np.isin(ids, list(shorts[qi]))
+            if m.any():
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.int64(qi),
+                            "side": "rerank",
+                            "vec_id": ids[m],
+                            "nano": nano[m],
+                        }
+                    )
+                )
+        return pd.concat(out, ignore_index=True)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(
+            ["nano", "vec_id"], kind="mergesort"
+        ).head(10)
+
+    top = (
+        _emb_spilled(sf_dir)
+        .map_batches(exact_partial, batch_format="pandas")
+        .groupby(["query_id", "side"])
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    rows = []
+    for qi in range(nq):
+        g = top[top["query_id"] == qi]
+        a = set(g.loc[g["side"] == "rerank", "vec_id"].astype(int))
+        e = set(g.loc[g["side"] == "exact", "vec_id"].astype(int))
+        rows.append({"query_id": qi, "n_overlap": len(a & e), "k": 10})
     return pd.DataFrame(rows).astype("int64")
+
+
+def q_emb_ivfpq_recall(sf_dir: str):
+    """IVF-PQ RETRIEVAL GATE (the billion-vector ANN composition —
+    Jegou et al. 2011 IVFADC+R: coarse quantizer routes each query to
+    nprobe cells, residual PQ codes rank only those candidates by ADC,
+    and the ADC shortlist of 100 is re-ranked by exact distance): per
+    query the gate demands top-10 overlap vs exact L2 of at least 7 of
+    10 — a recall bar a USABLE retrieval config must clear, unlike the
+    raw-code ADC diagnostic. The synth vectors are uniform randoms
+    (nothing for the coarse quantizer to exploit — ANN's adversarial
+    case), so the gate probes nprobe=10 of 16 cells; on clustered real
+    embeddings the identical machinery runs nprobe≈4 over far more
+    cells. Output is the constant gate row per query (floor_ok=1), so
+    the driver oracle is exact; the raw overlap is additionally
+    floor-asserted in tests/test_retrieval.py."""
+    det = _ivfpq_recall_detail(sf_dir)
+    return pd.DataFrame(
+        {
+            "query_id": det["query_id"].astype("int64"),
+            "k_top": pd.Series([10] * len(det), dtype="int64"),
+            "recall_floor": pd.Series(
+                [_IVFPQ_FLOOR] * len(det), dtype="int64"
+            ),
+            "floor_ok": (det["n_overlap"] >= _IVFPQ_FLOOR).astype("int64"),
+        }
+    )
 
 
 def q_emb_kmeans_agreement(sf_dir: str):
@@ -1913,11 +2295,20 @@ def q_pages_zone_maps(sf_dir: str):
                     hi = _np.datetime64(st.max, "us").astype("int64")
                     min_t = lo if min_t is None else min(min_t, lo)
                     max_t = hi if max_t is None else max(max_t, hi)
-        if md.num_rows == 0 or min_u is None or min_t is None:
-            # empty shard or footer without statistics: no zone map to
-            # report (mirrors the oracle, whose scan-side group simply
-            # has no rows for such a shard)
+        if md.num_rows == 0:
+            # empty shard: no zone map to report (the oracle's
+            # scan-side group has no rows either; both sides rank
+            # shard_id over the FULL sorted file list, so the gap
+            # shifts nothing)
             return None
+        if min_u is None or min_t is None:
+            # rows but no footer statistics: the planner would silently
+            # lose prunability AND the oracle (which scans) would emit a
+            # row the engine skips — refuse loudly instead
+            raise RuntimeError(
+                f"shard {path} has {md.num_rows} rows but no url/warc_ts "
+                "footer statistics; zone-map planning requires stats"
+            )
         return {
             "shard_id": sid,
             "n_rows": int(md.num_rows),
@@ -3258,6 +3649,13 @@ def q_pages_neardup_exact(sf_dir: str):
             f"{root}.bm25_docs_e{_SPILL_VERSION}",
             f"{root}.link_edges_e{_SPILL_VERSION}",
             f"{root}.anchor_pairs_e{_SPILL_VERSION}",
+            f"{root}.pq_model_s{_PQ_SUBS}k{_PQ_K}_e{_SPILL_VERSION}",
+            f"{root}.ivfpq_model_c{_IVF_CELLS}s{_PQ_SUBS}k{_PQ_K}"
+            f"_e{_SPILL_VERSION}",
+            f"{root}.ivfpq_codes_c{_IVF_CELLS}s{_PQ_SUBS}k{_PQ_K}"
+            f"_e{_SPILL_VERSION}",
+            f"{root}.bm25_tf_doc_e{_SPILL_VERSION}",
+            f"{root}.bm25_tf_pages_e{_SPILL_VERSION}",
         ),
     )
     # the verified-pair set is deterministic per (corpus root, params,
@@ -7696,6 +8094,7 @@ QUERIES = {
     "emb_pq_codes": q_emb_pq_codes,
     "emb_pq_agreement": q_emb_pq_agreement,
     "emb_pq_adc_recall": q_emb_pq_adc_recall,
+    "emb_ivfpq_recall": q_emb_ivfpq_recall,
     "emb_neardup": q_emb_neardup,
     "emb_neardup_exact": q_emb_neardup_exact,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
@@ -7807,9 +8206,17 @@ ORACLE_SQL = {
         FROM embeddings
     """,
     "emb_pq_agreement": """
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
-               CAST(COUNT(*) AS BIGINT) AS n_agree
+        SELECT CAST(LEAST(COUNT(*), 20000) AS BIGINT) AS n_vecs,
+               CAST(LEAST(COUNT(*), 20000) AS BIGINT) AS n_agree
         FROM embeddings
+    """,
+    "emb_ivfpq_recall": """
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(10 AS BIGINT) AS k_top,
+               CAST(7 AS BIGINT) AS recall_floor,
+               CAST(1 AS BIGINT) AS floor_ok
+        FROM (VALUES (0), (1)) AS t(query_id)
+        ORDER BY query_id
     """,
     "emb_medoids_agreement": """
         SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
@@ -9631,9 +10038,12 @@ def _pages_oracles(sf_dir: str) -> dict[str, str]:
               SELECT url, warc_ts, filename
               FROM read_parquet('{pages}', filename=1)
             ), ids AS (
-              SELECT filename,
-                     CAST(row_number() OVER (ORDER BY filename) - 1 AS BIGINT) AS shard_id
-              FROM (SELECT DISTINCT filename FROM f)
+              -- rank over the FULL sorted shard list (glob), not the
+              -- filenames present in scanned rows: an empty shard must
+              -- not shift later shard_ids (engine ids are absolute)
+              SELECT file AS filename,
+                     CAST(row_number() OVER (ORDER BY file) - 1 AS BIGINT) AS shard_id
+              FROM glob('{pages}')
             )
             SELECT i.shard_id,
                    CAST(COUNT(*) AS BIGINT) AS n_rows,

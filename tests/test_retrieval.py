@@ -180,14 +180,97 @@ def test_bloom_prefilter_empty_build_side(ray_session):
 
 
 def test_pq_adc_recall_floor(ray_session):
-    """ADC recall gate: the synthetic embeddings are uniform randoms —
-    PQ's adversarial case (no cluster structure to exploit), so 16-bit
-    codes legitimately sit in the 2-3/10 recall regime. The floor that
-    must ALWAYS hold: every query recovers at least one true neighbor
-    (the query vector itself is in the table; its ADC distance is pure
-    quantization error and stays near the top)."""
+    """ADC recall diagnostic at production code width (8 subspaces x
+    256 centroids -> 64-bit codes): the synthetic embeddings are
+    uniform randoms — PQ's adversarial case (no cluster structure to
+    exploit) — yet the wide codes hold a measured 5-8/10 raw-ADC
+    recall at this tier (the 16-bit config sat at 2-3/10). Floor
+    asserted with margin below the measured values."""
     from rayxtract.queries import QUERIES
 
     df = QUERIES["emb_pq_adc_recall"]("/root/testdata/sf0.001")
     assert list(df["k"]) == [10, 10]
-    assert (df["n_overlap"] >= 1).all()
+    assert (df["n_overlap"] >= 4).all()
+
+
+def test_ivfpq_rerank_recall_floor(ray_session):
+    """IVFADC+R gate (coarse routing + residual-PQ ADC shortlist +
+    exact re-rank): every query must recover >= 7 of the exact top-10.
+    Measured: [10, 10] at sf0.001, [8, 9] at sf0.01, [7, 10] at sf0.1
+    — deterministic per corpus (all fits are seeded + hash-sampled)."""
+    from rayxtract.queries import QUERIES, _ivfpq_recall_detail
+
+    det = _ivfpq_recall_detail("/root/testdata/sf0.001")
+    assert (det["n_overlap"] >= 7).all()
+    gate = QUERIES["emb_ivfpq_recall"]("/root/testdata/sf0.001")
+    assert list(gate["floor_ok"]) == [1, 1]
+    assert list(gate["recall_floor"]) == [7, 7]
+
+
+def test_pq_kernel_matches_dense_reference(ray_session):
+    """The joint multi-codebook Lloyd (one scan per round for ALL
+    subspaces) must reach the same codebooks as the per-subspace dense
+    replay from the same init — on a small synthetic table, exact to
+    float-sum rounding."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from rayxtract.ann import (
+        pq_encode,
+        pq_fit_codebooks,
+        pq_init_codebooks,
+        pq_reference_codebooks,
+    )
+
+    rng = np.random.RandomState(7)
+    mat = rng.rand(300, 16)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(300, dtype=np.int64),
+         "embedding": list(mat)}
+    )
+    ds = ray.data.from_pandas(pdf).repartition(5)
+    cbs = pq_fit_codebooks(ds, n_subs=4, width=4, k=8, n_iter=4, seed=3)
+    init = pq_init_codebooks(ds, 4, 4, 8, seed=3)
+    refs = pq_reference_codebooks(mat, init, width=4, n_iter=4)
+    for c_d, c_r in zip(cbs, refs):
+        assert np.allclose(c_d, c_r, atol=1e-9)
+    # encode round-trip: packed int64 fields unpack to the argmins
+    codes = pq_encode(ds, cbs, width=4).to_pandas().sort_values("vec_id")
+    pq_int = codes["pq_code"].to_numpy(np.int64)
+    for s in range(4):
+        got = (pq_int >> np.int64(8 * s)) & 0xFF
+        c = cbs[s]
+        xs = mat[:, s * 4 : (s + 1) * 4]
+        d2 = (
+            (xs * xs).sum(axis=1)[:, None]
+            - 2.0 * (xs @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        assert (got == np.argmin(d2, axis=1)).all()
+
+
+def test_gate_slice_caps_and_is_layout_independent(ray_session):
+    """_gate_slice: at-or-below the cap the input passes through; above
+    it both kernels get the same md5-ranked slice regardless of block
+    layout (VERDICT r4 next #6)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from rayxtract.queries import _gate_slice
+
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(200, dtype=np.int64),
+         "embedding": list(np.random.RandomState(1).rand(200, 4))}
+    )
+    ds2 = ray.data.from_pandas(pdf).repartition(2)
+    ds9 = ray.data.from_pandas(pdf).repartition(9)
+    out2, n2, capped2 = _gate_slice(ds2, "vec_id", cap=50)
+    out9, n9, capped9 = _gate_slice(ds9, "vec_id", cap=50)
+    assert capped2 and capped9 and n2 == n9 == 50
+    ids2 = sorted(out2.to_pandas()["vec_id"])
+    ids9 = sorted(out9.to_pandas()["vec_id"])
+    assert ids2 == ids9
+    full, n_full, capped_full = _gate_slice(ds2, "vec_id", cap=500)
+    assert not capped_full and n_full == 200
