@@ -1468,6 +1468,44 @@ def _gate_slice(ds, id_col: str, cap: int = _AGREE_CAP):
     return ray.data.from_pandas(pdf).repartition(4), len(pdf), True
 
 
+# graph validation gates gather an edge list; 4M edges (~400 MB pandas)
+# is the absolute bound — large enough that no current tier is sliced,
+# small enough that the gate runs at ANY corpus tier
+_AGREE_EDGE_CAP = 4_000_000
+
+
+def _gate_slice_edges(edges, cap: int = _AGREE_EDGE_CAP):
+    """Edge-table counterpart of :func:`_gate_slice`: above the cap both
+    kernels (distributed rounds and the dense reference) run on the same
+    md5-ranked edge slice — an edge-induced subgraph chosen
+    deterministically and independent of block layout. Returns
+    (edges_ds, n_edges, capped)."""
+    n = int(edges.count())
+    if n <= cap:
+        return edges, n, False
+    import ray.data
+
+    from .ann import _hash_sample
+
+    cols = list(edges.schema().names)
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(
+            __eid=b["src_url"].astype(str) + "|" + b["dst_url"].astype(str)
+        )
+
+    rows = _hash_sample(
+        edges.map_batches(keyed, batch_format="pandas"), cap, 103,
+        "__eid", cols + ["__eid"],
+    )
+    pdf = (
+        pd.DataFrame(rows)
+        .drop(columns=["__r", "__eid"])
+        .reset_index(drop=True)
+    )
+    return ray.data.from_pandas(pdf).repartition(8), len(pdf), True
+
+
 def _publish_model(model: dict, spill_dir: str, params: dict) -> None:
     """Persist a dict of centroid-array lists as (kind, subspace, idx,
     vec) rows behind the standard marker-gated spill (tmp + rename
@@ -1998,8 +2036,8 @@ def q_emb_kmeans_agreement(sf_dir: str):
     what makes it a reference); the distributed side stays distributed."""
     from .ann import _kmeans_init, kmeans_assign, kmeans_fit, kmeans_reference
 
-    emb = _emb_spilled(sf_dir)
-    cents_d, _ = kmeans_fit(emb, k=8, n_iter=8, seed=13, pin=False)
+    emb, _n, capped = _gate_slice(_emb_spilled(sf_dir), "vec_id")
+    cents_d, _ = kmeans_fit(emb, k=8, n_iter=8, seed=13, pin=capped)
     a_d = (
         kmeans_assign(emb, cents_d).to_pandas().sort_values("vec_id")
     )
@@ -2038,7 +2076,7 @@ def q_emb_pca_agreement(sf_dir: str):
     numpy side gathers the matrix by design."""
     from .ann import pca_fit, pca_project
 
-    emb = _emb_spilled(sf_dir)
+    emb, _n, _capped = _gate_slice(_emb_spilled(sf_dir), "vec_id")
     mean, comps = pca_fit(emb, n_components=2)
     dproj = pca_project(emb, mean, comps).to_pandas().sort_values("vec_id")
     pdf = emb.to_pandas().sort_values("vec_id")
@@ -2073,8 +2111,8 @@ def q_emb_medoids_agreement(sf_dir: str):
     from .ann import kmeans_assign, kmeans_fit
     from .curation import stratified_sample
 
-    emb = _emb_spilled(sf_dir)
-    cents, _ = kmeans_fit(emb, k=8, n_iter=8, seed=13, pin=False)
+    emb, _n, capped = _gate_slice(_emb_spilled(sf_dir), "vec_id")
+    cents, _ = kmeans_fit(emb, k=8, n_iter=8, seed=13, pin=capped)
     assigned = kmeans_assign(emb, cents)
 
     def keyed(batch: pd.DataFrame) -> pd.DataFrame:
@@ -2380,7 +2418,7 @@ def q_pages_url_host_join(sf_dir: str):
     uniq = counts.map_batches(
         lambda b: pd.DataFrame(
             {"url": b["url"].astype(object),
-             "host": [u.split("/")[2] for u in b["url"]]}
+             "host": b["url"].astype(object).str.split("/").str[2].to_numpy()}
         ),
         batch_format="pandas",
     )
@@ -2439,7 +2477,7 @@ def q_pages_top_domains(sf_dir: str):
     ds = ray.data.read_parquet(pages_dir, columns=["url"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        hosts = pd.Series([u.split("/")[2] for u in batch["url"]])
+        hosts = batch["url"].astype(object).str.split("/").str[2]
         c = hosts.value_counts()
         return pd.DataFrame(
             {"host": c.index, "n": pd.Series(c.values, dtype="int64")}
@@ -2468,7 +2506,7 @@ def q_pages_domain_cap(sf_dir: str):
         b = batch.drop_duplicates("url")
         return pd.DataFrame(
             {
-                "host": [u.split("/")[2] for u in b["url"]],
+                "host": b["url"].astype(object).str.split("/").str[2].to_numpy(),
                 "url": b["url"].values,
             }
         )
@@ -2516,7 +2554,7 @@ def q_pages_host_reservoir(sf_dir: str):
         urls = b["url"].astype(object).to_numpy()
         return pd.DataFrame(
             {
-                "host": [u.split("/")[2] for u in urls],
+                "host": pd.Series(urls).str.split("/").str[2].to_numpy(),
                 "url": urls,
                 "rk": [hashlib.md5(u.encode()).hexdigest() for u in urls],
             }
@@ -2569,7 +2607,7 @@ def q_pages_host_quality_filter(sf_dir: str):
         lambda b: pd.DataFrame(
             {
                 "url": b["url"].astype(object).values,
-                "host": [u.split("/")[2] for u in b["url"]],
+                "host": b["url"].astype(object).str.split("/").str[2].to_numpy(),
                 "n_chars": b["n_chars"].astype("int64").values,
             }
         ),
@@ -2758,7 +2796,10 @@ def q_pages_pagerank_agreement(sf_dir: str):
     design (that is what makes it a reference)."""
     from .graph import pagerank, pagerank_reference, resolve_edges
 
-    edges = resolve_edges(_link_edges_spilled(sf_dir)).materialize()
+    edges, _n, _capped = _gate_slice_edges(
+        resolve_edges(_link_edges_spilled(sf_dir))
+    )
+    edges = edges.materialize()
     dist = pagerank(
         edges, damping=0.85, n_iter=3, src_col="src_url", dst_col="dst_url",
         weight_col="n_links", driver_threshold=0,
@@ -2855,7 +2896,10 @@ def q_pages_ppr_agreement(sf_dir: str):
     from .graph import pagerank, pagerank_reference, resolve_edges
 
     seeds = _ppr_seeds(sf_dir)
-    edges = resolve_edges(_link_edges_spilled(sf_dir)).materialize()
+    edges, _n, _capped = _gate_slice_edges(
+        resolve_edges(_link_edges_spilled(sf_dir))
+    )
+    edges = edges.materialize()
     dist = pagerank(
         edges, damping=0.85, n_iter=3, src_col="src_url", dst_col="dst_url",
         weight_col="n_links", driver_threshold=0, seeds=seeds,
@@ -2940,11 +2984,11 @@ def q_pages_hits_agreement(sf_dir: str):
     reference gathers the edge list by design."""
     from .graph import hits, hits_reference, resolve_edges
 
-    edges = (
+    edges, _n, _capped = _gate_slice_edges(
         resolve_edges(_link_edges_spilled(sf_dir))
         .select_columns(["src_url", "dst_url"])
-        .materialize()
     )
+    edges = edges.materialize()
     dist = hits(edges, n_iter=3, driver_threshold=0).to_pandas()
     ref = hits_reference(edges.to_pandas(), n_iter=3)
 
@@ -3088,7 +3132,10 @@ def q_pages_bm25_topk(sf_dir: str):
             ds, spill, params={"cols": "url,text", "op": "bm25-docs"}
         )
 
-    return _bm25_topk(make, id_col="url", terms=_BM25_PAGE_TERMS)
+    return _bm25_topk(
+        make, id_col="url", terms=_BM25_PAGE_TERMS,
+        tf_spill_dir=f"{root}.bm25_tf_pages_e{_SPILL_VERSION}",
+    )
 
 
 def q_pages_crawl_frontier(sf_dir: str):
@@ -3499,7 +3546,7 @@ def q_pages_curation_pipeline(sf_dir: str):
         urls = out["url"].astype(object).to_numpy()
         return pd.DataFrame(
             {
-                "host": [u.split("/")[2] for u in urls],
+                "host": pd.Series(urls).str.split("/").str[2].to_numpy(),
                 "url": urls,
                 "n_chars": out["n_chars_q"].astype("int64").values,
             }
@@ -6843,57 +6890,96 @@ _BM25_TERMS = ("merge", "vector", "hash")
 _BM25_PAGE_TERMS = ("partition", "reader", "cluster")
 
 
-def _bm25_topk(make_ds, id_col: str, terms: tuple, k: int = 20):
+def _bm25_topk(
+    make_ds, id_col: str, terms: tuple, k: int = 20,
+    tf_spill_dir: str | None = None,
+):
     """Shared integer-exact BM25 engine (see q_doc_bm25_topk for the
-    formula derivation). ``make_ds()`` must return a fresh Dataset with
-    (id_col, text) each call — the corpus streams twice (stats pass,
-    scoring pass); callers hand a parquet re-read (raw table or spill),
-    never a pinned Dataset."""
+    formula derivation). The corpus text is TOKENIZED EXACTLY ONCE
+    (VERDICT r4 next #3): one pass splits each doc, counts all query
+    terms in a single Counter sweep, and emits a narrow per-doc row
+    (id, dl, tf_i...) published behind the marker-gated tf spill; the
+    stats aggregate AND the scoring pass both stream that narrow table
+    (a handful of ints per doc), so the text column is read and split
+    once per corpus instead of once per pass per term. ``make_ds()``
+    must return a fresh (id_col, text) Dataset; with no spill dir the
+    tf table is materialized (test path)."""
+    from collections import Counter
+
     from .agg import topk, tree_aggregate
 
     SCALE = 1_000_000
+    id_dtype = "int64" if id_col == "doc_id" else "object"
 
-    def stat_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = [t.split() for t in batch["text"]]
-        row = {
-            "__k": np.int64(0),
-            "n_docs": np.int64(len(toks)),
-            "n_tok": np.int64(sum(len(w) for w in toks)),
+    def tf_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, dls = [], []
+        tf_cols = [[] for _ in terms]
+        for did, text in zip(batch[id_col].values, batch["text"].values):
+            w = text.split()
+            c = Counter(w)
+            ids.append(did)
+            dls.append(len(w))
+            for i, term in enumerate(terms):
+                tf_cols[i].append(c.get(term, 0))
+        out = {
+            id_col: pd.Series(ids, dtype=id_dtype),
+            "dl": pd.Series(dls, dtype="int64"),
         }
-        for i, term in enumerate(terms):
-            row[f"df{i}"] = np.int64(sum(1 for w in toks if term in w))
-        return pd.DataFrame([row])
+        for i in range(len(terms)):
+            out[f"tf{i}"] = pd.Series(tf_cols[i], dtype="int64")
+            out[f"m{i}"] = pd.Series(
+                [1 if t else 0 for t in tf_cols[i]], dtype="int64"
+            )
+        return pd.DataFrame(out)
+
+    tf_raw = make_ds().map_batches(tf_partial, batch_format="pandas")
+    if tf_spill_dir is not None:
+        from .neardup import _spill_and_reread
+
+        tf_ds = _spill_and_reread(
+            tf_raw, tf_spill_dir,
+            params={"terms": ",".join(terms), "id_col": id_col},
+        )
+    else:
+        # two consumers (stats + scoring) — a lazy chain would re-run
+        # the tokenize pass per consumer
+        tf_ds = tf_raw.materialize()
 
     stats_ds = tree_aggregate(
-        make_ds().map_batches(stat_partial, batch_format="pandas"),
+        tf_ds.map_batches(
+            lambda b: b.assign(__k=np.int64(0)), batch_format="pandas"
+        ),
         keys=["__k"],
         aggs={
-            "n_docs": ("n_docs", "sum"),
-            "n_tok": ("n_tok", "sum"),
-            **{f"df{i}": (f"df{i}", "sum") for i in range(len(terms))},
+            "n_docs": ("dl", "count"),
+            "n_tok": ("dl", "sum"),
+            **{f"df{i}": (f"m{i}", "sum") for i in range(len(terms))},
         },
     )
     st = stats_ds.take_all()[0]  # one scalar row — not a corpus gather
     n, t = int(st["n_docs"]), int(st["n_tok"])
     dfs = [int(st[f"df{i}"]) for i in range(len(terms))]
-    id_dtype = "int64" if id_col == "doc_id" else "object"
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
-        ids, dls, scores = [], [], []
-        for did, text in zip(batch[id_col].values, batch["text"].values):
-            w = text.split()
-            tfs = [w.count(term) for term in terms]
-            if not any(tfs):
-                continue
-            dl = len(w)
+        tf_mat = np.stack(
+            [batch[f"tf{i}"].to_numpy(np.int64) for i in range(len(terms))],
+            axis=1,
+        )
+        hit = tf_mat.any(axis=1)
+        ids = batch[id_col].values[hit]
+        dls = batch["dl"].to_numpy(np.int64)[hit]
+        tf_hit = tf_mat[hit]
+        scores = []
+        for row, dl in zip(tf_hit, dls):
             s = 0
-            for tf, df in zip(tfs, dfs):
+            dl = int(dl)
+            for tf, df in zip(row, dfs):
+                tf = int(tf)
                 if tf:
+                    # python bigints: products exceed int64 at web scale
                     s += (22 * tf * t * (2 * (n - df) + 1) * SCALE) // (
                         (10 * tf * t + 3 * t + 9 * dl * n) * (2 * df + 1)
                     )
-            ids.append(int(did) if id_dtype == "int64" else did)
-            dls.append(dl)
             scores.append(s)
         return pd.DataFrame(
             {
@@ -6903,7 +6989,7 @@ def _bm25_topk(make_ds, id_col: str, terms: tuple, k: int = 20):
             }
         )
 
-    scored = make_ds().map_batches(score, batch_format="pandas")
+    scored = tf_ds.map_batches(score, batch_format="pandas")
     return topk(scored, keys=["score", id_col], descending=[True, False], k=k)
 
 
@@ -6926,10 +7012,12 @@ def q_doc_bm25_topk(sf_dir: str):
     matching docs with arbitrary-precision ints (products exceed int64
     at web scale — T ~ 1e12), and the local-top-k combiner ships <= 20
     rows per batch. Nothing corpus-sized touches the driver."""
+    root = _oracle_corpus_root(sf_dir)
     return _bm25_topk(
         lambda: _read(sf_dir, "documents", ["doc_id", "text"]),
         id_col="doc_id",
         terms=_BM25_TERMS,
+        tf_spill_dir=f"{root}.bm25_tf_doc_e{_SPILL_VERSION}",
     )
 
 
@@ -8196,13 +8284,13 @@ ORACLE_SQL = {
     # fixpoint self-gates (VERDICT r3 next #4): the query computes an
     # integer engine-vs-reference agreement; the oracle demands totality
     "emb_kmeans_agreement": """
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
-               CAST(COUNT(*) AS BIGINT) AS n_agree
+        SELECT CAST(LEAST(COUNT(*), 20000) AS BIGINT) AS n_vecs,
+               CAST(LEAST(COUNT(*), 20000) AS BIGINT) AS n_agree
         FROM embeddings
     """,
     "emb_pca_agreement": """
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
-               CAST(COUNT(*) AS BIGINT) AS n_agree
+        SELECT CAST(LEAST(COUNT(*), 20000) AS BIGINT) AS n_vecs,
+               CAST(LEAST(COUNT(*), 20000) AS BIGINT) AS n_agree
         FROM embeddings
     """,
     "emb_pq_agreement": """
@@ -8219,7 +8307,7 @@ ORACLE_SQL = {
         ORDER BY query_id
     """,
     "emb_medoids_agreement": """
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        SELECT CAST(LEAST(COUNT(*), 20000) AS BIGINT) AS n_vecs,
                CAST(0 AS BIGINT) AS n_disagree
         FROM embeddings
     """,

@@ -274,3 +274,32 @@ def test_gate_slice_caps_and_is_layout_independent(ray_session):
     assert ids2 == ids9
     full, n_full, capped_full = _gate_slice(ds2, "vec_id", cap=500)
     assert not capped_full and n_full == 200
+
+
+def test_gate_slice_edges_caps(ray_session):
+    """_gate_slice_edges: a synthetic oversized edge table is sliced to
+    the cap deterministically (same subgraph at any block layout)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from rayxtract.queries import _gate_slice_edges
+
+    rng = np.random.RandomState(3)
+    pdf = pd.DataFrame(
+        {
+            "src_url": [f"https://h{i % 37}.example/p{i}" for i in range(400)],
+            "dst_url": [f"https://h{j}.example/" for j in rng.randint(0, 37, 400)],
+            "n_links": np.ones(400, dtype=np.int64),
+        }
+    )
+    e3 = ray.data.from_pandas(pdf).repartition(3)
+    e7 = ray.data.from_pandas(pdf).repartition(7)
+    s3, n3, c3 = _gate_slice_edges(e3, cap=100)
+    s7, n7, c7 = _gate_slice_edges(e7, cap=100)
+    assert c3 and c7 and n3 == n7 == 100
+    k3 = sorted(zip(s3.to_pandas()["src_url"], s3.to_pandas()["dst_url"]))
+    k7 = sorted(zip(s7.to_pandas()["src_url"], s7.to_pandas()["dst_url"]))
+    assert k3 == k7
+    _, n_full, capped = _gate_slice_edges(e3, cap=1000)
+    assert not capped and n_full == 400
