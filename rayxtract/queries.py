@@ -2299,76 +2299,79 @@ def q_pages_zone_maps(sf_dir: str):
     a planner consults per-shard min/max before scheduling any scan —
     this query reads ONLY footers, zero data pages): per input shard,
     row count + min/max url and warc_ts folded across its row groups.
-    One raw Ray task per shard (a Dataset job's startup dwarfs a
-    footer read — same rationale as the winner pass); the oracle
+    Kernel shared with the consumers that actually prune
+    (``q_pages_ts_range``, ``tools.reextract_url``) — see
+    :mod:`rayxtract.zonemap`. Empty shards report no zone (the oracle's
+    scan-side group has no rows either; both sides rank shard_id over
+    the FULL sorted file list, so the gap shifts nothing); the oracle
     re-derives the identical spans the expensive way, by scanning."""
-    import ray
-
     from .pipeline import list_shards
+    from .zonemap import build_zone_maps
 
     pages_dir, _ = _pages_corpus(sf_dir)
+    return build_zone_maps(list_shards(pages_dir))
+
+
+def _ts_range_bounds(n_pages: int) -> tuple[int, int]:
+    """Deterministic [lo, hi] warc_ts window (µs, inclusive) covering
+    ~5% of the corpus at any tier — wide enough to span shards, narrow
+    enough that zone maps prune most of them. Derived from the synth
+    clock so the engine query and the tier-bound oracle literal agree
+    by construction."""
+    from .synth import _warc_ts
+
+    lo = _warc_ts(n_pages * 2 // 5, 0)
+    hi = _warc_ts(n_pages * 9 // 20, 1)
+    return lo, hi
+
+
+def q_pages_ts_range(sf_dir: str):
+    """Crawl-window scan through the ZONE-MAP planner (prune at the
+    read): consult per-shard footer spans first, schedule data-page
+    reads ONLY for shards whose [min_ts, max_ts] intersects the window,
+    then apply the exact row filter inside the pruned read. The synth
+    corpus is crawl-ordered (warc_ts monotone in page index), so shards
+    are naturally ts-clustered — the Common-Crawl layout — and a 5%
+    window opens ~5% of shards (test-asserted). The oracle scans
+    everything and filters, proving pruning loses no rows."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from .pipeline import list_shards
+    from .synth import sf_dir_to_n_pages
+    from .zonemap import build_zone_maps, prune
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    lo, hi = _ts_range_bounds(sf_dir_to_n_pages(sf_dir))
     shards = list_shards(pages_dir)
-
-    @ray.remote(num_cpus=1)
-    def zone(path: str, sid: int) -> dict:
-        import numpy as _np
-        import pyarrow.parquet as pq
-
-        md = pq.read_metadata(path)
-        min_u = max_u = None
-        min_t = max_t = None
-        for rg in range(md.num_row_groups):
-            g = md.row_group(rg)
-            for ci in range(g.num_columns):
-                c = g.column(ci)
-                st = c.statistics
-                if st is None or not st.has_min_max:
-                    continue
-                if c.path_in_schema == "url":
-                    lo, hi = st.min, st.max
-                    min_u = lo if min_u is None else min(min_u, lo)
-                    max_u = hi if max_u is None else max(max_u, hi)
-                elif c.path_in_schema == "warc_ts":
-                    lo = _np.datetime64(st.min, "us").astype("int64")
-                    hi = _np.datetime64(st.max, "us").astype("int64")
-                    min_t = lo if min_t is None else min(min_t, lo)
-                    max_t = hi if max_t is None else max(max_t, hi)
-        if md.num_rows == 0:
-            # empty shard: no zone map to report (the oracle's
-            # scan-side group has no rows either; both sides rank
-            # shard_id over the FULL sorted file list, so the gap
-            # shifts nothing)
-            return None
-        if min_u is None or min_t is None:
-            # rows but no footer statistics: the planner would silently
-            # lose prunability AND the oracle (which scans) would emit a
-            # row the engine skips — refuse loudly instead
-            raise RuntimeError(
-                f"shard {path} has {md.num_rows} rows but no url/warc_ts "
-                "footer statistics; zone-map planning requires stats"
-            )
-        return {
-            "shard_id": sid,
-            "n_rows": int(md.num_rows),
-            "min_url": min_u,
-            "max_url": max_u,
-            "min_ts_us": int(min_t),
-            "max_ts_us": int(max_t),
-        }
-
-    recs = [
-        r for r in ray.get([zone.remote(p, i) for i, p in enumerate(shards)])
-        if r is not None
-    ]
-    df = pd.DataFrame(
-        recs,
-        columns=["shard_id", "n_rows", "min_url", "max_url",
-                 "min_ts_us", "max_ts_us"],
+    keep = prune(build_zone_maps(shards), ts_lo_us=lo, ts_hi_us=hi)
+    empty = pd.DataFrame(
+        {"url": pd.Series(dtype=object), "ts_us": pd.Series(dtype="int64")}
     )
-    return df.astype(
-        {"shard_id": "int64", "n_rows": "int64",
-         "min_ts_us": "int64", "max_ts_us": "int64"}
+    if not keep:
+        return empty
+    import pyarrow as _pa
+
+    lo_ts = _pa.scalar(lo, type=_pa.timestamp("us"))
+    hi_ts = _pa.scalar(hi, type=_pa.timestamp("us"))
+    ds = ray.data.read_parquet(
+        [shards[i] for i in keep],
+        columns=["url", "warc_ts"],
+        filter=(pads.field("warc_ts") >= lo_ts)
+        & (pads.field("warc_ts") <= hi_ts),
     )
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "url": b["url"],
+                "ts_us": b["warc_ts"].astype("datetime64[us]").astype("int64"),
+            }
+        )
+
+    out = ds.map_batches(project, batch_format="pandas").to_pandas()
+    # all-empty-blocks Datasets lose their pandas schema (see MEMORY)
+    return out if len(out) else empty
 
 
 def q_pages_recrawl_winners(sf_dir: str):
@@ -8236,6 +8239,7 @@ QUERIES = {
     "pages_hits_agreement": q_pages_hits_agreement,
     "pages_crawl_frontier": q_pages_crawl_frontier,
     "pages_zone_maps": q_pages_zone_maps,
+    "pages_ts_range": q_pages_ts_range,
     "pages_anchor_texts": q_pages_anchor_texts,
     "pages_anchor_top": q_pages_anchor_top,
     "pages_bm25_topk": q_pages_bm25_topk,
@@ -9866,9 +9870,12 @@ def _pages_oracles(sf_dir: str) -> dict[str, str]:
     """Tier-dependent oracles over the deterministic synth corpus parquet
     (the pages tables aren't driver-registered views, but their cache path
     is a pure function of the tier)."""
+    from .synth import sf_dir_to_n_pages
+
     root = _oracle_corpus_root(sf_dir)
     pages = f"{root}/pages/*.parquet"
     golden = f"{root}/golden/*.parquet"
+    ts_lo, ts_hi = _ts_range_bounds(sf_dir_to_n_pages(sf_dir))
     media = f"{_media_root(sf_dir)}/*.parquet"
     bpe_words = f"{root}.bpe_words_m{_BPE_MERGES}_e{_SPILL_VERSION}/*.parquet"
     prefix, suffix = _prompt_parts()
@@ -10141,6 +10148,15 @@ def _pages_oracles(sf_dir: str) -> dict[str, str]:
                    CAST(MAX(epoch_us(warc_ts)) AS BIGINT) AS max_ts_us
             FROM f JOIN ids i USING (filename)
             GROUP BY i.shard_id
+        """,
+        # ts-range scan: the engine prunes shards via footer zone maps
+        # before reading; the oracle scans EVERYTHING and filters —
+        # equality proves pruning loses no rows (bounds from the same
+        # _ts_range_bounds helper, inclusive BETWEEN on both sides)
+        "pages_ts_range": f"""
+            SELECT url, CAST(epoch_us(warc_ts) AS BIGINT) AS ts_us
+            FROM read_parquet('{pages}')
+            WHERE epoch_us(warc_ts) BETWEEN {ts_lo} AND {ts_hi}
         """,
         # BM25 over the extracted corpus: byte-identity makes golden_text
         # the exact engine input; same HUGEINT rational as doc_bm25_topk.
