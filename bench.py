@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "pages_bm25_topk",
     "lineitem_bloom_join",
     "events_zorder_layout",
+    "pages_ts_range",
 ]
 
 

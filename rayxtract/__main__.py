@@ -56,6 +56,14 @@ def main(argv: list[str] | None = None) -> int:
              "(auto switches on dup-url count)",
     )
 
+    px.add_argument(
+        "--delta", action="store_true",
+        help="incremental run against an existing out dir: process only "
+             "NEW input shards (plus any completed partitions whose urls "
+             "a new shard recrawls — keep-latest winner drift); combined "
+             "output is identical to a from-scratch build",
+    )
+
     pb = sub.add_parser(
         "build",
         help="curated-training-set build: extraction + langid + quality "
@@ -64,6 +72,10 @@ def main(argv: list[str] | None = None) -> int:
     pb.add_argument("--pages", required=True)
     pb.add_argument("--out", required=True)
     pb.add_argument("--no-resume", action="store_true")
+    pb.add_argument(
+        "--delta", action="store_true",
+        help="incremental build: see `extract --delta`",
+    )
 
     ps = sub.add_parser("status", help="newest-first crawl listing")
     ps.add_argument("--out", required=True)
@@ -112,6 +124,18 @@ def main(argv: list[str] | None = None) -> int:
         if not args.name or args.name not in QUERIES:
             known = ", ".join(sorted(QUERIES)[:8])
             p.error(f"unknown query {args.name!r} (try --list; e.g. {known}, …)")
+    if getattr(args, "delta", False):
+        # --delta is resume with delta reconciliation (which resume always
+        # applies when the input list changed); the flag exists to make
+        # intent explicit and to catch the contradictory combination
+        if args.no_resume:
+            p.error("--delta requires resume (drop --no-resume)")
+        import os as _os
+
+        if not _os.path.isdir(args.out):
+            p.error(
+                f"--delta expects an existing out dir with manifests: {args.out}"
+            )
     _ray_up()
 
     if args.cmd == "extract":

@@ -28,6 +28,7 @@ __all__ = [
     "completed_partitions_for",
     "clean_incomplete",
     "shard_fingerprint",
+    "input_list_fingerprint",
     "MANIFEST_NAME",
 ]
 
@@ -87,6 +88,28 @@ def shard_fingerprint(shard_path: str) -> dict:
     wrong" #4)."""
     st = os.stat(shard_path)
     return {"shard_size": int(st.st_size), "shard_mtime_ns": int(st.st_mtime_ns)}
+
+
+def input_list_fingerprint(shards: list[str], shard_fps: list[dict]) -> str:
+    """Fingerprint of the WHOLE input shard list (names + per-shard
+    content fingerprints) at run time, recorded in every manifest.
+
+    Why a list-level fingerprint on top of the per-shard one: the
+    keep-latest-by-url winner map is GLOBAL — a partition's output
+    depends not only on its own shard's bytes but on every other shard's
+    (url, warc_ts) pairs. A manifest is therefore only a *standalone*
+    proof of completeness while the input list is unchanged; when it
+    differs (a delta crawl arrived), resume must reconcile winner drift
+    (``pipeline._reconcile_input_change``) instead of trusting pids
+    blindly."""
+    import hashlib
+    import json
+
+    rec = [
+        (os.path.basename(p), fp["shard_size"], fp["shard_mtime_ns"])
+        for p, fp in zip(shards, shard_fps)
+    ]
+    return hashlib.sha256(json.dumps(rec).encode()).hexdigest()[:16]
 
 
 def completed_partitions_for(

@@ -478,6 +478,124 @@ def _antijoin_losers(ds, winner_refs, tie_urls: frozenset, n_buckets: int | None
     )
 
 
+def _shard_url_hashes_fn(path: str):
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["url"])
+    h = pd.util.hash_array(np.asarray(t["url"].to_pylist(), dtype=object))
+    return np.unique(h)
+
+
+def _union_hashes_fn(*arrs):
+    import numpy as np
+
+    if not arrs:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(arrs))
+
+
+def _shard_overlaps_fn(pid: int, path: str, new_union):
+    import numpy as np
+
+    h = _shard_url_hashes_fn(path)
+    return int(pid) if np.intersect1d(h, new_union, assume_unique=True).size else -1
+
+
+def _url_overlap_invalidated(
+    shards: list[str], done_pids: list[int], new_pids: list[int]
+) -> set[int]:
+    """Completed partitions whose shard shares >= 1 url with any NEW
+    shard — the set the global keep-latest winner map may have drifted
+    for (a new crawl of url X makes an already-written old row a loser,
+    or ties with it). Distributed: one pruned url-column task per shard;
+    the new-side union is O(|delta urls|) on one worker — fine by
+    construction (a delta crawl is small relative to the corpus; a
+    corpus-sized "delta" should be a full rebuild anyway). Hash
+    collisions only ever ADD re-runs (false-positive overlap), never
+    skip one — correctness is one-sided."""
+    import ray
+
+    url_hashes = ray.remote(num_cpus=1)(_shard_url_hashes_fn)
+    union = ray.remote(num_cpus=1)(_union_hashes_fn)
+    overlaps = ray.remote(num_cpus=1)(_shard_overlaps_fn)
+    new_union = union.remote(*[url_hashes.remote(shards[i]) for i in new_pids])
+    hits = ray.get(
+        [overlaps.remote(pid, shards[pid], new_union) for pid in done_pids]
+    )
+    return {pid for pid in hits if pid >= 0}
+
+
+def _reconcile_input_change(
+    out_dir: str,
+    pages_path: str,
+    shards: list[str],
+    done: set[int],
+    job: str,
+    cur_fp: str,
+) -> tuple[set[int], list[int]]:
+    """DELTA-CRAWL resume reconciliation: decide which completed
+    partitions stay trusted when the input shard LIST has changed since
+    they were written.
+
+    The hazard: the keep-latest-by-url loser filter is computed over the
+    WHOLE input. A partition finished under yesterday's input can hold a
+    row that today's input makes a recrawl loser (a newer crawl of its
+    url arrived in a delta shard) — skipping it on resume would leave a
+    stale duplicate that a from-scratch build would not produce.
+
+    Decision ladder (returns ``(trusted_done, invalidated_pids)``):
+      1. Every done manifest recorded the CURRENT input-list fingerprint
+         -> pure interrupted-run resume; the winner pass that wrote them
+         already saw every current shard. Trust all (no overlap scan —
+         kill+resume stays exactly as cheap as before).
+      2. A shard recorded by any matching manifest is GONE, or was
+         REWRITTEN IN PLACE (fingerprint drift at its recorded name):
+         its old (url, warc_ts) pairs are unknowable, so winner drift
+         can't be bounded -> full rebuild (empty done). Removal/rewrite
+         is not the incremental-crawl workflow; append-only growth is.
+      3. Append-only growth (the delta-crawl case): invalidate exactly
+         the done partitions whose shard shares >= 1 url with a new
+         shard (``_url_overlap_invalidated``); everything else is
+         provably unaffected — no url in common means no winner changed.
+    """
+    import os as _os
+
+    stale = [
+        pid
+        for pid in done
+        if (mf.read_manifest(out_dir, pid) or {}).get("input_list_fp")
+        != cur_fp
+    ]
+    if not stale:
+        return done, []
+    cur_names = {_os.path.basename(p) for p in shards}
+    input_abs = _os.path.abspath(pages_path)
+    for pid in mf.completed_partitions(out_dir):
+        m = mf.read_manifest(out_dir, pid) or {}
+        if m.get("job", "extract") != job or m.get("input") != input_abs:
+            continue
+        name = m.get("shard_file")
+        if name not in cur_names:
+            return set(), sorted(done)  # shard removed -> full rebuild
+        if pid < len(shards) and name == _os.path.basename(shards[pid]):
+            try:
+                fp = mf.shard_fingerprint(shards[pid])
+            except OSError:
+                return set(), sorted(done)
+            if (m.get("shard_size"), m.get("shard_mtime_ns")) != (
+                fp["shard_size"],
+                fp["shard_mtime_ns"],
+            ):
+                return set(), sorted(done)  # rewritten in place -> rebuild
+    new_pids = [i for i in range(len(shards)) if i not in done]
+    if not new_pids:
+        return done, []
+    invalid = _url_overlap_invalidated(shards, sorted(done), new_pids)
+    return done - invalid, sorted(invalid)
+
+
 def extraction_dataset(
     pages_path: str,
     cfg: ExtractConfig | None = None,
@@ -644,6 +762,7 @@ def run_extraction(
     # manifest-write time — otherwise the next resume would trust outputs
     # derived from content the fingerprint no longer describes
     shard_fps = [mf.shard_fingerprint(p) for p in shards]
+    cur_list_fp = mf.input_list_fingerprint(shards, shard_fps)
     # resume trusts a manifest only when its (input, shard_file) lineage
     # matches the current input — stale manifests are wiped and re-run
     done = (
@@ -651,6 +770,14 @@ def run_extraction(
         if resume
         else set()
     )
+    invalidated_delta: list[int] = []
+    if done:
+        # delta-crawl reconciliation: if the input LIST changed since the
+        # manifests were written (shards appended/removed/rewritten), the
+        # global winner map may have drifted — see _reconcile_input_change
+        done, invalidated_delta = _reconcile_input_change(
+            out_dir, pages_path, shards, done, job, cur_list_fp
+        )
     if not resume:
         import shutil
 
@@ -738,6 +865,7 @@ def run_extraction(
         "partitions": int(len(stats)),
         "partitions_skipped_on_resume": skipped,
         "partitions_wiped_incomplete": wiped,
+        "partitions_invalidated_delta": invalidated_delta,
         "wall_sec": elapsed,
     }
     from concurrent.futures import ThreadPoolExecutor
@@ -759,6 +887,10 @@ def run_extraction(
                 "job": job,
                 "input": os.path.abspath(pages_path),
                 "shard_file": os.path.basename(shards[pid]),
+                # fingerprint of the FULL input list this run saw: a later
+                # resume under a grown/changed list reconciles winner
+                # drift instead of trusting this manifest blindly
+                "input_list_fp": cur_list_fp,
                 # content fingerprint (taken at run START, pre-read):
                 # resume re-runs a shard rewritten in place under the
                 # same name (manifest.py contract)

@@ -2374,6 +2374,56 @@ def q_pages_ts_range(sf_dir: str):
     return out if len(out) else empty
 
 
+def q_pages_delta_build(sf_dir: str):
+    """DELTA-CRAWL INCREMENTAL BUILD, end to end: phase 1 runs the
+    curated-training-set build over the first ~80% of input shards;
+    phase 2 "receives" the remaining shards (append-only growth — the
+    recurring Common-Crawl workflow) and a RESUMED build processes only
+    the delta, plus any completed partition whose urls a new shard
+    recrawls (keep-latest winner drift — pipeline._reconcile_input_change;
+    zero here, synth recrawls are intra-shard). Self-gated: raises if the
+    resume re-ran everything. Returns the curated rows of the COMBINED
+    output; the oracle applies the same gate to the full corpus golden
+    text — equality proves combined-delta == from-scratch semantics."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    from .ops import ExtractConfig
+    from .pipeline import list_shards, run_curation_build
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    shards = list_shards(pages_dir)
+    n_base = max(1, len(shards) - max(1, len(shards) // 5))
+    work = tempfile.mkdtemp(prefix="rayxtract_delta_")
+    in_dir = os.path.join(work, "in")
+    out_dir = os.path.join(work, "out")
+    os.makedirs(in_dir)
+    try:
+        # symlinked shard names preserve list_shards order: base files
+        # first, delta files appended strictly after (append-only growth)
+        for i, p in enumerate(shards[:n_base]):
+            os.symlink(p, os.path.join(in_dir, f"d{i:05d}.parquet"))
+        run_curation_build(in_dir, out_dir, ExtractConfig(), resume=False)
+        for i, p in enumerate(shards[n_base:], start=n_base):
+            os.symlink(p, os.path.join(in_dir, f"d{i:05d}.parquet"))
+        rep = run_curation_build(in_dir, out_dir, ExtractConfig(), resume=True)
+        if rep["partitions_skipped_on_resume"] == 0:
+            raise RuntimeError(
+                "delta build re-ran every partition — reconciliation broken"
+            )
+        out = ray.data.read_parquet(
+            out_dir, columns=["url", "n_chars_q"]
+        ).to_pandas()
+        return pd.DataFrame(
+            {"url": out["url"], "n_chars": out["n_chars_q"].astype("int64")}
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_pages_recrawl_winners(sf_dir: str):
     """The flagship's pass A as a first-class oracle-checked query: the
     distributed hash-bucketed winner reduce returns exactly the urls with
@@ -8240,6 +8290,7 @@ QUERIES = {
     "pages_crawl_frontier": q_pages_crawl_frontier,
     "pages_zone_maps": q_pages_zone_maps,
     "pages_ts_range": q_pages_ts_range,
+    "pages_delta_build": q_pages_delta_build,
     "pages_anchor_texts": q_pages_anchor_texts,
     "pages_anchor_top": q_pages_anchor_top,
     "pages_bm25_topk": q_pages_bm25_topk,
@@ -10157,6 +10208,25 @@ def _pages_oracles(sf_dir: str) -> dict[str, str]:
             SELECT url, CAST(epoch_us(warc_ts) AS BIGINT) AS ts_us
             FROM read_parquet('{pages}')
             WHERE epoch_us(warc_ts) BETWEEN {ts_lo} AND {ts_hi}
+        """,
+        # delta build: the engine runs base-then-delta resumed builds and
+        # returns the COMBINED curated rows; the oracle is the from-scratch
+        # gate over golden text (same predicate as run_curation_build) —
+        # equality proves the incremental path changes nothing
+        "pages_delta_build": f"""
+            WITH lp AS (
+              {_langid_oracle_sql(f"read_parquet('{golden}')", "url", "golden_text")}
+            ), q AS (
+              SELECT url,
+                     CAST(length(golden_text) AS BIGINT) AS n_chars,
+                     CAST(length(golden_text) - length(regexp_replace(golden_text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits
+              FROM read_parquet('{golden}')
+            )
+            SELECT q.url, q.n_chars
+            FROM q JOIN lp USING (url)
+            WHERE lp.lang_pred = 'en'
+              AND q.n_chars >= 200
+              AND q.n_digits * 10 <= q.n_chars
         """,
         # BM25 over the extracted corpus: byte-identity makes golden_text
         # the exact engine input; same HUGEINT rational as doc_bm25_topk.

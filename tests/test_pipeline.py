@@ -216,8 +216,13 @@ def test_shardmap_resume_and_single_shard(small_corpus, tmp_path):
 
 def test_resume_reruns_shard_rewritten_in_place(small_corpus, tmp_path):
     """A shard regenerated IN PLACE (same filename, different content) must
-    invalidate exactly its own partition on resume — the manifest records a
-    content fingerprint, not just the name (VERDICT r2 "What's wrong" #4)."""
+    force a FULL rebuild on resume — the manifest records a content
+    fingerprint, not just the name (VERDICT r2 "What's wrong" #4), and
+    since the OLD content's url set is unknowable, winner drift against
+    the other partitions can't be bounded (delta reconciliation,
+    pipeline._reconcile_input_change: the pre-rewrite rows participated
+    in the keep-latest winner map every other partition was filtered
+    with)."""
     pages_dir, _ = small_corpus
     local_pages = str(tmp_path / "pages")
     shutil.copytree(pages_dir, local_pages)
@@ -238,8 +243,8 @@ def test_resume_reruns_shard_rewritten_in_place(small_corpus, tmp_path):
     pq.write_table(t, victim, compression="snappy", row_group_size=123)
 
     report = run_extraction(local_pages, out, cfg, resume=True)
-    assert report["partitions_skipped_on_resume"] == n_shards - 1
-    assert report["partitions_wiped_incomplete"] == [2]
+    assert report["partitions_skipped_on_resume"] == 0
+    assert sorted(report["partitions_wiped_incomplete"]) == list(range(n_shards))
     again = _load_sorted(_read_output(out))
     pd.testing.assert_frame_equal(
         first[["url", "text"]], again[["url", "text"]]
