@@ -2374,6 +2374,88 @@ def q_pages_ts_range(sf_dir: str):
     return out if len(out) else empty
 
 
+_CLUSTER_FP_MOD = 1_000_000_007
+
+
+def _clustered_corpus(sf_dir: str) -> str:
+    """Path of the url-range-clustered rewrite of the tier's corpus
+    (``tools.cluster_by_url`` output), built once per tier behind the
+    publish-race-tolerant tmp+rename the job itself provides."""
+    import os as _os
+
+    from .tools import cluster_by_url
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    dest = f"{_oracle_corpus_root(sf_dir)}.clustered_e{_SPILL_VERSION}"
+    if not _os.path.exists(_os.path.join(dest, "_CLUSTER_MANIFEST.json")):
+        try:
+            cluster_by_url(pages_dir, dest)
+        except FileExistsError:  # lost a publish race — trust the winner
+            pass
+    return dest
+
+
+def q_pages_cluster_layout(sf_dir: str):
+    """LAYOUT-MANAGEMENT job validated end-to-end (lakehouse
+    ``OPTIMIZE ... CLUSTER BY url`` — the rewrite that makes the
+    zone-map planner's url spans selective; crawl-ordered input spans
+    cover the whole alphabet, clustered spans are disjoint): run
+    ``tools.cluster_by_url`` over the tier's corpus, then prove the two
+    contracts in one row. (1) CONTENT IDENTITY — n_rows and an
+    order-insensitive (url, ts) multiset fingerprint computed over the
+    CLUSTERED output; the oracle computes the identical fingerprint
+    over the ORIGINAL input, so equality proves the rewrite moved every
+    row exactly once. (2) DISJOINTNESS — zone maps rebuilt from the
+    clustered shards' footers, sorted by min_url, must never overlap
+    (engine-counted violations; oracle literal 0). Pruning
+    effectiveness (a point probe opens exactly 1 clustered shard) is
+    asserted in tests/test_zonemap.py."""
+    import hashlib
+
+    import ray.data
+
+    from .pipeline import list_shards
+    from .zonemap import build_zone_maps
+
+    dest = _clustered_corpus(sf_dir)
+    zones = (
+        build_zone_maps(list_shards(dest))
+        .sort_values("min_url")
+        .reset_index(drop=True)
+    )
+    violations = int(
+        (
+            zones["max_url"].iloc[:-1].to_numpy()
+            >= zones["min_url"].iloc[1:].to_numpy()
+        ).sum()
+    )
+
+    def part(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = batch["warc_ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        fp = 0
+        for u, t in zip(batch["url"].astype(object).to_numpy(), ts):
+            fp += (
+                int(hashlib.md5(f"{u}#{t}".encode()).hexdigest()[:15], 16)
+                % _CLUSTER_FP_MOD
+            )
+        return pd.DataFrame({"n_rows": [len(batch)], "fp_sum": [fp]})
+
+    parts = (
+        ray.data.read_parquet(
+            dest, columns=["url", "warc_ts"], file_extensions=["parquet"]
+        )
+        .map_batches(part, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_rows": [int(parts["n_rows"].sum())],
+            "fp_sum": [int(parts["fp_sum"].sum())],
+            "overlap_violations": [violations],
+        }
+    ).astype("int64")
+
+
 def q_pages_delta_build(sf_dir: str):
     """DELTA-CRAWL INCREMENTAL BUILD, end to end: phase 1 runs the
     curated-training-set build over the first ~80% of input shards;
@@ -8290,6 +8372,7 @@ QUERIES = {
     "pages_crawl_frontier": q_pages_crawl_frontier,
     "pages_zone_maps": q_pages_zone_maps,
     "pages_ts_range": q_pages_ts_range,
+    "pages_cluster_layout": q_pages_cluster_layout,
     "pages_delta_build": q_pages_delta_build,
     "pages_anchor_texts": q_pages_anchor_texts,
     "pages_anchor_top": q_pages_anchor_top,
@@ -10208,6 +10291,21 @@ def _pages_oracles(sf_dir: str) -> dict[str, str]:
             SELECT url, CAST(epoch_us(warc_ts) AS BIGINT) AS ts_us
             FROM read_parquet('{pages}')
             WHERE epoch_us(warc_ts) BETWEEN {ts_lo} AND {ts_hi}
+        """,
+        # cluster-by-url layout rewrite: the engine fingerprints the
+        # CLUSTERED output; the oracle fingerprints the ORIGINAL input —
+        # equality proves the rewrite is a permutation (every row moved
+        # exactly once). Disjointness of the rewritten zone spans is
+        # engine-counted; the oracle's 0 is the contract.
+        "pages_cluster_layout": f"""
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(
+                     CAST(('0x' || substr(
+                       md5(url || '#' || CAST(epoch_us(warc_ts) AS VARCHAR)),
+                       1, 15)) AS BIGINT) % 1000000007
+                   ) AS BIGINT) AS fp_sum,
+                   CAST(0 AS BIGINT) AS overlap_violations
+            FROM read_parquet('{pages}')
         """,
         # delta build: the engine runs base-then-delta resumed builds and
         # returns the COMBINED curated rows; the oracle is the from-scratch

@@ -31,6 +31,7 @@ __all__ = [
     "read_jsonl",
     "import_jsonl",
     "compact_output",
+    "cluster_by_url",
 ]
 
 
@@ -227,4 +228,146 @@ def compact_output(
         "rows": n,
         "files_before": files_before,
         "files_after": _count_parquet(dest_dir),
+    }
+
+
+def cluster_by_url(
+    pages_path: str,
+    dest_dir: str,
+    n_ranges: int | None = None,
+    sample_per_shard: int = 512,
+) -> dict:
+    """Layout-management job: rewrite the corpus RANGE-CLUSTERED by url
+    (the lakehouse ``OPTIMIZE ... CLUSTER BY`` — Delta/Iceberg data
+    clustering; same family as the Z-order query, but an actual corpus
+    rewrite). Common-Crawl layouts are crawl-ordered, so every shard's
+    [min_url, max_url] footer span covers ~the whole url alphabet and
+    the zone-map planner (:mod:`rayxtract.zonemap`) can prune a url
+    point probe almost nowhere. After clustering, spans are DISJOINT by
+    construction and a probe opens exactly one shard at any corpus size
+    — the |hit shards| vs |corpus| read difference the zone maps exist
+    to buy.
+
+    Plan (one payload exchange — a re-cluster IS a shuffle, run it once
+    per layout change, like compaction):
+      1. boundary discovery — one raw footer-light task per shard reads
+         ONLY the url column and keeps the ``sample_per_shard`` smallest
+         urls by md5 rank (a deterministic, parallelism-independent
+         uniform sample; same trick as ``ann._hash_sample``). The driver
+         sorts the bounded sample (<= shards x sample_per_shard urls)
+         and picks ``n_ranges - 1`` quantile boundaries.
+      2. one ``map_batches`` stamps a range id via ``np.searchsorted``
+         against the broadcast boundaries (equal urls always land in the
+         same range).
+      3. one range-keyed exchange (``groupby.map_groups``) writes each
+         range as its own shard with the INPUT's arrow schema (byte-
+         parity reads) and emits a (range_id, n_rows, min_url, max_url)
+         lineage row; publish is write-to-tmp + atomic rename.
+
+    ``n_ranges`` defaults to the size-derived exchange fan-out
+    (``scale.exchange_buckets`` over the input's on-disk bytes), so one
+    range ~= one 64 MiB merge task at any tier. Returns
+    {"rows", "n_ranges", "files"}.
+    """
+    import hashlib
+    import json
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from . import scale as _scale
+
+    if os.path.exists(dest_dir):
+        raise FileExistsError(
+            f"cluster_by_url dest already exists: {dest_dir} "
+            "(remove it or cluster to a fresh path)"
+        )
+    shards = list_shards(pages_path)
+    if n_ranges is None:
+        n_ranges = _scale.exchange_buckets(
+            _scale.dir_bytes(os.path.abspath(pages_path))
+        )
+
+    @ray.remote(num_cpus=1)
+    def _sample_urls(path: str, k: int):
+        u = pq.read_table(path, columns=["url"])["url"].to_pandas()
+        uu = pd.unique(u).astype(object)
+        rk = pd.util.hash_array(uu)  # deterministic (fixed hash key)
+        return uu[np.argsort(rk, kind="stable")[:k]]
+
+    sample = np.concatenate(
+        ray.get([_sample_urls.remote(p, sample_per_shard) for p in shards])
+    )
+    sample = np.unique(sample)  # sorted
+    if len(sample) == 0:
+        raise ValueError(f"no urls under {pages_path}")
+    cuts = (np.arange(1, n_ranges) * len(sample)) // n_ranges
+    bounds = np.unique(sample[cuts])  # skew may collapse ranges; ids stay dense
+    bref = ray.put(bounds)
+    schema = pq.read_schema(shards[0]).remove_metadata()
+
+    tmp = f"{dest_dir}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bref)
+        batch = batch.copy()
+        batch["__range"] = np.searchsorted(
+            b, batch["url"].astype(object).to_numpy(), side="left"
+        ).astype("int64")
+        return batch
+
+    def write_range(group: pd.DataFrame) -> pd.DataFrame:
+        rid = int(group["__range"].iloc[0])
+        out = group.drop(columns="__range")
+        t = pa.Table.from_pandas(
+            out, schema=schema, preserve_index=False
+        )
+        # idempotent under task retry: same range -> same file name; a
+        # torn write can't publish (tmp dir never renames on failure)
+        pq.write_table(t, os.path.join(tmp, f"part-{rid:05d}.parquet"))
+        return pd.DataFrame(
+            {
+                "range_id": [rid],
+                "n_rows": [len(out)],
+                "min_url": [out["url"].min()],
+                "max_url": [out["url"].max()],
+            }
+        )
+
+    stats = (
+        ray.data.read_parquet([os.path.abspath(p) for p in shards])
+        .map_batches(assign, batch_format="pandas")
+        .groupby("__range")
+        .map_groups(write_range, batch_format="pandas")
+        .to_pandas()
+        .sort_values("range_id")
+        .reset_index(drop=True)
+    )
+    # lineage manifest: per-range spans + the boundaries that produced them
+    with open(os.path.join(tmp, "_CLUSTER_MANIFEST.json"), "w") as f:
+        json.dump(
+            {
+                "job": "cluster_by_url",
+                "n_ranges": int(len(stats)),
+                "rows": int(stats["n_rows"].sum()),
+                "bounds": [str(b) for b in bounds],
+                "ranges": stats.to_dict(orient="records"),
+            },
+            f,
+        )
+    try:
+        os.rename(tmp, dest_dir)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "rows": int(stats["n_rows"].sum()),
+        "n_ranges": int(len(stats)),
+        "files": int(len(stats)),
     }

@@ -144,3 +144,126 @@ def test_pages_ts_range_prunes_on_synth(small_corpus, ray_session):
     want = full.loc[(ts >= lo) & (ts <= hi), "url"].sort_values()
     assert sorted(got["url"]) == list(want)
     assert len(got) > 0
+
+
+def _write_crawl_ordered(tmp_path, n_shards=4, rows_per=50):
+    """A crawl-ordered corpus: urls are round-robin across shards, so
+    EVERY shard's [min_url, max_url] span covers ~the whole url space —
+    the layout where url zone maps cannot prune (the cluster job's
+    input condition)."""
+    base = 1_700_000_000_000_000
+    n = n_shards * rows_per
+    paths = []
+    for k in range(n_shards):
+        idx = [i for i in range(n) if i % n_shards == k]
+        t = pa.table(
+            {
+                "url": [f"https://z.example/p/{i:08d}" for i in idx],
+                "warc_ts": pa.array(
+                    [base + i * 1_000_000 for i in idx],
+                    type=pa.timestamp("us"),
+                ),
+                "html": [
+                    f"<!DOCTYPE html><html><body><p>doc {i} cluster "
+                    "rewrite probe paragraph body</p></body></html>".encode()
+                    for i in idx
+                ],
+                "lang": ["en"] * len(idx),
+            }
+        )
+        p = str(tmp_path / f"in" / f"s{k:05d}.parquet")
+        os.makedirs(str(tmp_path / "in"), exist_ok=True)
+        pq.write_table(t, p)
+        paths.append(p)
+    return str(tmp_path / "in"), paths, base, n
+
+
+def test_cluster_by_url_rewrites_to_disjoint_spans(tmp_path, ray_session):
+    """cluster_by_url on a crawl-ordered corpus: content identity (every
+    row moved exactly once, html bytes intact), DISJOINT url spans, and
+    a point probe that opens exactly ONE shard where the input layout
+    opened all of them."""
+    from rayxtract.tools import cluster_by_url, reextract_url
+
+    in_dir, in_paths, _, n = _write_crawl_ordered(tmp_path)
+    # input layout: url pruning is useless — every shard survives
+    probe_url = f"https://z.example/p/{n // 2:08d}"
+    in_zones = build_zone_maps(in_paths)
+    assert len(prune(in_zones, url=probe_url)) == len(in_paths)
+
+    dest = str(tmp_path / "clustered")
+    res = cluster_by_url(in_dir, dest, n_ranges=8, sample_per_shard=64)
+    assert res["rows"] == n
+    assert res["n_ranges"] >= 2  # sampled boundaries actually split
+
+    out_paths = list_shards(dest)
+    zones = build_zone_maps(out_paths).sort_values("min_url")
+    # spans are pairwise disjoint by construction
+    assert (
+        zones["max_url"].iloc[:-1].to_numpy()
+        < zones["min_url"].iloc[1:].to_numpy()
+    ).all()
+    # clustered layout: the same probe opens exactly one shard
+    assert len(prune(zones, url=probe_url)) == 1
+
+    # content identity: (url, ts, html) multiset unchanged
+    import pandas as pd
+
+    def _frame(paths):
+        t = pa.concat_tables([pq.read_table(p) for p in paths])
+        df = t.to_pandas()
+        df["warc_ts"] = df["warc_ts"].astype("datetime64[us]")
+        return df.sort_values("url").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(
+        _frame(in_paths), _frame(out_paths)[list(_frame(in_paths).columns)]
+    )
+
+    # the re-extraction probe rides the new layout: 1 payload read
+    rec = reextract_url(dest, probe_url)
+    assert rec["shards_payload_read"] == 1
+    assert rec["shards_zone_pruned"] == len(out_paths) - 1
+    assert f"doc {n // 2}" in rec["text"]
+
+
+def test_cluster_by_url_recrawls_colocate(tmp_path, ray_session):
+    """Equal urls (recrawls) must land in the SAME range shard — the
+    invariant keep-latest dedup over a clustered layout relies on."""
+    from rayxtract.tools import cluster_by_url
+
+    in_dir, _, base, n = _write_crawl_ordered(tmp_path, n_shards=2, rows_per=40)
+    # append a recrawl shard duplicating every 5th url at a later ts
+    dup_idx = list(range(0, n, 5))
+    t = pa.table(
+        {
+            "url": [f"https://z.example/p/{i:08d}" for i in dup_idx],
+            "warc_ts": pa.array(
+                [base + (n + i) * 1_000_000 for i in dup_idx],
+                type=pa.timestamp("us"),
+            ),
+            "html": [b"<html><body><p>recrawl</p></body></html>"] * len(dup_idx),
+            "lang": ["en"] * len(dup_idx),
+        }
+    )
+    pq.write_table(t, os.path.join(in_dir, "s99998.parquet"))
+
+    dest = str(tmp_path / "clustered2")
+    cluster_by_url(in_dir, dest, n_ranges=6, sample_per_shard=64)
+    per_shard = {
+        p: set(pq.read_table(p, columns=["url"])["url"].to_pylist())
+        for p in list_shards(dest)
+    }
+    for i in dup_idx:
+        u = f"https://z.example/p/{i:08d}"
+        hits = [p for p, urls in per_shard.items() if u in urls]
+        assert len(hits) == 1, f"recrawl url {u} split across {hits}"
+
+
+def test_cluster_by_url_dest_exists(tmp_path, ray_session):
+    from rayxtract.tools import cluster_by_url
+
+    in_dir, _, _, _ = _write_crawl_ordered(tmp_path, n_shards=1, rows_per=10)
+    dest = str(tmp_path / "taken")
+    os.makedirs(dest)
+    with pytest.raises(FileExistsError):
+        cluster_by_url(in_dir, dest)
