@@ -100,6 +100,19 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--src", required=True)
     pi.add_argument("--dest", required=True)
 
+    pc = sub.add_parser(
+        "cluster",
+        help="rewrite a corpus range-clustered by url (lakehouse "
+             "OPTIMIZE ... CLUSTER BY): makes zone-map point probes "
+             "one-shard reads",
+    )
+    pc.add_argument("--pages", required=True, help="input corpus dir")
+    pc.add_argument("--dest", required=True, help="fresh output dir")
+    pc.add_argument(
+        "--n-ranges", type=int, default=None,
+        help="range count (default: size-derived, ~64 MiB per range)",
+    )
+
     pq = sub.add_parser(
         "query",
         help="run a registered analytics query (see `query --list`) over an "
@@ -186,6 +199,10 @@ def main(argv: list[str] | None = None) -> int:
         from .tools import export_jsonl
 
         print(json.dumps({"rows": export_jsonl(args.out, args.dest)}))
+    elif args.cmd == "cluster":
+        from .tools import cluster_by_url
+
+        print(json.dumps(cluster_by_url(args.pages, args.dest, args.n_ranges)))
     elif args.cmd == "import":
         from .tools import import_jsonl
 

@@ -114,3 +114,24 @@ def test_cli_query_list_and_run(capsys, tmp_path):
 def test_cli_query_unknown_name_errors(capsys):
     with pytest.raises(SystemExit):
         main(["query", "no_such_query"])
+
+
+def test_cli_cluster(cli_out, capsys, tmp_path):
+    from rayxtract.pipeline import list_shards
+    from rayxtract.zonemap import build_zone_maps, prune
+
+    pages_dir, _ = cli_out
+    dest = str(tmp_path / "clustered")
+    assert main(
+        ["cluster", "--pages", pages_dir, "--dest", dest, "--n-ranges", "8"]
+    ) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows"] == 1050  # 1000 urls + 50 recrawls
+    zones = build_zone_maps(list_shards(dest)).sort_values("min_url")
+    assert (
+        zones["max_url"].iloc[:-1].to_numpy()
+        < zones["min_url"].iloc[1:].to_numpy()
+    ).all()
+    # a point probe on the clustered layout opens exactly one shard
+    some_url = zones["min_url"].iloc[0]
+    assert len(prune(zones, url=some_url)) == 1
