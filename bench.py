@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "lineitem_bloom_join",
     "events_zorder_layout",
     "pages_ts_range",
+    "pages_cluster_layout",
 ]
 
 

@@ -325,7 +325,13 @@ def cluster_by_url(
 
     def write_range(group: pd.DataFrame) -> pd.DataFrame:
         rid = int(group["__range"].iloc[0])
-        out = group.drop(columns="__range")
+        # canonical intra-shard order: byte-identical file on task retry,
+        # and sorted urls give row-group min/max pushdown WITHIN the shard
+        out = (
+            group.drop(columns="__range")
+            .sort_values(["url", "warc_ts"], kind="mergesort")
+            .reset_index(drop=True)
+        )
         t = pa.Table.from_pandas(
             out, schema=schema, preserve_index=False
         )
