@@ -48,6 +48,7 @@ __all__ = [
     "redact_pii",
     "normalize_text",
     "paragraph_dedup",
+    "line_boilerplate",
     "PII_PATTERNS",
     "GOPHER_STOPWORDS",
 ]
@@ -328,6 +329,245 @@ def paragraph_dedup(
         .groupby(id_col)
         .map_groups(reassemble, batch_format="pandas")
     )
+
+
+def line_boilerplate(
+    ds,
+    min_ids: int = 2,
+    id_col: str = "url",
+    text_col: str = "text",
+    sep: str = "\n",
+    n_buckets: int | None = None,
+    mode: str = "auto",
+    broadcast_limit: int = 2_000_000,
+):
+    """Frequency-based boilerplate-line removal (RefinedWeb / CCNet family,
+    arXiv:2306.01116 §3.1 line-wise filtering): a line is boilerplate iff
+    it occurs in at least ``min_ids`` DISTINCT documents (nav bars, cookie
+    banners, footers — text that repeats across a site survives nowhere,
+    unlike C4 first-occurrence dedup which keeps one copy). Documents are
+    reassembled from their kept lines in order.
+
+    Output per doc: ``(id, n_lines_in, n_lines_kept, cleaned_md5)`` where
+    ``cleaned_md5`` hashes the ``sep``-joined kept lines ('' when every
+    line was boilerplate — unlike :func:`paragraph_dedup`, every input doc
+    emits a row, so the empty case is explicit, not absent).
+
+    Scale shape — the text column never enters an exchange on the primary
+    path:
+
+    1. DETECT: per batch, DISTINCT ``(fp, id)`` pairs only (md5 of the
+       line; within-batch repeats collapse first), bucketed by
+       ``crc32(fp)``; ``groupby(bucket)`` counts distinct ids per fp
+       locally (all occurrences of an fp share a bucket) and keeps fps
+       with ``>= min_ids``. The surviving set is bounded by BOILERPLATE
+       cardinality, not the corpus.
+    2. MARK: below ``broadcast_limit`` boiler fps, the set ships once via
+       ``ray.put`` (one object, read per task) and the filter is a pure
+       per-batch pass — zero further exchanges. Past the limit
+       (``mode="exchange"`` or auto-overflow) the job falls back to the
+       :func:`paragraph_dedup` shape: lines re-bucket by fp, the bucket
+       drops frequent fps locally, and one ``groupby(id)`` exchange
+       reassembles — line text moves through two exchanges, still nothing
+       corpus-sized on the driver.
+    """
+    import ray
+
+    if mode not in ("auto", "broadcast", "exchange"):
+        raise ValueError(f"unsupported mode {mode!r}")
+    n_buckets = _scale.resolve(n_buckets)
+
+    def detect_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        fps, ids = [], []
+        for did, text in zip(batch[id_col].values, batch[text_col].values):
+            seen = {
+                hashlib.md5(p.encode("utf-8")).hexdigest()
+                for p in text.split(sep)
+            }
+            fps.extend(seen)
+            ids.extend([did] * len(seen))
+        out = pd.DataFrame(
+            {
+                "fp": pd.Series(fps, dtype="object"),
+                id_col: pd.Series(ids, dtype="object"),
+            }
+        )
+        out["__bucket"] = np.fromiter(
+            (zlib.crc32(f.encode()) % n_buckets for f in out["fp"]),
+            dtype=np.int64,
+            count=len(out),
+        )
+        return out
+
+    def frequent(group: pd.DataFrame) -> pd.DataFrame:
+        cnt = group.groupby("fp")[id_col].nunique()
+        return pd.DataFrame(
+            {"fp": pd.Series(cnt.index[cnt >= min_ids], dtype="object")}
+        )
+
+    boiler = (
+        ds.map_batches(detect_pairs, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(frequent, batch_format="pandas")
+    )
+
+    use_broadcast = mode != "exchange"
+    fp_set = None
+    if use_broadcast:
+        # bounded by boilerplate cardinality; materialize the small result
+        # once (the detect DAG runs exactly once), count before gathering
+        # so a degenerate corpus (every line shared) degrades to the
+        # exchange path instead of a driver OOM
+        boiler_mat = boiler.materialize()
+        if mode == "auto" and boiler_mat.count() > broadcast_limit:
+            use_broadcast = False
+        else:
+            fps = boiler_mat.to_pandas()["fp"]
+            fp_set = ray.put(frozenset(fps.tolist()))
+
+    def mark_row(did, text, boil: frozenset):
+        parts = text.split(sep)
+        kept = [
+            p
+            for p in parts
+            if hashlib.md5(p.encode("utf-8")).hexdigest() not in boil
+        ]
+        cleaned = sep.join(kept)
+        return (
+            did,
+            len(parts),
+            len(kept),
+            hashlib.md5(cleaned.encode("utf-8")).hexdigest(),
+        )
+
+    out_cols = {
+        0: id_col,
+        1: "n_lines_in",
+        2: "n_lines_kept",
+        3: "cleaned_md5",
+    }
+
+    def rows_frame(rows: list) -> pd.DataFrame:
+        df = pd.DataFrame(rows).rename(columns=out_cols)
+        return df.astype(
+            {"n_lines_in": "int64", "n_lines_kept": "int64"}
+        )
+
+    if use_broadcast:
+
+        def mark(batch: pd.DataFrame) -> pd.DataFrame:
+            boil = ray.get(fp_set)
+            rows = [
+                mark_row(did, text, boil)
+                for did, text in zip(
+                    batch[id_col].values, batch[text_col].values
+                )
+            ]
+            return rows_frame(rows)
+
+        return ds.map_batches(mark, batch_format="pandas")
+
+    # exchange fallback: line text re-buckets by fp, frequent fps drop
+    # locally per bucket, one groupby(id) reassembles
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, idxs, lines, n_ins = [], [], [], []
+        for did, text in zip(batch[id_col].values, batch[text_col].values):
+            parts = text.split(sep)
+            ids.extend([did] * len(parts))
+            idxs.extend(range(len(parts)))
+            lines.extend(parts)
+            n_ins.extend([len(parts)] * len(parts))
+        fps = [hashlib.md5(p.encode("utf-8")).hexdigest() for p in lines]
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(ids, dtype="object"),
+                "line_idx": pd.Series(idxs, dtype="int64"),
+                "line": pd.Series(lines, dtype="object"),
+                "n_in": pd.Series(n_ins, dtype="int64"),
+                "fp": pd.Series(fps, dtype="object"),
+                "__bucket": np.fromiter(
+                    (zlib.crc32(f.encode()) % n_buckets for f in fps),
+                    dtype=np.int64,
+                    count=len(fps),
+                ),
+            }
+        )
+
+    def drop_frequent(group: pd.DataFrame) -> pd.DataFrame:
+        cnt = group.groupby("fp")[id_col].nunique()
+        bad = set(cnt.index[cnt >= min_ids])
+        return group[~group["fp"].isin(bad)][
+            [id_col, "line_idx", "line", "n_in"]
+        ]
+
+    def reassemble(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("line_idx", kind="mergesort")
+        cleaned = sep.join(g["line"].values)
+        return rows_frame(
+            [
+                (
+                    g[id_col].iloc[0],
+                    int(g["n_in"].iloc[0]),
+                    len(g),
+                    hashlib.md5(cleaned.encode("utf-8")).hexdigest(),
+                )
+            ]
+        )
+
+    kept = (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(drop_frequent, batch_format="pandas")
+        .groupby(id_col)
+        .map_groups(reassemble, batch_format="pandas")
+    )
+    # docs whose every line was boilerplate emit no row from the exchange;
+    # left-join against the id universe so both paths agree row-for-row
+    universe = ds.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                id_col: pd.Series(b[id_col].values, dtype="object"),
+                "n_lines_in": pd.Series(
+                    [len(t.split(sep)) for t in b[text_col].values],
+                    dtype="int64",
+                ),
+            }
+        ),
+        batch_format="pandas",
+    )
+    empty_md5 = hashlib.md5(b"").hexdigest()
+
+    def fill(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[group["n_lines_kept"].notna()]
+        if len(g):
+            return rows_frame(
+                [
+                    (
+                        g[id_col].iloc[0],
+                        int(g["n_lines_in"].iloc[0]),
+                        int(g["n_lines_kept"].iloc[0]),
+                        g["cleaned_md5"].iloc[0],
+                    )
+                ]
+            )
+        return rows_frame(
+            [(group[id_col].iloc[0], int(group["n_lines_in"].iloc[0]), 0, empty_md5)]
+        )
+
+    from .joins import bucketed_join
+
+    joined = bucketed_join(
+        universe,
+        kept.map_batches(
+            lambda b: b.rename(columns={"n_lines_in": "__n_in_k"}),
+            batch_format="pandas",
+        ),
+        left_key=id_col,
+        right_key=id_col,
+        how="left",
+        n_buckets=n_buckets,
+    )
+    return joined.groupby(id_col).map_groups(fill, batch_format="pandas")
 
 
 def weighted_sample(

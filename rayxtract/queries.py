@@ -6756,6 +6756,62 @@ def q_doc_pack_assign(sf_dir: str):
     return scanned.map_batches(packid, batch_format="pandas")
 
 
+def q_doc_budget_select(sf_dir: str):
+    """TOKEN-BUDGET greedy curation (the FineWeb/quality-first selection
+    shape: rank the corpus by a quality signal, keep the best documents
+    until a global token budget is spent — arXiv:2406.17557 §3 ablation
+    protocol): quality = lexical diversity in milli-units
+    (``1000 * n_distinct_words // n_tokens``, integer so the oracle is
+    exact), global order = (quality DESC, doc_id ASC) packed into one
+    int64 sort key, and the running token total is the distributed
+    two-phase scan (agg.range_prefix_sum — per-range sums to the driver,
+    O(ranges) offsets back, local cumsum). A doc is selected iff the
+    budget (3/10 of total corpus tokens, computed by a combiner-tree sum)
+    still covers it whole. Two streaming passes over two integer columns;
+    nothing corpus-sized on the driver. Window-SQL expressible, so the
+    oracle checks the selection end to end."""
+    from .agg import range_prefix_sum
+
+    _KEY_BASE = 1 << 40
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = [t.split() for t in batch["text"].values]
+        nt = np.array([len(w) for w in toks], dtype=np.int64)
+        nd = np.array([len(set(w)) for w in toks], dtype=np.int64)
+        score = np.where(nt > 0, 1000 * nd // np.maximum(nt, 1), 0).astype(
+            np.int64
+        )
+        did = batch["doc_id"].astype("int64").to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": did,
+                "n_tokens": nt,
+                "score_milli": score,
+                "__key": (1000 - score) * _KEY_BASE + did,
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        stats, batch_format="pandas"
+    )
+    total = int(
+        ds.map_batches(
+            lambda b: pd.DataFrame({"t": [int(b["n_tokens"].sum())]}),
+            batch_format="pandas",
+        ).sum("t")
+    )
+    budget = total * 3 // 10
+    scanned = range_prefix_sum(
+        ds, "__key", "n_tokens", range_size=_KEY_BASE * 8
+    )
+
+    def select(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["cum_before"] + batch["n_tokens"] <= budget]
+        return b[["doc_id", "n_tokens", "score_milli", "cum_before"]]
+
+    return scanned.map_batches(select, batch_format="pandas")
+
+
 _BPE_MERGES = 200
 
 
@@ -7206,6 +7262,25 @@ def q_pages_para_dedup(sf_dir: str):
     pages_dir, _ = _pages_corpus(sf_dir)
     ds = extraction_dataset(pages_dir, ExtractConfig())
     return paragraph_dedup(ds, id_col="url", text_col="text")
+
+
+def q_pages_line_boilerplate(sf_dir: str):
+    """RefinedWeb/CCNet-style FREQUENT-LINE boilerplate removal over the
+    extracted corpus (arXiv:2306.01116 §3.1): a line occurring in >= 2
+    distinct urls is boilerplate and survives NOWHERE (C4 para-dedup keeps
+    the first copy; site chrome should keep zero). curation.line_boilerplate:
+    one fp-bucketed distinct-url count is the only exchange, the surviving
+    fp set (bounded by boilerplate cardinality, not the corpus) broadcasts
+    once via ray.put, and the mark pass is per-batch — page text never
+    moves. Auto-degrades to a two-exchange reassembly past the broadcast
+    limit (exercised in tests/test_curation.py)."""
+    from .curation import line_boilerplate
+    from .ops import ExtractConfig
+    from .pipeline import extraction_dataset
+
+    pages_dir, _ = _pages_corpus(sf_dir)
+    ds = extraction_dataset(pages_dir, ExtractConfig())
+    return line_boilerplate(ds, min_ids=2, id_col="url", text_col="text")
 
 
 def q_doc_distinct_words(sf_dir: str):
@@ -8333,6 +8408,7 @@ QUERIES = {
     "doc_gopher_quality": q_doc_gopher_quality,
     "doc_pii_redact": q_doc_pii_redact,
     "doc_pack_assign": q_doc_pack_assign,
+    "doc_budget_select": q_doc_budget_select,
     "doc_bpe_token_counts": q_doc_bpe_token_counts,
     "doc_pack_assign_bpe": q_doc_pack_assign_bpe,
     "doc_tfidf_top": q_doc_tfidf_top,
@@ -8356,6 +8432,7 @@ QUERIES = {
     "doc_postings": q_doc_postings,
     "pages_normalize": q_pages_normalize,
     "pages_para_dedup": q_pages_para_dedup,
+    "pages_line_boilerplate": q_pages_line_boilerplate,
     "events_user_rank": q_events_user_rank,
     "pages_recrawl_winners": q_pages_recrawl_winners,
     "pages_url_host_join": q_pages_url_host_join,
@@ -9644,6 +9721,31 @@ ORACLE_SQL = {
                CAST((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS BIGINT) AS pack_id
         FROM c
     """,
+    "doc_budget_select": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS BIGINT) AS n_distinct
+          FROM documents
+        ), s AS (
+          SELECT doc_id, n_tokens,
+                 CAST(CASE WHEN n_tokens > 0
+                           THEN 1000 * n_distinct // n_tokens
+                           ELSE 0 END AS BIGINT) AS score_milli
+          FROM t
+        ), b AS (
+          SELECT SUM(n_tokens) * 3 // 10 AS budget FROM s
+        ), o AS (
+          SELECT doc_id, n_tokens, score_milli,
+                 CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY (1000 - score_milli) * 1099511627776 + doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS cum_before
+          FROM s
+        )
+        SELECT doc_id, n_tokens, score_milli, cum_before
+        FROM o, b WHERE cum_before + n_tokens <= budget
+    """,
     "doc_tfidf_top": r"""
         WITH tf AS (
           SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM (
@@ -10178,6 +10280,31 @@ def _pages_oracles(sf_dir: str) -> dict[str, str]:
                    COUNT(*) AS n_paras_kept,
                    md5(string_agg(para, chr(10) ORDER BY para_idx)) AS cleaned_md5
             FROM k WHERE rn = 1 GROUP BY url
+        """,
+        "pages_line_boilerplate": f"""
+            WITH p AS (
+              SELECT url,
+                     unnest(ls) AS line,
+                     CAST(unnest(range(0, len(ls))) AS BIGINT) AS line_idx,
+                     CAST(len(ls) AS BIGINT) AS n_in
+              FROM (SELECT url, string_split(golden_text, chr(10)) AS ls
+                    FROM read_parquet('{golden}'))
+            ), f AS (
+              SELECT line FROM p GROUP BY line
+              HAVING COUNT(DISTINCT url) >= 2
+            ), m AS (
+              SELECT p.url, p.line, p.line_idx, p.n_in,
+                     CASE WHEN f.line IS NULL THEN 0 ELSE 1 END AS is_boiler
+              FROM p LEFT JOIN f ON p.line = f.line
+            )
+            SELECT url,
+                   CAST(MIN(n_in) AS BIGINT) AS n_lines_in,
+                   CAST(COUNT(*) FILTER (WHERE is_boiler = 0) AS BIGINT) AS n_lines_kept,
+                   md5(COALESCE(
+                     string_agg(line, chr(10) ORDER BY line_idx)
+                       FILTER (WHERE is_boiler = 0),
+                     '')) AS cleaned_md5
+            FROM m GROUP BY url
         """,
         "pages_prompt_format": f"""
             SELECT url,

@@ -11,6 +11,7 @@ from rayxtract.curation import (
     GOPHER_STOPWORDS,
     chunk_words,
     gopher_signals,
+    line_boilerplate,
     normalize_text,
     paragraph_dedup,
     redact_pii,
@@ -108,6 +109,61 @@ def test_paragraph_dedup_winner_semantics():
     assert out.loc["b", "n_paras_in"] == 3
     assert out.loc["b", "cleaned_md5"] == hashlib.md5(b"z").hexdigest()
     assert "c" not in out.index  # every paragraph lost to an earlier copy
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_line_boilerplate_semantics():
+    import ray
+
+    # "nav" appears in 3 docs (boilerplate), "y" in 2 (boilerplate at
+    # min_ids=2), "nav" twice within doc d alone would NOT count — distinct
+    # docs, not occurrences, trip the threshold
+    rows = [
+        {"url": "a", "text": "nav\nalpha\ny"},
+        {"url": "b", "text": "nav\nbeta"},
+        {"url": "c", "text": "nav\ny"},
+        {"url": "d", "text": "solo\nsolo\ngamma"},  # solo repeats in ONE doc
+        {"url": "e", "text": "nav"},  # everything boilerplate -> empty
+    ]
+    out = (
+        line_boilerplate(ray.data.from_items(rows))
+        .to_pandas()
+        .set_index("url")
+    )
+    assert len(out) == 5  # every doc emits a row, even the emptied one
+    assert out.loc["a", "n_lines_kept"] == 1
+    assert out.loc["a", "cleaned_md5"] == hashlib.md5(b"alpha").hexdigest()
+    assert out.loc["c", "n_lines_kept"] == 0
+    assert out.loc["c", "cleaned_md5"] == hashlib.md5(b"").hexdigest()
+    assert out.loc["d", "n_lines_kept"] == 3  # within-doc repeat survives
+    assert out.loc["e", "n_lines_kept"] == 0
+    assert out.loc["e", "n_lines_in"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_line_boilerplate_modes_agree():
+    import ray
+
+    rows = [
+        {"url": f"u{i}", "text": f"footer line\ncontent {i}\n{'ad' if i % 2 else 'unique ' + str(i)}"}
+        for i in range(20)
+    ]
+
+    def run(**kw):
+        return (
+            line_boilerplate(ray.data.from_items(rows), **kw)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+
+    a = run(mode="broadcast")
+    b = run(mode="exchange")
+    c = run(mode="auto", broadcast_limit=1)  # forces the auto-overflow path
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+    pd.testing.assert_frame_equal(a, c[a.columns], check_dtype=False)
+    with pytest.raises(ValueError):
+        line_boilerplate(ray.data.from_items(rows), mode="bogus")
 
 
 @pytest.mark.usefixtures("ray_session")
