@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "events_zorder_layout",
     "pages_ts_range",
     "pages_cluster_layout",
+    "pages_line_boilerplate",
+    "doc_budget_select",
 ]
 
 

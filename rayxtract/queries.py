@@ -6869,6 +6869,185 @@ def q_doc_bpe_token_counts(sf_dir: str):
     return bpe_doc_token_counts(docs, merges_df)
 
 
+def _bpe_word_ids(sf_dir: str) -> tuple[dict, str]:
+    """Integer token-id vocabulary + the (word, tids) artifact: token ids
+    are the rank of each distinct subword string in sorted order (the
+    token UNIVERSE is tiny — base characters plus at most ``_BPE_MERGES``
+    merge outputs — so the id map is a broadcastable dict, while the
+    word->ids table is corpus-vocabulary-sized and is published as a
+    marker-gated parquet spill for the SQL oracle to join, never
+    broadcast). Returns (tok_id dict, spill dir of (word, tids) with tids
+    a space-joined id string)."""
+    import os as _os
+
+    import ray
+    import ray.data
+
+    from .bpe import encode_word, merge_ranks
+    from .neardup import _spill_and_reread
+
+    merges_df, words_spill = _bpe_artifacts(sf_dir)
+    ranks = merge_ranks(merges_df)
+    root = _oracle_corpus_root(sf_dir)
+    spill = f"{root}.bpe_word_ids_m{_BPE_MERGES}_e{_SPILL_VERSION}"
+    params = {"n_merges": _BPE_MERGES, "sf_dir": sf_dir}
+    words_ds = ray.data.read_parquet(words_spill, file_extensions=["parquet"])
+    ranks_ref = ray.put(ranks)
+
+    # distinct subword strings: per-batch unique -> tiny driver gather
+    # (bounded by alphabet + merges, NOT by the corpus vocabulary)
+    def toks(batch: pd.DataFrame) -> pd.DataFrame:
+        rk = ray.get(ranks_ref)
+        seen = set()
+        for w in batch["word"]:
+            seen.update(encode_word(w, rk))
+        return pd.DataFrame({"tok": pd.Series(sorted(seen), dtype="object")})
+
+    vocab = sorted(
+        set(
+            words_ds.map_batches(toks, batch_format="pandas")
+            .to_pandas()["tok"]
+            .tolist()
+        )
+    )
+    tok_id = {t: i for i, t in enumerate(vocab)}
+
+    if not _os.path.exists(_os.path.join(spill, "_SPILL_COMPLETE")):
+        tid_ref = ray.put(tok_id)
+
+        def wid(batch: pd.DataFrame) -> pd.DataFrame:
+            rk, tid = ray.get(ranks_ref), ray.get(tid_ref)
+            return pd.DataFrame(
+                {
+                    "word": batch["word"].astype(object).values,
+                    "tids": pd.Series(
+                        [
+                            " ".join(
+                                str(tid[t]) for t in encode_word(w, rk)
+                            )
+                            for w in batch["word"]
+                        ],
+                        dtype="object",
+                    ),
+                }
+            )
+
+        _spill_and_reread(
+            words_ds.map_batches(wid, batch_format="pandas"), spill, params
+        )
+    return tok_id, spill
+
+
+_PACK_LEN = 512
+
+
+def q_doc_pack_sequences(sf_dir: str):
+    """PACKED TRAINING SEQUENCES — the actual training-shard payload, not
+    just the pack assignment: every document BPE-encodes to integer token
+    ids, the global token stream (doc_id order) is cut into fixed
+    ``_PACK_LEN``-token packs (docs straddle pack boundaries, as real
+    sequence packing does), and each pack's ids are emitted as
+    (pack_id, n_tokens, tokens_md5). Two exchanges: the distributed
+    prefix scan that assigns each doc its global token offset (text rides
+    through the scan's range exchange once), and the pack-id groupby that
+    assembles straddled segments in offset order. Encoding is map-side
+    (ranks + the tiny token-id dict broadcast once; per-batch word
+    cache). Oracle: DuckDB rebuilds the identical stream by exploding
+    each doc's words in order, joining the engine-published (word, tids)
+    parquet, window-numbering the flattened ids and md5-ing each pack —
+    the packing path is checked end-to-end, the BPE kernel stays
+    golden-tested."""
+    import hashlib as _hl
+
+    import ray
+
+    from .agg import range_prefix_sum
+    from .bpe import encode_word, merge_ranks
+
+    merges_df, _ = _bpe_artifacts(sf_dir)
+    tok_id, _ = _bpe_word_ids(sf_dir)
+    ranks_ref = ray.put(merge_ranks(merges_df))
+    tid_ref = ray.put(tok_id)
+
+    def encoder():
+        rk, tid = ray.get(ranks_ref), ray.get(tid_ref)
+        cache: dict = {}
+
+        def ids(w: str) -> list:
+            v = cache.get(w)
+            if v is None:
+                v = [tid[t] for t in encode_word(w, rk)]
+                cache[w] = v
+            return v
+
+        return ids
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = encoder()
+        b = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64").values,
+                "text": batch["text"].astype(object).values,
+            }
+        )
+        b["n_tokens"] = pd.Series(
+            [sum(len(ids(w)) for w in t.split()) for t in b["text"]],
+            dtype="int64",
+        )
+        return b
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        counts, batch_format="pandas"
+    )
+    scanned = range_prefix_sum(ds, "doc_id", "n_tokens", range_size=1000)
+
+    def segments(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = encoder()
+        packs, starts, segs = [], [], []
+        for text, start in zip(
+            batch["text"].values, batch["cum_before"].values
+        ):
+            toks = [i for w in text.split() for i in ids(w)]
+            n = len(toks)
+            if n == 0:
+                continue
+            start = int(start)
+            for p in range(start // _PACK_LEN, (start + n - 1) // _PACK_LEN + 1):
+                lo = max(0, p * _PACK_LEN - start)
+                hi = min(n, (p + 1) * _PACK_LEN - start)
+                packs.append(p)
+                starts.append(start + lo)
+                segs.append(" ".join(str(i) for i in toks[lo:hi]))
+        return pd.DataFrame(
+            {
+                "pack_id": pd.Series(packs, dtype="int64"),
+                "gidx_start": pd.Series(starts, dtype="int64"),
+                "seg": pd.Series(segs, dtype="object"),
+            }
+        )
+
+    def assemble(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("gidx_start", kind="mergesort")
+        joined = " ".join(g["seg"].values)
+        return pd.DataFrame(
+            {
+                "pack_id": pd.Series(
+                    [int(g["pack_id"].iloc[0])], dtype="int64"
+                ),
+                "n_tokens": pd.Series(
+                    [joined.count(" ") + 1], dtype="int64"
+                ),
+                "tokens_md5": [_hl.md5(joined.encode()).hexdigest()],
+            }
+        )
+
+    return (
+        scanned.map_batches(segments, batch_format="pandas")
+        .groupby("pack_id")
+        .map_groups(assemble, batch_format="pandas")
+    )
+
+
 def q_doc_pack_assign_bpe(sf_dir: str):
     """Token-accurate pack assignment: doc_pack_assign's contiguous-spill
     two-phase scan with budgets in BPE SUBWORD tokens instead of
@@ -8411,6 +8590,7 @@ QUERIES = {
     "doc_budget_select": q_doc_budget_select,
     "doc_bpe_token_counts": q_doc_bpe_token_counts,
     "doc_pack_assign_bpe": q_doc_pack_assign_bpe,
+    "doc_pack_sequences": q_doc_pack_sequences,
     "doc_tfidf_top": q_doc_tfidf_top,
     "doc_bm25_topk": q_doc_bm25_topk,
     "doc_phrase_search": q_doc_phrase_search,
@@ -10114,6 +10294,9 @@ def _pages_oracles(sf_dir: str) -> dict[str, str]:
     ts_lo, ts_hi = _ts_range_bounds(sf_dir_to_n_pages(sf_dir))
     media = f"{_media_root(sf_dir)}/*.parquet"
     bpe_words = f"{root}.bpe_words_m{_BPE_MERGES}_e{_SPILL_VERSION}/*.parquet"
+    bpe_word_ids = (
+        f"{root}.bpe_word_ids_m{_BPE_MERGES}_e{_SPILL_VERSION}/*.parquet"
+    )
     prefix, suffix = _prompt_parts()
     return {
         # token-count oracles join the engine-published (word, n_tokens)
@@ -10131,6 +10314,29 @@ def _pages_oracles(sf_dir: str) -> dict[str, str]:
             )
             SELECT d.doc_id, CAST(COALESCE(s.n, 0) AS BIGINT) AS n_tokens
             FROM documents d LEFT JOIN s USING (doc_id)
+        """,
+        "doc_pack_sequences": f"""
+            WITH w AS (
+              SELECT doc_id, unnest(ws) AS word,
+                     CAST(unnest(range(0, len(ws))) AS BIGINT) AS word_idx
+              FROM (SELECT doc_id,
+                           list_filter(regexp_split_to_array(text, '\\s+'),
+                                       x -> x <> '') AS ws
+                    FROM documents)
+            ), t AS (
+              SELECT w.doc_id, w.word_idx,
+                     unnest(string_split(v.tids, ' ')) AS tid,
+                     CAST(unnest(range(0, len(string_split(v.tids, ' ')))) AS BIGINT) AS sub_idx
+              FROM w JOIN read_parquet('{bpe_word_ids}') v USING (word)
+            ), o AS (
+              SELECT tid,
+                     row_number() OVER (ORDER BY doc_id, word_idx, sub_idx) - 1 AS gidx
+              FROM t
+            )
+            SELECT CAST(gidx // 512 AS BIGINT) AS pack_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   md5(string_agg(tid, ' ' ORDER BY gidx)) AS tokens_md5
+            FROM o GROUP BY 1
         """,
         "doc_pack_assign_bpe": f"""
             WITH w AS (
