@@ -126,10 +126,14 @@ def run_once() -> dict:
     headline = time.monotonic() - t0
 
     q_secs: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.monotonic()
-        _consume(QUERIES[name](SF_DIR))
-        q_secs[name] = round(time.monotonic() - t0, 3)
+    # scaling subruns skip the query sweep: the efficiency criterion is
+    # computed from flagship docs/s only, and a 4-CPU 42-query sweep
+    # would add ~15 untimed minutes per trial
+    if not os.environ.get("GRAFT_SKIP_QUERIES"):
+        for name in BENCH_QUERIES:
+            t0 = time.monotonic()
+            _consume(QUERIES[name](SF_DIR))
+            q_secs[name] = round(time.monotonic() - t0, 3)
 
     ray.shutdown()
     return {
@@ -165,7 +169,7 @@ def run_scaling() -> dict:
     trials = int(os.environ.get("GRAFT_SCALE_TRIALS", "2"))
 
     def sub(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
