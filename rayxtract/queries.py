@@ -1424,6 +1424,159 @@ def q_emb_cluster_medoids(sf_dir: str):
     )
 
 
+_SEMDEDUP_TAU_MILLI = 300  # testdata embeddings are centered uniforms
+                           # (max pairwise cos ~0.48): 0.30 exercises the
+                           # prune non-trivially, same rationale as the
+                           # emb_neardup LSH threshold
+_SEMDEDUP_K = 8
+_SEMDEDUP_GROUP_CAP = 20_000  # pairwise blocks cap; oversized clusters
+                              # sub-bucket deterministically (recall
+                              # tradeoff documented in the docstring)
+
+
+def _semdedup_keep(mat: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    """Shared SemDeDup prune kernel over ONE cluster: a vector is pruned
+    iff some SMALLER-id cluster member has cosine >= tau with it — the
+    min-id-representative convention this repo's dedup family uses
+    (pairwise-independent, so order- and parallelism-free). Returns the
+    keep mask aligned to ``ids`` sorted ascending."""
+    order = np.argsort(ids)
+    x = mat[order].astype(np.float64)
+    n = np.linalg.norm(x, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    x = x / n
+    s = x @ x.T
+    tau = _SEMDEDUP_TAU_MILLI / 1000.0
+    pruned = np.triu(s >= tau, 1).any(axis=0)
+    keep = np.empty(len(ids), dtype=bool)
+    keep[order] = ~pruned
+    return keep
+
+
+def _semdedup_prune_ds(emb, pin: bool):
+    """Distributed SemDeDup prune (Abbas et al. 2023, arXiv:2303.09540
+    shape): k-means the embedding space, then WITHIN each cluster drop
+    every vector a smaller-id member covers at cosine >= tau. One
+    centroid broadcast + one cluster-keyed exchange; pairwise work is
+    bounded by the cluster, and clusters beyond ``_SEMDEDUP_GROUP_CAP``
+    sub-bucket deterministically by vec_id hash (within-sub-bucket
+    prune only — the same within-cluster-only recall concession SemDeDup
+    itself makes, one level deeper). At corpus scale k grows with the
+    corpus so clusters stay bounded. Returns (vec_id, cluster, keep)."""
+    import hashlib as _hl
+
+    import ray as _ray
+
+    from .ann import kmeans_fit
+
+    cents, _ = kmeans_fit(emb, k=_SEMDEDUP_K, n_iter=8, seed=13, pin=pin)
+    ref = _ray.put(np.asarray(cents, dtype=np.float64))
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        c = _ray.get(ref)
+        x = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        d2 = (
+            (x * x).sum(axis=1)[:, None]
+            - 2.0 * (x @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        out = pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].astype("int64").values,
+                "cluster": np.argmin(d2, axis=1).astype("int64"),
+            }
+        )
+        out["embedding"] = batch["embedding"].values
+        return out
+
+    def prune(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.stack(group["embedding"].to_numpy())
+        if len(ids) > _SEMDEDUP_GROUP_CAP:
+            sub = np.fromiter(
+                (
+                    int(_hl.md5(str(i).encode()).hexdigest()[:8], 16)
+                    % -(-len(ids) // _SEMDEDUP_GROUP_CAP)
+                    for i in ids
+                ),
+                dtype=np.int64,
+                count=len(ids),
+            )
+            keep = np.empty(len(ids), dtype=bool)
+            for b in np.unique(sub):
+                m = sub == b
+                keep[m] = _semdedup_keep(mat[m], ids[m])
+        else:
+            keep = _semdedup_keep(mat, ids)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": group["cluster"].astype("int64").values,
+                "keep": keep.astype("int64"),
+            }
+        )
+
+    return (
+        emb.map_batches(tag, batch_format="pandas")
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pandas")
+    )
+
+
+def q_emb_semdedup_prune(sf_dir: str):
+    """SemDeDup semantic dedup PRUNE (the keep/drop decision per vector,
+    completing the medoid-selection query's family): see
+    :func:`_semdedup_prune_ds`. Rows-only by nature (k-means fixpoint +
+    float cosine upstream); gated by ``emb_semdedup_agreement`` — the
+    distributed prune must agree TOTALLY with a dense driver replay on
+    the same (capped) slice."""
+    return _semdedup_prune_ds(_emb_spilled(sf_dir), pin=False)
+
+
+def q_emb_semdedup_agreement(sf_dir: str):
+    """Driver-oracle SELF-GATE for the SemDeDup prune (the fixpoint-gate
+    pattern): the distributed cluster-keyed prune and a dense driver
+    replay (same centroids, same kernel, one matrix) run on the same
+    deterministically capped slice; the oracle demands TOTAL per-vector
+    keep agreement. VALIDATION query — the dense side gathers by
+    design."""
+    from .ann import kmeans_fit
+
+    emb, _n, capped = _gate_slice(_emb_spilled(sf_dir), "vec_id")
+    dist = (
+        _semdedup_prune_ds(emb, pin=capped)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    cents, _ = kmeans_fit(emb, k=_SEMDEDUP_K, n_iter=8, seed=13, pin=capped)
+    c = np.asarray(cents, dtype=np.float64)
+    pdf = emb.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    d2 = (
+        (x * x).sum(axis=1)[:, None]
+        - 2.0 * (x @ c.T)
+        + (c * c).sum(axis=1)[None, :]
+    )
+    asg = np.argmin(d2, axis=1)
+    keep_ref = np.empty(len(ids), dtype=bool)
+    for k in np.unique(asg):
+        m = asg == k
+        keep_ref[m] = _semdedup_keep(x[m], ids[m])
+    merged = dist.merge(
+        pd.DataFrame({"vec_id": ids, "keep_ref": keep_ref.astype("int64")}),
+        on="vec_id",
+    )
+    n_agree = int((merged["keep"] == merged["keep_ref"]).sum())
+    return pd.DataFrame(
+        {
+            "n_vecs": pd.Series([len(merged)], dtype="int64"),
+            "n_agree": pd.Series([n_agree], dtype="int64"),
+        }
+    )
+
+
 _PQ_SUBS = 8      # 64-dim vectors -> 8 subspaces x 8 dims
 _PQ_WIDTH = 8
 _PQ_K = 256       # 8 bits per subspace -> one 64-bit code per vector
@@ -8578,6 +8731,8 @@ QUERIES = {
     "emb_pca_agreement": q_emb_pca_agreement,
     "emb_medoids_agreement": q_emb_medoids_agreement,
     "emb_cluster_medoids": q_emb_cluster_medoids,
+    "emb_semdedup_prune": q_emb_semdedup_prune,
+    "emb_semdedup_agreement": q_emb_semdedup_agreement,
     "emb_label_counts": q_emb_label_counts,
     "emb_int8_quantize": q_emb_int8_quantize,
     "emb_pq_codes": q_emb_pq_codes,
@@ -8691,6 +8846,11 @@ ORACLE_SQL = {
     # fixpoint self-gates (VERDICT r3 next #4): the query computes an
     # integer engine-vs-reference agreement; the oracle demands totality
     "emb_kmeans_agreement": """
+        SELECT CAST(LEAST(COUNT(*), 20000) AS BIGINT) AS n_vecs,
+               CAST(LEAST(COUNT(*), 20000) AS BIGINT) AS n_agree
+        FROM embeddings
+    """,
+    "emb_semdedup_agreement": """
         SELECT CAST(LEAST(COUNT(*), 20000) AS BIGINT) AS n_vecs,
                CAST(LEAST(COUNT(*), 20000) AS BIGINT) AS n_agree
         FROM embeddings

@@ -116,3 +116,39 @@ def test_kmeans_assign_partitions_all_rows(ray_session):
     exp = d2.argmin(axis=1)
     got = out.set_index("vec_id").loc[pdf["vec_id"]]["cluster"].to_numpy()
     np.testing.assert_array_equal(got, exp)
+
+
+def test_semdedup_prune_planted(ray_session):
+    """Planted near-dup triple: identical vectors keep ONLY the min id;
+    orthogonal singletons all survive. The keep rule is pairwise
+    (smaller-id member at cos >= tau prunes), so the expected set is
+    exact."""
+    import numpy as np
+    import ray.data
+
+    from rayxtract.queries import _semdedup_keep, _semdedup_prune_ds
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=64)
+    rows = []
+    for i in range(3):  # ids 10, 11, 12: near-identical POSITION (same
+        # k-means cell) and cos ~ 1 (pruned by the min id)
+        rows.append(
+            {"vec_id": 10 + i, "embedding": base * (1.0 + 1e-4 * i)}
+        )
+    for i in range(40):  # background spread so k=8 cells are occupied
+        rows.append(
+            {"vec_id": 100 + i, "embedding": rng.normal(size=64) * 3.0}
+        )
+    out = (
+        _semdedup_prune_ds(ray.data.from_items(rows), pin=True)
+        .to_pandas()
+        .set_index("vec_id")["keep"]
+    )
+    assert out.loc[10] == 1
+    assert out.loc[11] == 0 and out.loc[12] == 0  # covered by id 10
+    # kernel-level check independent of clustering
+    mat = np.stack([r["embedding"] for r in rows[:3]])
+    ids = np.array([10, 11, 12])
+    keep = _semdedup_keep(mat, ids)
+    assert keep.tolist() == [True, False, False]
