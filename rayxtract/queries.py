@@ -7579,6 +7579,48 @@ def q_doc_hash_classifier(sf_dir: str):
     )
 
 
+def q_doc_dsir_select(sf_dir: str):
+    """DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169):
+    select raw documents whose hashed-feature profile looks like the
+    target corpus — here target = the English slice, raw = everything.
+    Features are unigrams hashed into 256 buckets (the paper's hashed
+    n-gram trick); the per-bucket importance weight is the add-one-
+    smoothed target/raw probability ratio as a floor-scaled INTEGER
+    (a monotone surrogate for the paper's log-ratio — integer weights
+    make per-doc sums order-independent so the DuckDB oracle is
+    bit-exact); selection = top-200 docs by (score DESC, doc_id ASC),
+    the temperature->0 limit of the paper's Gumbel-top-k resample.
+
+    Scale shape: pass 1 is a combiner tree whose partials are <= 256
+    rows per batch (one tiny exchange, never corpus-sized); the 256-int
+    weight table ships once per scoring actor; pass 2 is embarrassingly
+    parallel scoring + the local-top-k combiner. Nothing corpus-sized
+    reaches the driver."""
+    from .agg import topk, tree_aggregate
+    from .textops import DsirScoreBatch, dsir_bucket_counts_batch, dsir_weights
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    cnt = tree_aggregate(
+        docs.map_batches(dsir_bucket_counts_batch, batch_format="pandas"),
+        keys=["bucket"],
+        aggs={"raw_n": ("raw_n", "sum"), "tgt_n": ("tgt_n", "sum")},
+    ).to_pandas()
+    raw = np.zeros(256, dtype=np.int64)
+    tgt = np.zeros(256, dtype=np.int64)
+    b = cnt["bucket"].to_numpy(np.int64)
+    raw[b] = cnt["raw_n"].to_numpy(np.int64)
+    tgt[b] = cnt["tgt_n"].to_numpy(np.int64)
+    wgt = dsir_weights(raw, tgt)
+
+    scored = docs.map_batches(
+        DsirScoreBatch,
+        fn_constructor_kwargs={"wgt": wgt},
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
+    return topk(scored, ["score", "doc_id"], [True, False], 200)
+
+
 def q_pages_normalize(sf_dir: str):
     """NFC + whitespace-collapse canonical form of the extracted page text
     (the string most dedup pipelines hash); md5 checked against the same
@@ -8765,6 +8807,7 @@ QUERIES = {
     "doc_novelty_vs_corpus": q_doc_novelty_vs_corpus,
     "doc_dup_spans": q_doc_dup_spans,
     "doc_hash_classifier": q_doc_hash_classifier,
+    "doc_dsir_select": q_doc_dsir_select,
     "cust_with_orders": q_cust_with_orders,
     "doc_incremental_dedup": q_doc_incremental_dedup,
     "doc_len_rank": q_doc_len_rank,
@@ -10205,6 +10248,38 @@ ORACLE_SQL = {
         )
         SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens, CAST(score AS BIGINT) AS score
         FROM scored ORDER BY score DESC, doc_id LIMIT 20
+    """,
+    "doc_dsir_select": r"""
+        WITH tok AS (
+          SELECT doc_id, lang,
+                 unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word
+          FROM documents
+        ), bk AS (
+          SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % 256 AS bucket
+          FROM tok
+        ), cnt AS (
+          SELECT bucket,
+                 CAST(COUNT(*) AS HUGEINT) AS raw_n,
+                 CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS HUGEINT) AS tgt_n
+          FROM bk GROUP BY bucket
+        ), tot AS (
+          SELECT SUM(raw_n) AS R, SUM(tgt_n) AS T FROM cnt
+        ), wt AS (
+          SELECT bucket,
+                 CAST(((tgt_n + 1) * 1000000 * (R + 256))
+                      // ((raw_n + 1) * (T + 256)) - 1000000 AS BIGINT) AS wgt
+          FROM cnt, tot
+        ), per AS (
+          SELECT bk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 CAST(SUM(wgt) AS BIGINT) AS score
+          FROM bk JOIN wt USING (bucket) GROUP BY bk.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(per.n_tokens, 0) AS n_tokens,
+               COALESCE(per.score, 0) AS score
+        FROM documents d LEFT JOIN per USING (doc_id)
+        ORDER BY score DESC, doc_id ASC LIMIT 200
     """,
     "doc_hash_classifier": r"""
         WITH tok AS (

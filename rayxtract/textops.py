@@ -276,6 +276,125 @@ class HashClassifierBatch:
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169): select raw
+# documents whose hashed-n-gram feature profile looks like a target corpus.
+# Bucketed unigram features (the paper's hashing trick at small B); the
+# per-bucket importance weight is a scaled INTEGER surrogate for the paper's
+# log probability ratio so per-doc sums stay order-independent and the
+# DuckDB oracle matches bit-for-bit.
+
+_DSIR_BUCKETS = 256
+_DSIR_SCALE = 1_000_000
+
+
+def _dsir_bucket(word: str) -> int:
+    """bucket(word) = first-32-bits-of-md5 mod 256 (mirrored in SQL as
+    CAST('0x' || substr(md5(word),1,8) AS BIGINT) % 256)."""
+    return int(hashlib.md5(word.encode("utf-8")).hexdigest()[:8], 16) % _DSIR_BUCKETS
+
+
+def dsir_weights(raw_n: "np.ndarray", tgt_n: "np.ndarray") -> "np.ndarray":
+    """Per-bucket integer importance weight from bucket token counts.
+
+    wgt_b = ((t_b+1) * SCALE * (R+B)) // ((r_b+1) * (T+B)) - SCALE — the
+    add-one-smoothed target/raw probability ratio, floor-scaled to int.
+    Computed in PYTHON ints (the cross product (t+1)*SCALE*(R+B) overflows
+    int64 on a ~1e9-token corpus; DuckDB mirrors with HUGEINT). The target
+    is a SUBSET of raw (t_b <= r_b), so the ratio — hence every weight —
+    is bounded by ~R/T regardless of corpus size, and per-doc int64 score
+    sums cannot overflow for any realistic document length."""
+    B = _DSIR_BUCKETS
+    R = int(raw_n.sum())
+    T = int(tgt_n.sum())
+    out = np.empty(B, dtype=np.int64)
+    for b in range(B):
+        t = int(tgt_n[b])
+        r = int(raw_n[b])
+        out[b] = ((t + 1) * _DSIR_SCALE * (R + B)) // ((r + 1) * (T + B)) - _DSIR_SCALE
+    return out
+
+
+class DsirScoreBatch:
+    """Actor-pool scoring stage for DSIR pass 2: per-doc score = sum of the
+    per-bucket importance weights of its tokens (multiplicity counts). The
+    256-entry weight table ships once per actor in the constructor; the
+    word->bucket memo fills per actor on demand (only UNIQUE new words pay
+    an md5), scoring is the same vectorized segment sum as
+    HashClassifierBatch."""
+
+    def __init__(self, wgt: "np.ndarray", col: str = "text", id_col: str = "doc_id"):
+        self.wgt = np.asarray(wgt, dtype=np.int64)
+        self.col = col
+        self.id_col = id_col
+        self.buckets: dict[str, int] = {}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks_per_doc = [t.split() for t in batch[self.col].values]
+        flat = [w for ws in toks_per_doc for w in ws]
+        if flat:
+            codes, uniq = pd.factorize(np.array(flat, dtype=object))
+            memo = self.buckets
+            ub = np.fromiter(
+                (
+                    memo[w] if w in memo else memo.setdefault(w, _dsir_bucket(w))
+                    for w in uniq
+                ),
+                dtype=np.int64,
+                count=len(uniq),
+            )
+            wflat = self.wgt[ub][codes]
+        else:
+            wflat = np.empty(0, dtype=np.int64)
+        lens = np.fromiter(
+            (len(ws) for ws in toks_per_doc), dtype=np.int64, count=len(toks_per_doc)
+        )
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        csum = np.concatenate([[0], np.cumsum(wflat)])
+        scores = csum[ends] - csum[starts]
+        return pd.DataFrame(
+            {
+                self.id_col: batch[self.id_col].astype("int64").values,
+                "n_tokens": lens,
+                "score": scores,
+            }
+        )
+
+
+def dsir_bucket_counts_batch(
+    batch: pd.DataFrame, col: str = "text", tgt_col: str = "lang", tgt_val: str = "en"
+) -> pd.DataFrame:
+    """DSIR pass-1 combiner partial: (bucket, raw_n, tgt_n) token counts for
+    one batch — at most 256 rows out regardless of batch size."""
+    raw = np.zeros(_DSIR_BUCKETS, dtype=np.int64)
+    tgt = np.zeros(_DSIR_BUCKETS, dtype=np.int64)
+    is_tgt = (batch[tgt_col] == tgt_val).values
+    memo: dict[str, int] = {}
+    for text, t in zip(batch[col].values, is_tgt):
+        ws = text.split()
+        if not ws:
+            continue
+        codes, uniq = pd.factorize(np.array(ws, dtype=object))
+        ub = np.fromiter(
+            (memo[w] if w in memo else memo.setdefault(w, _dsir_bucket(w)) for w in uniq),
+            dtype=np.int64,
+            count=len(uniq),
+        )
+        cnt = np.bincount(ub[codes], minlength=_DSIR_BUCKETS)
+        raw += cnt
+        if t:
+            tgt += cnt
+    nz = np.nonzero(raw)[0]
+    return pd.DataFrame(
+        {
+            "bucket": nz.astype(np.int64),
+            "raw_n": raw[nz],
+            "tgt_n": tgt[nz],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # URL canonicalization — the dedup key normalization every web pipeline
 # runs before url-level dedup (recrawl winners, link-graph node identity).
 

@@ -555,6 +555,56 @@ def test_hash_classifier_kernel():
     assert -1000 <= _hash_weight("anything") <= 1000
 
 
+def test_dsir_kernels():
+    from rayxtract.textops import (
+        DsirScoreBatch,
+        _dsir_bucket,
+        dsir_bucket_counts_batch,
+        dsir_weights,
+    )
+
+    # bucket formula pinned to (md5 first 32 bits) % 256
+    assert _dsir_bucket("hello") == int(hashlib.md5(b"hello").hexdigest()[:8], 16) % 256
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["alpha beta alpha", "alpha gamma", ""],
+            "lang": ["en", "fr", "en"],
+        }
+    )
+    cnt = dsir_bucket_counts_batch(df)
+    b_alpha, b_beta, b_gamma = map(_dsir_bucket, ("alpha", "beta", "gamma"))
+    raw = np.zeros(256, dtype=np.int64)
+    tgt = np.zeros(256, dtype=np.int64)
+    raw[cnt["bucket"].to_numpy()] = cnt["raw_n"].to_numpy()
+    tgt[cnt["bucket"].to_numpy()] = cnt["tgt_n"].to_numpy()
+    assert raw[b_alpha] == 3 and raw[b_gamma] == 1
+    assert tgt[b_alpha] == 2 and tgt[b_gamma] == 0  # gamma only in the fr doc
+    assert raw.sum() == 5 and tgt.sum() == 3
+
+    # weight formula: add-one-smoothed ratio, floor-scaled; exact int math
+    wgt = dsir_weights(raw, tgt)
+    R, T = 5, 3
+    exp_alpha = ((2 + 1) * 1_000_000 * (R + 256)) // ((3 + 1) * (T + 256)) - 1_000_000
+    assert wgt[b_alpha] == exp_alpha
+    # empty bucket: ratio (1*(R+B))/(1*(T+B)) > 1 since T < R
+    empty = next(i for i in range(256) if i not in (b_alpha, b_beta, b_gamma))
+    assert wgt[empty] == (1_000_000 * (R + 256)) // (T + 256) - 1_000_000
+
+    # scoring: segment sums with multiplicity, empty doc scores 0
+    out = DsirScoreBatch(wgt)(df)
+    assert out["score"].tolist() == [
+        int(2 * wgt[b_alpha] + wgt[b_beta]),
+        int(wgt[b_alpha] + wgt[b_gamma]),
+        0,
+    ]
+    assert out["n_tokens"].tolist() == [3, 2, 0]
+
+    # target-subset bound: weights can never exceed SCALE * (R+B)/(T+B)
+    assert int(wgt.max()) <= (1_000_000 * (R + 256)) // (T + 256)
+
+
 def test_canonicalize_url_kernel():
     from rayxtract.textops import canonicalize_url as c
 
