@@ -593,3 +593,242 @@ def pca_project(
         return pd.DataFrame(out)
 
     return ds.map_batches(project, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# kNN GRAPH construction — the all-vectors self-join that SemDeDup-style
+# curation, cluster pruning and graph-based diversity sampling build on.
+# Similarities are integer dot products of uint8 scalar-quantized codes
+# (the emb_int8_quantize transform), so ranking is bit-deterministic in
+# both engines and the exact variant has a DuckDB oracle.
+
+
+def _dim_minmax(ds, vec_col: str = "embedding"):
+    """Per-dimension global [min, max] via a d-row combiner tree (the only
+    exchange — d rows, never vectors). Returns (mn, mx) float64[d]."""
+    from .agg import tree_aggregate
+
+    def dim_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = np.stack(batch[vec_col].to_numpy())
+        return pd.DataFrame(
+            {
+                "dim": np.arange(x.shape[1], dtype=np.int64),
+                "mn": x.min(axis=0).astype(np.float64),
+                "mx": x.max(axis=0).astype(np.float64),
+            }
+        )
+
+    stats = (
+        tree_aggregate(
+            ds.map_batches(dim_partial, batch_format="pandas"),
+            keys=["dim"],
+            aggs={"mn": ("mn", "min"), "mx": ("mx", "max")},
+        )
+        .to_pandas()
+        .sort_values("dim")
+    )
+    return (
+        stats["mn"].to_numpy(np.float64),
+        stats["mx"].to_numpy(np.float64),
+    )
+
+
+def _quantize_u8(x: np.ndarray, mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
+    """uint8 scalar quantization codes as int64 — the IDENTICAL IEEE op
+    sequence as emb_int8_quantize (and its proven DuckDB mirror)."""
+    flat = mx == mn
+    codes = np.floor(((x.astype(np.float64) - mn) * 255.0) / np.where(flat, 1.0, mx - mn))
+    return np.where(flat, 0.0, codes).astype(np.int64)
+
+
+def knn_graph_exact(
+    ds,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cap: int = 200_000,
+):
+    """EXACT top-k neighbor graph by integer code dot product: one stats
+    combiner, then ONE broadcast of the (n, d) uint8 code matrix
+    (``ray.put`` once, read per task) and an embarrassingly parallel
+    (batch, n) int64 matmul per batch — the O(n^2/P) distributed
+    brute-force baseline. The code matrix gather is the deliberate
+    small-tier simplification (uint8: 200k x 64 = 12.8 MB broadcast);
+    above ``cap`` vectors the caller belongs on :func:`knn_graph_ivf`
+    (this raises rather than silently thrash). Returns
+    (vec_id, nbr_id, sim), k rows per vector, ties by nbr_id asc."""
+    import ray
+
+    mn, mx = _dim_minmax(ds, vec_col)
+    rows = ds.select_columns([id_col, vec_col]).take_all()
+    if len(rows) > cap:
+        raise ValueError(
+            f"knn_graph_exact is the <= {cap}-vector baseline "
+            f"(got {len(rows)}); use knn_graph_ivf at corpus scale"
+        )
+    ids_all = np.array([int(r[id_col]) for r in rows], dtype=np.int64)
+    codes_all = _quantize_u8(
+        np.stack([np.asarray(r[vec_col]) for r in rows]), mn, mx
+    ).astype(np.uint8)
+    ref = ray.put((ids_all, codes_all))
+
+    def part(batch: pd.DataFrame) -> pd.DataFrame:
+        aid, acode = ray.get(ref)
+        call = acode.astype(np.int64)
+        xb = _quantize_u8(np.stack(batch[vec_col].to_numpy()), mn, mx)
+        bids = batch[id_col].astype("int64").to_numpy()
+        sims = xb @ call.T  # (b, n) int64
+        out_v, out_n, out_s = [], [], []
+        for i in range(len(bids)):
+            col = sims[i]
+            mask = aid != bids[i]
+            order = np.lexsort((aid[mask], -col[mask]))[:k]
+            sel_ids = aid[mask][order]
+            sel_sims = col[mask][order]
+            out_v.extend([bids[i]] * len(order))
+            out_n.extend(sel_ids)
+            out_s.extend(sel_sims)
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series(out_v, dtype="int64"),
+                "nbr_id": pd.Series(out_n, dtype="int64"),
+                "sim": pd.Series(out_s, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(part, batch_format="pandas")
+
+
+def knn_graph_ivf(
+    ds,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 4,
+    train_sample: int = 2048,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int = 32,
+):
+    """IVF-bucketed APPROXIMATE kNN graph — the corpus-scale path: every
+    vector is a MEMBER of its nearest coarse cell and a QUERY in its
+    ``nprobe`` nearest cells; one cell-keyed exchange computes local
+    top-k inside each cell (group size ~ n/n_cells; neighbor candidates
+    never leave their cell except as <= nprobe*k candidate rows per
+    vector), one bucketed exchange merges per-vector candidates. Recall
+    vs the exact graph is gated by ``emb_knn_graph_recall``. Returns
+    (vec_id, nbr_id, sim) with <= k rows per vector."""
+    import ray
+
+    mn, mx = _dim_minmax(ds, vec_col)
+    # coarse quantizer trained on a hash-ranked sample (block-layout
+    # independent), cosine Lloyd like knn_ivf
+    sample = _hash_sample(ds, train_sample, seed, id_col, [id_col, vec_col])
+    mat = _unit(np.stack([np.asarray(r[vec_col]) for r in sample]).astype(np.float64))
+    rng = np.random.RandomState(seed)
+    cents = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
+    for _ in range(8):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(cents.shape[0]):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    cents_ref = ray.put(cents)
+    d = int(mn.shape[0])
+
+    def expand(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cents_ref)
+        x = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        xu = _unit(x)
+        order = np.argsort(-(xu @ c.T), axis=1)[:, : max(nprobe, 1)]
+        codes = _quantize_u8(x, mn, mx).astype(np.uint8)
+        bids = batch[id_col].astype("int64").to_numpy()
+        blobs = [codes[i].tobytes() for i in range(len(bids))]
+        cells, vids, blob_col, roles = [], [], [], []
+        # member row: primary cell only
+        cells.extend(order[:, 0].tolist())
+        vids.extend(bids.tolist())
+        blob_col.extend(blobs)
+        roles.extend([0] * len(bids))
+        # query rows: all probed cells
+        for j in range(order.shape[1]):
+            cells.extend(order[:, j].tolist())
+            vids.extend(bids.tolist())
+            blob_col.extend(blobs)
+            roles.extend([1] * len(bids))
+        return pd.DataFrame(
+            {
+                "cell": pd.Series(cells, dtype="int64"),
+                "vec_id": pd.Series(vids, dtype="int64"),
+                "codes": pd.Series(blob_col, dtype="object"),
+                "is_query": pd.Series(roles, dtype="int64"),
+            }
+        )
+
+    def local_knn(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[g["is_query"] == 0]
+        q = g[g["is_query"] == 1]
+        if m.empty or q.empty:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "nbr_id": pd.Series([], dtype="int64"),
+                    "sim": pd.Series([], dtype="int64"),
+                }
+            )
+        mid = m["vec_id"].to_numpy(np.int64)
+        mc = np.frombuffer(b"".join(m["codes"]), dtype=np.uint8).reshape(-1, d).astype(np.int64)
+        qid = q["vec_id"].to_numpy(np.int64)
+        qc = np.frombuffer(b"".join(q["codes"]), dtype=np.uint8).reshape(-1, d).astype(np.int64)
+        sims = qc @ mc.T
+        out_v, out_n, out_s = [], [], []
+        for i in range(len(qid)):
+            col = sims[i]
+            mask = mid != qid[i]
+            if not mask.any():
+                continue
+            order = np.lexsort((mid[mask], -col[mask]))[:k]
+            out_v.extend([qid[i]] * len(order))
+            out_n.extend(mid[mask][order])
+            out_s.extend(col[mask][order])
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series(out_v, dtype="int64"),
+                "nbr_id": pd.Series(out_n, dtype="int64"),
+                "sim": pd.Series(out_s, dtype="int64"),
+            }
+        )
+
+    cand = (
+        ds.map_batches(expand, batch_format="pandas")
+        .groupby("cell")
+        .map_groups(local_knn, batch_format="pandas")
+    )
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__bucket"] = (
+            batch["vec_id"].to_numpy(np.int64) % np.int64(n_buckets)
+        ).astype("int64")
+        return batch
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["vec_id", "nbr_id"]).sort_values(
+            ["vec_id", "sim", "nbr_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return (
+            g.groupby("vec_id", as_index=False, sort=False)
+            .head(k)[["vec_id", "nbr_id", "sim"]]
+            .reset_index(drop=True)
+        )
+
+    return (
+        cand.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(merge_topk, batch_format="pandas")
+    )

@@ -1321,6 +1321,69 @@ def q_emb_knn_ivf_recall(sf_dir: str):
     return pd.DataFrame(rows).astype("int64")
 
 
+def q_emb_knn_graph(sf_dir: str):
+    """EXACT k=5 neighbor graph over the whole embedding table — the
+    self-join substrate of SemDeDup / cluster-pruning curation.
+    Similarity = int64 dot product of uint8 scalar-quantized codes (the
+    emb_int8_quantize transform), so ranking is bit-deterministic and
+    the DuckDB self-join oracle matches exactly. Scale shape: one d-row
+    stats combiner + one uint8 code-matrix broadcast + an
+    embarrassingly parallel per-batch matmul (the documented <= 200k
+    small-tier baseline; the corpus path is emb_knn_graph_ivf)."""
+    from .ann import knn_graph_exact
+
+    return knn_graph_exact(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), k=5
+    )
+
+
+def q_emb_knn_graph_ivf(sf_dir: str):
+    """IVF-bucketed approximate kNN graph (corpus-scale path): members in
+    their nearest coarse cell, queries probe nprobe=4 of 8 cells, local
+    top-k inside each cell group, bucketed per-vector candidate merge.
+    Rows-only by nature (approximate); edge quality is gated by
+    emb_knn_graph_recall."""
+    from .ann import knn_graph_ivf
+
+    return knn_graph_ivf(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), k=5
+    )
+
+
+def q_emb_knn_graph_recall(sf_dir: str):
+    """Per-vector IVF-graph recall vs the exact graph, BOTH computed
+    in-engine: n_overlap = |ivf top-5 ∩ exact top-5| per vector plus the
+    corpus mean scaled to e3 (one summary row with vec_id = -1). The
+    driver records the VALUES; the floor (mean recall >= 0.5 on the
+    UNIFORM test embeddings — the ANN worst case, no cluster structure
+    for the coarse quantizer to exploit; measured 0.579-0.598 at
+    nprobe=4 of 8 cells across sf0.001/0.01/0.1) is asserted in
+    tests/test_ann_pca.py. Validation gate —
+    edge lists gather to the driver CAPPED the way the agreement gates
+    do (n*k rows, bounded by the exact baseline's 200k-vector cap)."""
+    from .ann import knn_graph_exact, knn_graph_ivf
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    exact = knn_graph_exact(emb, k=5).to_pandas()
+    ivf = knn_graph_ivf(emb, k=5).to_pandas()
+    ex = exact.groupby("vec_id")["nbr_id"].agg(set)
+    iv = ivf.groupby("vec_id")["nbr_id"].agg(set)
+    rows = []
+    for vid, nbrs in ex.items():
+        got = iv.get(vid, set())
+        rows.append(
+            {"vec_id": int(vid), "n_overlap": len(nbrs & got), "k": 5}
+        )
+    out = pd.DataFrame(rows).astype("int64")
+    mean_e3 = int(
+        round(out["n_overlap"].sum() * 1000 / (len(out) * 5))
+    )
+    summary = pd.DataFrame(
+        {"vec_id": [-1], "n_overlap": [mean_e3], "k": [5]}
+    ).astype("int64")
+    return pd.concat([out, summary], ignore_index=True)
+
+
 def q_emb_pca_project(sf_dir: str):
     """Distributed PCA (moment-tree fit + broadcast projection) — the
     dimensionality-reduction preprocessing step of a large-scale ANN
@@ -8777,6 +8840,9 @@ QUERIES = {
     "emb_semdedup_agreement": q_emb_semdedup_agreement,
     "emb_label_counts": q_emb_label_counts,
     "emb_int8_quantize": q_emb_int8_quantize,
+    "emb_knn_graph": q_emb_knn_graph,
+    "emb_knn_graph_ivf": q_emb_knn_graph_ivf,
+    "emb_knn_graph_recall": q_emb_knn_graph_recall,
     "emb_pq_codes": q_emb_pq_codes,
     "emb_pq_agreement": q_emb_pq_agreement,
     "emb_pq_adc_recall": q_emb_pq_adc_recall,
@@ -9401,6 +9467,34 @@ ORACLE_SQL = {
     # scalar quantization: FLOAT->DOUBLE casts are exact, and the code
     # expression runs the same IEEE float64 op order as the numpy kernel
     # ((x-mn)*255.0)/(mx-mn), so md5 over the code string is bit-exact.
+    "emb_knn_graph": """
+        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        x AS (
+          SELECT vec_id, i, embedding[i] AS v
+          FROM e, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+        ),
+        d AS (SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM x GROUP BY i),
+        c AS (
+          SELECT vec_id, i,
+                 CASE WHEN mx = mn THEN 0
+                      ELSE CAST(floor(((CAST(v AS DOUBLE) - CAST(mn AS DOUBLE)) * 255.0)
+                                      / (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE))) AS BIGINT)
+                 END AS code
+          FROM x JOIN d USING (i)
+        ),
+        s AS (
+          SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+                 CAST(SUM(a.code * b.code) AS BIGINT) AS sim
+          FROM c a JOIN c b ON a.i = b.i AND a.vec_id <> b.vec_id
+          GROUP BY a.vec_id, b.vec_id
+        ),
+        r AS (
+          SELECT vec_id, nbr_id, sim,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id ASC) AS rn
+          FROM s
+        )
+        SELECT vec_id, nbr_id, sim FROM r WHERE rn <= 5
+    """,
     "emb_int8_quantize": """
         WITH e AS (SELECT vec_id, embedding FROM embeddings),
         x AS (

@@ -152,3 +152,79 @@ def test_semdedup_prune_planted(ray_session):
     ids = np.array([10, 11, 12])
     keep = _semdedup_keep(mat, ids)
     assert keep.tolist() == [True, False, False]
+
+
+def test_knn_graph_exact_planted(ray_session):
+    """Planted structure: two tight pairs and noise — each planted vector's
+    nearest neighbor (by quantized dot product) must be its partner; the
+    graph has exactly k rows per vector with deterministic tiebreaks."""
+    import numpy as np
+    import ray.data
+
+    from rayxtract.ann import knn_graph_exact
+
+    rng = np.random.default_rng(7)
+    rows = []
+    a = np.abs(rng.normal(size=64)) + 2.0  # large positive => dominant dot
+    b = -(np.abs(rng.normal(size=64)) + 2.0)
+    rows.append({"vec_id": 1, "embedding": a})
+    rows.append({"vec_id": 2, "embedding": a * 1.001})
+    rows.append({"vec_id": 3, "embedding": b})
+    rows.append({"vec_id": 4, "embedding": b * 1.001})
+    for i in range(30):
+        rows.append({"vec_id": 100 + i, "embedding": rng.normal(size=64) * 0.1})
+    out = knn_graph_exact(ray.data.from_items(rows), k=3).to_pandas()
+    assert (out.groupby("vec_id").size() == 3).all()
+    top = (
+        out.sort_values(["vec_id", "sim", "nbr_id"], ascending=[True, False, True])
+        .groupby("vec_id")
+        .head(1)
+        .set_index("vec_id")["nbr_id"]
+    )
+    assert top.loc[1] == 2 and top.loc[2] == 1
+    # the exact graph matches a dense numpy replay on the same codes
+    from rayxtract.ann import _dim_minmax, _quantize_u8
+
+    ds = ray.data.from_items(rows)
+    mn, mx = _dim_minmax(ds)
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    codes = _quantize_u8(np.stack([r["embedding"] for r in rows]), mn, mx)
+    sims = codes @ codes.T
+    for i, vid in enumerate(ids):
+        mask = ids != vid
+        order = np.lexsort((ids[mask], -sims[i][mask]))[:3]
+        exp = ids[mask][order]
+        got = (
+            out[out["vec_id"] == vid]
+            .sort_values(["sim", "nbr_id"], ascending=[False, True])["nbr_id"]
+            .to_numpy()
+        )
+        np.testing.assert_array_equal(got, exp)
+
+
+def test_knn_graph_exact_cap(ray_session):
+    import numpy as np
+    import pytest
+    import ray.data
+
+    from rayxtract.ann import knn_graph_exact
+
+    rng = np.random.default_rng(3)
+    rows = [{"vec_id": i, "embedding": rng.normal(size=8)} for i in range(20)]
+    with pytest.raises(ValueError, match="baseline"):
+        knn_graph_exact(ray.data.from_items(rows), k=2, cap=10)
+
+
+def test_knn_graph_ivf_recall_floor(ray_session):
+    """The in-engine gate: mean IVF-graph recall >= 0.5 on the uniform
+    sf0.001 embeddings (measured 0.579-0.598 at nprobe=4 across tiers —
+    uniform vectors are the ANN worst case), and the summary row carries
+    the mean."""
+    from rayxtract.queries import QUERIES
+
+    df = QUERIES["emb_knn_graph_recall"]("/root/testdata/sf0.001")
+    mean_e3 = int(df.loc[df["vec_id"] == -1, "n_overlap"].iloc[0])
+    assert mean_e3 >= 500, f"IVF graph recall {mean_e3}/1000 below floor"
+    per = df[df["vec_id"] != -1]
+    assert (per["k"] == 5).all()
+    assert per["n_overlap"].between(0, 5).all()
