@@ -7642,6 +7642,72 @@ def q_doc_hash_classifier(sf_dir: str):
     )
 
 
+def q_doc_temperature_sample(sf_dir: str):
+    """Temperature-based domain resampling (the alpha=0.5 mixture recipe
+    of the GPT-3 / LLaMA data pipelines: upsample small domains, damp
+    dominant ones — domain = lang here). Per-lang token totals T_l from
+    a 5-row combiner tree; the token budget B = R//2 splits
+    proportionally to floor(sqrt(T_l)) (alpha=0.5 as EXACT integer
+    sqrt; DuckDB's floor(sqrt(double)) agrees with math.isqrt for any
+    T < ~2^40 since sqrt is correctly rounded and a non-square's root
+    sits >> 1 ulp from an integer); each doc keeps iff its md5(text)
+    32-bit hash < floor(2^32 * quota_l / T_l) — a DETERMINISTIC
+    hash-thresholded Bernoulli, so the kept SET is exact and
+    SQL-mirrorable while the kept token COUNT is binomial around the
+    quota (how production pipelines implement fractional sampling
+    without a rank exchange). Scale shape: one bounded combiner + a
+    stateless filter — zero corpus-sized exchanges."""
+    import math
+
+    from .agg import tree_aggregate
+
+    def tok_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        nt = np.fromiter(
+            (len(t.split()) for t in batch["text"]),
+            dtype=np.int64,
+            count=len(batch),
+        )
+        return (
+            pd.DataFrame({"lang": batch["lang"].values, "t": nt})
+            .groupby("lang", as_index=False)["t"]
+            .sum()
+        )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    lt = tree_aggregate(
+        docs.map_batches(tok_partial, batch_format="pandas"),
+        keys=["lang"],
+        aggs={"t": ("t", "sum")},
+    ).to_pandas()
+    T = {str(r["lang"]): int(r["t"]) for _, r in lt.iterrows()}
+    R = sum(T.values())
+    S = sum(math.isqrt(t) for t in T.values())
+    B = R // 2
+    thr = {}
+    for lang, t in T.items():
+        quota = (B * math.isqrt(t)) // S
+        thr[lang] = (1 << 32) if quota >= t else ((1 << 32) * quota) // t
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _hl
+
+        h = np.fromiter(
+            (
+                int(_hl.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+                for t in batch["text"]
+            ),
+            dtype=np.int64,
+            count=len(batch),
+        )
+        lim = np.fromiter(
+            (thr[l] for l in batch["lang"]), dtype=np.int64, count=len(batch)
+        )
+        m = h < lim
+        return batch.loc[m, ["doc_id", "lang"]]
+
+    return docs.map_batches(keep, batch_format="pandas")
+
+
 def q_doc_dsir_select(sf_dir: str):
     """DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169):
     select raw documents whose hashed-feature profile looks like the
@@ -8874,6 +8940,7 @@ QUERIES = {
     "doc_dup_spans": q_doc_dup_spans,
     "doc_hash_classifier": q_doc_hash_classifier,
     "doc_dsir_select": q_doc_dsir_select,
+    "doc_temperature_sample": q_doc_temperature_sample,
     "cust_with_orders": q_cust_with_orders,
     "doc_incremental_dedup": q_doc_incremental_dedup,
     "doc_len_rank": q_doc_len_rank,
@@ -10342,6 +10409,33 @@ ORACLE_SQL = {
         )
         SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens, CAST(score AS BIGINT) AS score
         FROM scored ORDER BY score DESC, doc_id LIMIT 20
+    """,
+    "doc_temperature_sample": r"""
+        WITH tc AS (
+          SELECT doc_id, lang,
+                 CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS nt,
+                 CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS h
+          FROM documents
+        ), lt AS (
+          SELECT lang, CAST(SUM(nt) AS HUGEINT) AS t FROM tc GROUP BY lang
+        ), s AS (
+          SELECT lang, t,
+                 CAST(floor(sqrt(CAST(t AS DOUBLE))) AS HUGEINT) AS rt
+          FROM lt
+        ), tot AS (
+          SELECT SUM(t) AS R, SUM(rt) AS S FROM s
+        ), q AS (
+          SELECT lang, t, ((R // 2) * rt) // S AS quota FROM s, tot
+        ), thr AS (
+          SELECT lang,
+                 CASE WHEN quota >= t THEN CAST(4294967296 AS HUGEINT)
+                      ELSE (CAST(4294967296 AS HUGEINT) * quota) // t
+                 END AS lim
+          FROM q
+        )
+        SELECT tc.doc_id, tc.lang
+        FROM tc JOIN thr USING (lang)
+        WHERE CAST(tc.h AS HUGEINT) < thr.lim
     """,
     "doc_dsir_select": r"""
         WITH tok AS (
