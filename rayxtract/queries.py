@@ -1384,6 +1384,134 @@ def q_emb_knn_graph_recall(sf_dir: str):
     return pd.concat([out, summary], ignore_index=True)
 
 
+def q_emb_cluster_sample(sf_dir: str):
+    """Cluster-balanced diversity sampling (the per-cluster uniform-quota
+    selection SemDeDup/DataComp-style curation runs after clustering:
+    every region of the embedding space contributes the SAME number of
+    kept vectors, so sparse regions are upsampled relative to density).
+    k-means k=8 cells (the deterministic distributed Lloyd kernel, gated
+    by emb_kmeans_agreement), per-cell member counts from an 8-row
+    combiner, per-cell quota = (n//4)//8, each member kept iff its
+    md5(vec_id) 32-bit hash < floor(2^32 * quota / n_cell) — the same
+    deterministic hash-thresholded Bernoulli as doc_temperature_sample
+    (exact SET, binomial count, no rank exchange). Output
+    (vec_id, cluster) for kept vectors. Rows-only (k-means cells are not
+    SQL-expressible); the selection mechanics are replay-gated by
+    emb_cluster_sample_agreement and the balance property is
+    unit-tested."""
+    from .agg import tree_aggregate
+    from .ann import kmeans_assign, kmeans_fit
+
+    emb = _emb_spilled(sf_dir)
+    cents, _ = kmeans_fit(emb, k=8, n_iter=8, seed=13, pin=False)
+    assign = kmeans_assign(emb, cents).drop_columns(["dist2"])
+    counts = tree_aggregate(
+        assign, keys=["cluster"], aggs={"n": ("vec_id", "count")}
+    ).to_pandas()
+    n_cell = {int(r["cluster"]): int(r["n"]) for _, r in counts.iterrows()}
+    n = sum(n_cell.values())
+    quota = (n // 4) // 8
+    thr = {
+        c: (1 << 32) if quota >= m else ((1 << 32) * quota) // m
+        for c, m in n_cell.items()
+    }
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _hl
+
+        h = np.fromiter(
+            (
+                int(_hl.md5(str(int(v)).encode()).hexdigest()[:8], 16)
+                for v in batch["vec_id"]
+            ),
+            dtype=np.int64,
+            count=len(batch),
+        )
+        lim = np.fromiter(
+            (thr[int(c)] for c in batch["cluster"]),
+            dtype=np.int64,
+            count=len(batch),
+        )
+        return batch.loc[h < lim, ["vec_id", "cluster"]]
+
+    return assign.map_batches(keep, batch_format="pandas")
+
+
+def q_emb_cluster_sample_agreement(sf_dir: str):
+    """Replay gate for the cluster-balanced sampler: the distributed keep
+    set on a capped slice must EXACTLY equal a driver-side dense replay
+    of the same rule (dense assignment from the same deterministic init
+    via kmeans_reference, same quota thresholds, same hashes) — catches
+    partition-dependent selection bugs the way the other *_agreement
+    gates do. Constant COUNT oracle."""
+    import hashlib as _hl
+
+    from .ann import _kmeans_init, kmeans_reference
+
+    emb, _n, capped = _gate_slice(_emb_spilled(sf_dir), "vec_id")
+    # distributed side, restricted to the slice for apples-to-apples
+    from .agg import tree_aggregate
+    from .ann import kmeans_assign, kmeans_fit
+
+    cents_d, _ = kmeans_fit(emb, k=8, n_iter=8, seed=13, pin=capped)
+    assign_d = kmeans_assign(emb, cents_d).to_pandas().sort_values("vec_id")
+    counts = assign_d.groupby("cluster").size().to_dict()
+    n = len(assign_d)
+    quota = (n // 4) // 8
+    thr = {
+        c: (1 << 32) if quota >= m else ((1 << 32) * quota) // m
+        for c, m in counts.items()
+    }
+    h = np.array(
+        [
+            int(_hl.md5(str(int(v)).encode()).hexdigest()[:8], 16)
+            for v in assign_d["vec_id"]
+        ],
+        dtype=np.int64,
+    )
+    lim_d = np.array(
+        [thr[int(c)] for c in assign_d["cluster"]], dtype=np.int64
+    )
+    keep_d = h < lim_d
+
+    # dense replay from the same deterministic init
+    pdf = emb.to_pandas().sort_values("vec_id")
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    init = _kmeans_init(emb, 8, 13, "vec_id", "embedding")
+    cents_r, _ = kmeans_reference(mat, init, n_iter=8)
+    d2 = (
+        (mat * mat).sum(axis=1)[:, None]
+        - 2.0 * (mat @ cents_r.T)
+        + (cents_r * cents_r).sum(axis=1)[None, :]
+    )
+    a_r = np.argmin(d2, axis=1)
+    counts_r: dict = {}
+    for c in a_r:
+        counts_r[int(c)] = counts_r.get(int(c), 0) + 1
+    thr_r = {
+        c: (1 << 32) if quota >= m else ((1 << 32) * quota) // m
+        for c, m in counts_r.items()
+    }
+    lim_r = np.array([thr_r[int(c)] for c in a_r], dtype=np.int64)
+    keep_r = h < lim_r
+    # same boundary-tie tolerance as emb_kmeans_agreement: a vector ON a
+    # numerical cluster boundary may legitimately flip cells between the
+    # tree-summed and dense kernels; its keep decision then differs only
+    # via the two cells' thresholds — count it as agreeing.
+    rows = np.arange(len(mat))
+    a_dd = assign_d["cluster"].to_numpy()
+    tie = np.abs(d2[rows, a_dd] - d2[rows, a_r]) <= 1e-9 * (
+        1.0 + np.abs(d2[rows, a_r])
+    )
+    n_agree = int(((keep_d == keep_r) | tie).sum())
+    return pd.DataFrame(
+        {
+            "n_vecs": pd.Series([n], dtype="int64"),
+            "n_agree": pd.Series([n_agree], dtype="int64"),
+        }
+    )
+
+
 def q_emb_pca_project(sf_dir: str):
     """Distributed PCA (moment-tree fit + broadcast projection) — the
     dimensionality-reduction preprocessing step of a large-scale ANN
@@ -8907,6 +9035,8 @@ QUERIES = {
     "emb_label_counts": q_emb_label_counts,
     "emb_int8_quantize": q_emb_int8_quantize,
     "emb_knn_graph": q_emb_knn_graph,
+    "emb_cluster_sample": q_emb_cluster_sample,
+    "emb_cluster_sample_agreement": q_emb_cluster_sample_agreement,
     "emb_knn_graph_ivf": q_emb_knn_graph_ivf,
     "emb_knn_graph_recall": q_emb_knn_graph_recall,
     "emb_pq_codes": q_emb_pq_codes,
@@ -9022,6 +9152,11 @@ ORACLE_SQL = {
     # fixpoint self-gates (VERDICT r3 next #4): the query computes an
     # integer engine-vs-reference agreement; the oracle demands totality
     "emb_kmeans_agreement": """
+        SELECT CAST(LEAST(COUNT(*), 20000) AS BIGINT) AS n_vecs,
+               CAST(LEAST(COUNT(*), 20000) AS BIGINT) AS n_agree
+        FROM embeddings
+    """,
+    "emb_cluster_sample_agreement": """
         SELECT CAST(LEAST(COUNT(*), 20000) AS BIGINT) AS n_vecs,
                CAST(LEAST(COUNT(*), 20000) AS BIGINT) AS n_agree
         FROM embeddings

@@ -228,3 +228,22 @@ def test_knn_graph_ivf_recall_floor(ray_session):
     per = df[df["vec_id"] != -1]
     assert (per["k"] == 5).all()
     assert per["n_overlap"].between(0, 5).all()
+
+
+def test_cluster_sample_balance(ray_session):
+    """Cluster-balanced sampler: every cell keeps a count binomial around
+    the uniform quota (exact-set determinism is gated by
+    emb_cluster_sample_agreement; here we pin the balance property and
+    determinism across runs)."""
+    from rayxtract.queries import QUERIES
+
+    df = QUERIES["emb_cluster_sample"]("/root/testdata/sf0.001").to_pandas()
+    per = df.groupby("cluster").size()
+    n = 500
+    quota = (n // 4) // 8  # 15
+    # binomial(n_cell, quota/n_cell): allow +-4 sigma-ish slack
+    assert per.between(quota - 12, quota + 12).all(), per.to_dict()
+    assert 0.15 <= len(df) / n <= 0.35
+    # deterministic: identical keep set on a second run
+    df2 = QUERIES["emb_cluster_sample"]("/root/testdata/sf0.001").to_pandas()
+    assert set(df["vec_id"]) == set(df2["vec_id"])
