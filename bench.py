@@ -70,6 +70,12 @@ BENCH_QUERIES = [
     "pages_cluster_layout",
     "pages_line_boilerplate",
     "doc_budget_select",
+    "doc_dsir_select",
+    "doc_temperature_sample",
+    "emb_knn_graph",
+    "emb_knn_graph_ivf",
+    "emb_cluster_sample",
+    "emb_semdedup_prune",
 ]
 
 
