@@ -123,6 +123,13 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--out", help="write result parquet here instead of printing")
     pq.add_argument("--limit", type=int, default=20, help="rows to print without --out")
     pq.add_argument("--list", action="store_true", help="list registered query names")
+    pq.add_argument(
+        "--stats",
+        action="store_true",
+        help="after running, print Ray Data per-stage execution stats to "
+             "stderr (wall time, blocks, rows per operator — the tuning "
+             "feedback loop for batch/concurrency sizing)",
+    )
 
     args = p.parse_args(argv)
     if args.cmd == "query":
@@ -219,13 +226,17 @@ def main(argv: list[str] | None = None) -> int:
             result.write_parquet(args.out)
             print(json.dumps({"query": args.name, "out": args.out}))
         else:
-            df = (
-                result.limit(args.limit).to_pandas()
-                if isinstance(result, ray.data.Dataset)
-                else result.head(args.limit)
-            )
+            if isinstance(result, ray.data.Dataset):
+                # keep the EXECUTED handle: .stats() reads the executed
+                # plan, and a fresh .limit() chain would report nothing
+                result = result.limit(args.limit)
+                df = result.to_pandas()
+            else:
+                df = result.head(args.limit)
             for row in json.loads(df.to_json(orient="records")):
                 print(json.dumps(row, ensure_ascii=False))
+        if args.stats and isinstance(result, ray.data.Dataset):
+            print(result.stats(), file=sys.stderr)
     return 0
 
 

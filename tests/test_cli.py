@@ -135,3 +135,14 @@ def test_cli_cluster(cli_out, capsys, tmp_path):
     # a point probe on the clustered layout opens exactly one shard
     some_url = zones["min_url"].iloc[0]
     assert len(prune(zones, url=some_url)) == 1
+
+
+def test_cli_query_stats_flag(capsys):
+    assert main(
+        ["query", "doc_token_counts", "--sf-dir", "/root/testdata/sf0.001",
+         "--limit", "2", "--stats"]
+    ) == 0
+    captured = capsys.readouterr()
+    rows = [json.loads(l) for l in captured.out.strip().splitlines()]
+    assert len(rows) == 2
+    assert "Operator" in captured.err  # per-stage execution stats printed
