@@ -137,6 +137,44 @@ def chunk_words(
     )
 
 
+def chunk_words_overlap(
+    batch: pd.DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+    stride: int = 48,
+) -> pd.DataFrame:
+    """Sliding-window chunking flat-map (the overlapping-window variant
+    RAG / embedding pipelines run so no passage is ever split across a
+    retrieval boundary): windows of ``window`` words every ``stride``
+    words (16-word overlap at the defaults). Window count is
+    1 if n <= window else ceil((n - window) / stride) + 1 — the final
+    window always reaches the document tail. Empty docs emit no rows."""
+    import math
+
+    ids, cids, nwords, digests = [], [], [], []
+    for did, text in zip(batch[id_col].values, batch[col].values):
+        words = text.split()
+        n = len(words)
+        if n == 0:
+            continue
+        n_win = 1 if n <= window else math.ceil((n - window) / stride) + 1
+        for c in range(n_win):
+            piece = words[c * stride : c * stride + window]
+            ids.append(did)
+            cids.append(c)
+            nwords.append(len(piece))
+            digests.append(hashlib.md5(" ".join(piece).encode("utf-8")).hexdigest())
+    return pd.DataFrame(
+        {
+            id_col: pd.Series(ids, dtype="int64"),
+            "chunk_id": pd.Series(cids, dtype="int64"),
+            "n_words_chunk": pd.Series(nwords, dtype="int64"),
+            "chunk_md5": pd.Series(digests, dtype="object"),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gopher quality rules (integer signals)
 

@@ -7038,6 +7038,18 @@ def q_doc_chunk(sf_dir: str):
     )
 
 
+def q_doc_chunk_overlap(sf_dir: str):
+    """Sliding-window chunking (window 64, stride 48 — 16-word overlap):
+    the RAG/embedding-pipeline variant of doc_chunk where consecutive
+    windows share a margin so no passage is split across a retrieval
+    boundary. Pure flat-map, zero exchanges."""
+    from .curation import chunk_words_overlap
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        chunk_words_overlap, batch_format="pandas"
+    )
+
+
 def q_doc_gopher_quality(sf_dir: str):
     """Gopher-rule integer quality signals + keep decision
     (arXiv:2112.11446 §A1.1)."""
@@ -9055,6 +9067,7 @@ QUERIES = {
     "doc_weighted_sample": q_doc_weighted_sample,
     "doc_canonical_urls": q_doc_canonical_urls,
     "doc_chunk": q_doc_chunk,
+    "doc_chunk_overlap": q_doc_chunk_overlap,
     "doc_gopher_quality": q_doc_gopher_quality,
     "doc_pii_redact": q_doc_pii_redact,
     "doc_pack_assign": q_doc_pack_assign,
@@ -10355,6 +10368,22 @@ ORACLE_SQL = {
         SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
                CAST(len(ws[CAST(cid * 64 + 1 AS BIGINT):CAST(LEAST((cid + 1) * 64, len(ws)) AS BIGINT)]) AS BIGINT) AS n_words_chunk,
                md5(array_to_string(ws[CAST(cid * 64 + 1 AS BIGINT):CAST(LEAST((cid + 1) * 64, len(ws)) AS BIGINT)], ' ')) AS chunk_md5
+        FROM c
+    """,
+    "doc_chunk_overlap": r"""
+        WITH w AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+          FROM documents
+        ), c AS (
+          SELECT doc_id, ws,
+                 unnest(range(0, CASE WHEN len(ws) <= 64 THEN 1
+                                      ELSE CAST(ceil((len(ws) - 64) / 48.0) AS BIGINT) + 1
+                                 END)) AS cid
+          FROM w WHERE len(ws) > 0
+        )
+        SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+               CAST(len(ws[CAST(cid * 48 + 1 AS BIGINT):CAST(LEAST(cid * 48 + 64, len(ws)) AS BIGINT)]) AS BIGINT) AS n_words_chunk,
+               md5(array_to_string(ws[CAST(cid * 48 + 1 AS BIGINT):CAST(LEAST(cid * 48 + 64, len(ws)) AS BIGINT)], ' ')) AS chunk_md5
         FROM c
     """,
     "doc_gopher_quality": r"""

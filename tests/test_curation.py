@@ -262,3 +262,26 @@ def test_dup_span_stats_join_path_equivalent():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_chunk_words_overlap_kernel():
+    import pandas as pd
+
+    from rayxtract.curation import chunk_words_overlap
+
+    words = [f"w{i}" for i in range(150)]
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [" ".join(words), "a b", ""]})
+    out = chunk_words_overlap(df)
+    # 150 words, window 64, stride 48: ceil((150-64)/48)+1 = 3 windows
+    d1 = out[out["doc_id"] == 1]
+    assert d1["chunk_id"].tolist() == [0, 1, 2]
+    assert d1["n_words_chunk"].tolist() == [64, 64, 150 - 96]
+    # adjacent windows overlap by window - stride = 16 words
+    import hashlib
+
+    exp0 = hashlib.md5(" ".join(words[0:64]).encode()).hexdigest()
+    exp1 = hashlib.md5(" ".join(words[48:112]).encode()).hexdigest()
+    assert d1["chunk_md5"].tolist()[:2] == [exp0, exp1]
+    # short doc: one ragged window; empty doc: no rows
+    assert out[out["doc_id"] == 2]["n_words_chunk"].tolist() == [2]
+    assert (out["doc_id"] == 3).sum() == 0
