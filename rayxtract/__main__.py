@@ -113,6 +113,19 @@ def main(argv: list[str] | None = None) -> int:
         help="range count (default: size-derived, ~64 MiB per range)",
     )
 
+    pn = sub.add_parser(
+        "neardup",
+        help="near-duplicate prune job: MinHash-LSH + exact n-gram verify "
+             "+ connected components over an extracted corpus; writes the "
+             "filtered corpus (min-id representative kept per cluster)",
+    )
+    pn.add_argument("--corpus", required=True, help="extracted corpus dir")
+    pn.add_argument("--dest", required=True, help="fresh output dir")
+    pn.add_argument(
+        "--verify-threshold", type=float, default=0.5,
+        help="exact word-3-gram Jaccard floor for a verified pair",
+    )
+
     pq = sub.add_parser(
         "query",
         help="run a registered analytics query (see `query --list`) over an "
@@ -210,6 +223,17 @@ def main(argv: list[str] | None = None) -> int:
         from .tools import cluster_by_url
 
         print(json.dumps(cluster_by_url(args.pages, args.dest, args.n_ranges)))
+    elif args.cmd == "neardup":
+        from .tools import neardup_prune
+
+        print(
+            json.dumps(
+                neardup_prune(
+                    args.corpus, args.dest,
+                    jaccard_verify=args.verify_threshold,
+                )
+            )
+        )
     elif args.cmd == "import":
         from .tools import import_jsonl
 

@@ -130,6 +130,26 @@ def _pandas_dtype_of(typ) -> str:
     return "object"
 
 
+def _int_nullable_mapper(t):
+    """pyarrow->pandas types_mapper: integer columns become NULLABLE Int64.
+
+    The default ``to_pandas`` converts an arrow int64 column WITH NULLS to
+    float64 — silently corrupting integer values above 2**53 (the 60-bit
+    url-hash doc ids of tools.neardup_prune hit this; every id <= ~1e15
+    is float-exact, which is why the TPC-H/pages oracles never saw it).
+    Joins route every pyarrow batch through this mapper so int columns
+    cross the exchange losslessly regardless of nulls."""
+    if pa.types.is_integer(t):
+        return pd.Int64Dtype()
+    return None
+
+
+def _to_pandas_lossless(tbl) -> pd.DataFrame:
+    if isinstance(tbl, pa.Table):
+        return tbl.to_pandas(types_mapper=_int_nullable_mapper)
+    return tbl
+
+
 def _null_for(dtype: str):
     if dtype == "float64":
         return np.nan
@@ -143,7 +163,17 @@ def _dtype_map(*datasets) -> dict[str, str]:
     for ds in datasets:
         schema = ds.schema()
         for name, typ in zip(schema.names, schema.types):
-            out.setdefault(name, _pandas_dtype_of(typ))
+            if typ is None:
+                # Ray reports None for pandas-extension-dtype columns it
+                # cannot express in its schema (e.g. a nullable Int64
+                # block column). The dtype is UNKNOWN here — record None
+                # and leave the column untouched downstream rather than
+                # guessing: np.dtype(None) is float64, and that guess
+                # silently corrupted integer keys above 2**53
+                # (tools.neardup_prune's 60-bit url-hash ids).
+                out.setdefault(name, None)
+            elif out.get(name) is None:
+                out[name] = _pandas_dtype_of(typ)
     return out
 
 
@@ -309,14 +339,16 @@ def bucketed_join(
     all_cols = left_cols + [c for c in right_cols if c not in left_cols]
 
     def prep(side: int, key: str):
-        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        def fn(tbl) -> pd.DataFrame:
+            batch = _to_pandas_lossless(tbl)
             b = batch.copy()
             for c in all_cols:
                 if c not in b.columns:
+                    dt = dtypes[c] if dtypes[c] is not None else "object"
                     b[c] = pd.Series(
-                        _null_for(dtypes[c]), index=b.index, dtype=dtypes[c]
+                        _null_for(dt), index=b.index, dtype=dt
                     )
-                else:
+                elif dtypes[c] is not None:
                     b[c] = b[c].astype(dtypes[c])
             keys = _key_ints(batch[key].to_numpy())
             if not len(hot_arr):
@@ -346,11 +378,12 @@ def bucketed_join(
 
         return fn
 
-    both = left.map_batches(prep(0, left_key), batch_format="pandas").union(
-        right.map_batches(prep(1, right_key), batch_format="pandas")
+    both = left.map_batches(prep(0, left_key), batch_format="pyarrow").union(
+        right.map_batches(prep(1, right_key), batch_format="pyarrow")
     )
 
-    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    def merge_bucket(tbl) -> pd.DataFrame:
+        group = _to_pandas_lossless(tbl)
         l = group[group["__side"] == 0][left_cols]
         r = group[group["__side"] == 1][right_cols]
         j = l.merge(r, left_on=left_key, right_on=right_key, how=how)
@@ -358,7 +391,7 @@ def bucketed_join(
             # unmatched right columns must keep their declared nullable
             # dtypes (a bucket with zero right rows can degrade them)
             for c in right_cols:
-                if c != right_key:
+                if c != right_key and dtypes[c] is not None:
                     j[c] = j[c].astype(dtypes[c])
         elif how in ("right", "outer"):
             # unmatched RIGHT rows have no left key value — coalesce it
@@ -366,10 +399,11 @@ def bucketed_join(
             if right_key != left_key:
                 j[left_key] = j[left_key].fillna(j[right_key])
             for c in out_cols:
-                j[c] = j[c].astype(dtypes[c])
+                if dtypes[c] is not None:
+                    j[c] = j[c].astype(dtypes[c])
         return j[out_cols]
 
-    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
 
 
 def asof_join(
@@ -396,10 +430,11 @@ def asof_join(
             b = batch.copy()
             for c in all_cols:
                 if c not in b.columns:
+                    dt = dtypes[c] if dtypes[c] is not None else "object"
                     b[c] = pd.Series(
-                        _null_for(dtypes[c]), index=b.index, dtype=dtypes[c]
+                        _null_for(dt), index=b.index, dtype=dt
                     )
-                else:
+                elif dtypes[c] is not None:
                     b[c] = b[c].astype(dtypes[c])
             b["__side"] = np.int8(side)
             return b[all_cols + ["__side"]]
@@ -420,12 +455,13 @@ def asof_join(
         if not len(l):
             out = l.copy()
             for c, rc in zip(right_value_cols, out_value_cols):
-                out[rc] = pd.Series(dtype=dtypes[c])
+                out[rc] = pd.Series(dtype=dtypes[c] or "object")
             return out
         if not len(r):
             out = l.copy()
             for c, rc in zip(right_value_cols, out_value_cols):
-                out[rc] = pd.Series(_null_for(dtypes[c]), index=out.index, dtype=dtypes[c])
+                dt = dtypes[c] or "object"
+                out[rc] = pd.Series(_null_for(dt), index=out.index, dtype=dt)
             return out
         return pd.merge_asof(l, r, on=ts_col, by=key, direction="backward")
 
@@ -490,10 +526,11 @@ def interval_join(
             misses = misses.copy()
             for c in right_cols:
                 if c != key:
-                    misses[c] = _null_for(dtypes[c])
+                    misses[c] = _null_for(dtypes[c] or "object")
             j = pd.concat([hits, misses]).drop(columns="__lrow")
         for c in out_cols:
-            j[c] = j[c].astype(dtypes[c])
+            if dtypes[c] is not None:
+                j[c] = j[c].astype(dtypes[c])
         return j[out_cols]
 
     intervals = intervals.materialize()
@@ -513,10 +550,11 @@ def interval_join(
             b = batch.copy()
             for c in all_cols:
                 if c not in b.columns:
+                    dt = dtypes[c] if dtypes[c] is not None else "object"
                     b[c] = pd.Series(
-                        _null_for(dtypes[c]), index=b.index, dtype=dtypes[c]
+                        _null_for(dt), index=b.index, dtype=dt
                     )
-                else:
+                elif dtypes[c] is not None:
                     b[c] = b[c].astype(dtypes[c])
             b["__bucket"] = _bucket_of_int(
                 _key_ints(batch[key].to_numpy()), n_buckets
@@ -592,7 +630,7 @@ def auto_join(
         )
         if stream_how == "left":  # typed nulls, same as the exchange path
             for c in right_cols:
-                if c != right_key:
+                if c != right_key and dtypes[c] is not None:
                     j[c] = j[c].astype(dtypes[c])
         return j[out_cols]
 
@@ -628,16 +666,19 @@ def auto_join(
         if c == left_key:
             continue
         residual[c] = pd.Series(
-            _null_for(dtypes[c]), index=residual.index, dtype=dtypes[c]
+            _null_for(dtypes[c] or "object"), index=residual.index,
+            dtype=dtypes[c] or "object" 
         )
     residual[left_key] = residual[right_key]
     residual = residual[out_cols]
     for c in out_cols:
-        residual[c] = residual[c].astype(dtypes[c])
+        if dtypes[c] is not None:
+            residual[c] = residual[c].astype(dtypes[c])
 
     def coerce(batch: pd.DataFrame) -> pd.DataFrame:
         for c in out_cols:
-            batch[c] = batch[c].astype(dtypes[c])
+            if dtypes[c] is not None:
+                batch[c] = batch[c].astype(dtypes[c])
         return batch[out_cols]
 
     streamed = streamed.map_batches(coerce, batch_format="pandas")

@@ -33,6 +33,7 @@ __all__ = [
     "import_jsonl",
     "compact_output",
     "cluster_by_url",
+    "neardup_prune",
 ]
 
 
@@ -395,4 +396,133 @@ def cluster_by_url(
         "rows": int(stats["n_rows"].sum()),
         "n_ranges": int(len(stats)),
         "files": int(len(stats)),
+    }
+
+
+def neardup_prune(
+    corpus_dir: str,
+    dest_dir: str,
+    jaccard_candidates: float = 0.35,
+    jaccard_verify: float = 0.5,
+    loser_vector_cap: int = 200_000_000,
+) -> dict:
+    """Near-duplicate PRUNE job over an extracted corpus dir — the fuzzy
+    twin of the flagship's exact url-dedup, packaged as a batch job:
+    MinHash-LSH candidates -> EXACT word-3-gram Jaccard verify ->
+    connected components -> keep the min-id representative per cluster ->
+    filtered corpus rewrite.
+
+    Phase 1 (the exchanges, all existing audited kernels —
+    neardup.minhash_candidate_pairs / ngram_jaccard_verify /
+    cluster_pairs): doc ids are the 60-bit md5(url) prefix
+    (deterministic, order-free); the id->url map never leaves its
+    batch. The LOSER ID VECTOR (one int64 per pruned doc — 8 B/doc,
+    bounded by the duplicate population, not the corpus) is the only
+    driver gather; it broadcasts once as a sorted numpy array via
+    ``ray.put`` (zero-copy shared memory per node) and each rewrite
+    batch filters via searchsorted. Above ``loser_vector_cap`` (1.6 GB
+    of ids) this raises rather than silently thrash — at that scale the
+    rewrite belongs on the flagship's shardmap spill mode.
+
+    Phase 2 (the rewrite): stream EVERY corpus column, drop loser urls,
+    publish via the compact_output tmp+rename discipline — a crash
+    mid-write leaves no half-published dest and a re-run restarts
+    cleanly.
+
+    Returns {"rows_in", "rows_kept", "n_losers", "n_clusters",
+    "n_pairs"}.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from .neardup import (
+        cluster_pairs,
+        minhash_candidate_pairs,
+        ngram_jaccard_verify,
+    )
+
+    if os.path.exists(dest_dir):
+        raise FileExistsError(
+            f"neardup_prune dest already exists: {dest_dir} "
+            "(remove it or prune to a fresh path)"
+        )
+
+    def _doc_id(url: str) -> int:
+        return int(hashlib.md5(url.encode("utf-8")).hexdigest()[:15], 16)
+
+    def with_ids(b: pd.DataFrame) -> pd.DataFrame:
+        ids = np.fromiter(
+            (_doc_id(u) for u in b["url"]), dtype=np.int64, count=len(b)
+        )
+        return pd.DataFrame(
+            {"doc_id": pd.Series(ids, dtype="int64"), "text": b["text"]}
+        )
+
+    docs = ray.data.read_parquet(
+        corpus_dir, columns=["url", "text"]
+    ).map_batches(with_ids, batch_format="pandas")
+
+    cands = minhash_candidate_pairs(docs, jaccard_threshold=jaccard_candidates)
+    verified = ngram_jaccard_verify(docs, cands, k=3, threshold=jaccard_verify)
+    if not isinstance(verified, pd.DataFrame):
+        verified = verified.to_pandas()  # bounded by the dup population
+    n_pairs = len(verified)
+    if n_pairs:
+        clusters = cluster_pairs(verified)
+        cl = (
+            clusters
+            if isinstance(clusters, pd.DataFrame)
+            else clusters.to_pandas()
+        )
+    else:
+        cl = pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "cluster": pd.Series(dtype="int64"),
+            }
+        )
+    losers = cl.loc[cl["doc_id"] != cl["cluster"], "doc_id"].to_numpy(np.int64)
+    if len(losers) > loser_vector_cap:
+        raise ValueError(
+            f"{len(losers)} losers exceed the broadcast-vector cap "
+            f"({loser_vector_cap}); use the flagship shardmap spill mode"
+        )
+    losers_sorted = np.sort(losers)
+    losers_ref = ray.put(losers_sorted)
+
+    def keep_batch(tbl):
+        # pyarrow end-to-end: the corpus carries list-typed columns
+        # (layout spans) that a pandas roundtrip can't re-encode, and
+        # the arrow filter is zero-copy for the kept rows anyway
+        lv = ray.get(losers_ref)
+        if len(lv) == 0 or tbl.num_rows == 0:
+            return tbl
+        urls = tbl.column("url").to_pylist()
+        ids = np.fromiter(
+            (_doc_id(u) for u in urls), dtype=np.int64, count=len(urls)
+        )
+        pos = np.searchsorted(lv, ids)
+        is_loser = (pos < len(lv)) & (lv[np.minimum(pos, len(lv) - 1)] == ids)
+        return tbl.filter(~is_loser)
+
+    full = ray.data.read_parquet(corpus_dir)
+    rows_in = int(full.count())
+    tmp = f"{dest_dir}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        full.map_batches(keep_batch, batch_format="pyarrow").write_parquet(tmp)
+        os.rename(tmp, dest_dir)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    rows_kept = int(ray.data.read_parquet(dest_dir, columns=["url"]).count())
+    return {
+        "rows_in": rows_in,
+        "rows_kept": rows_kept,
+        "n_losers": int(len(losers)),
+        "n_clusters": int(cl["cluster"].nunique()),
+        "n_pairs": n_pairs,
     }

@@ -153,3 +153,66 @@ def test_auto_join_right_outer_string_keys(ray_session, how):
         got.sort_values(key).reset_index(drop=True),
         ref.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_bucketed_join_large_int_keys_lossless(ray_session):
+    """Regression: ids above 2**53 must survive the exchange exactly.
+
+    Two historical corruption paths: (1) Ray reports schema type None for
+    pandas-extension (Int64) block columns and np.dtype(None) is float64
+    — the prep astype then destroyed the low bits; (2) the default
+    arrow->pandas conversion of an int64-with-nulls column (the filler
+    NAs every join union carries) yields float64 inside map_groups.
+    Both bit the 60-bit url-hash doc ids of tools.neardup_prune."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from rayxtract.joins import bucketed_join
+
+    big = [2**60 + 7, 2**60 + 8, 2**60 + 9]
+    L = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "k": pd.Series(big, dtype="int64"),
+                "lv": pd.Series([1, 2, 3], dtype="int64"),
+            }
+        )
+    )
+    R = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "rk": pd.Series([big[0], big[2], 5], dtype="int64"),
+                "rv": ["a", "c", "z"],
+            }
+        )
+    )
+    out = (
+        bucketed_join(L, R, "k", "rk", how="inner")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].astype("int64").tolist() == [big[0], big[2]]
+    assert out["rv"].tolist() == ["a", "c"]
+    # left join: unmatched rows keep EXACT keys alongside typed nulls
+    lo = (
+        bucketed_join(L, R, "k", "rk", how="left")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert lo["k"].astype("int64").tolist() == big
+    assert lo["rv"].isna().tolist() == [False, True, False]
+    # nullable-Int64 left input (what a chained join emits) joins by VALUE
+    L2 = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "k": pd.array([big[0]], dtype="Int64"),
+                "lv": pd.array([10], dtype="Int64"),
+            }
+        )
+    )
+    out2 = bucketed_join(L2, R, "k", "rk").to_pandas()
+    assert out2["k"].astype("int64").tolist() == [big[0]]
+    assert out2["rv"].tolist() == ["a"]
