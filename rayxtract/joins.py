@@ -426,7 +426,8 @@ def asof_join(
     out_value_cols = [c + suffix for c in right_value_cols]
 
     def prep(side: int):
-        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        def fn(tbl) -> pd.DataFrame:
+            batch = _to_pandas_lossless(tbl)
             b = batch.copy()
             for c in all_cols:
                 if c not in b.columns:
@@ -441,11 +442,12 @@ def asof_join(
 
         return fn
 
-    both = left.map_batches(prep(0), batch_format="pandas").union(
-        right.map_batches(prep(1), batch_format="pandas")
+    both = left.map_batches(prep(0), batch_format="pyarrow").union(
+        right.map_batches(prep(1), batch_format="pyarrow")
     )
 
-    def merge_group(group: pd.DataFrame) -> pd.DataFrame:
+    def merge_group(tbl) -> pd.DataFrame:
+        group = _to_pandas_lossless(tbl)
         l = group[group["__side"] == 0][l_cols].sort_values(ts_col, kind="mergesort")
         r = (
             group[group["__side"] == 1][[key, ts_col] + right_value_cols]
@@ -465,7 +467,7 @@ def asof_join(
             return out
         return pd.merge_asof(l, r, on=ts_col, by=key, direction="backward")
 
-    return both.groupby(key).map_groups(merge_group, batch_format="pandas")
+    return both.groupby(key).map_groups(merge_group, batch_format="pyarrow")
 
 
 def interval_join(
@@ -546,7 +548,8 @@ def interval_join(
         return left.map_batches(merge, batch_format="pandas")
 
     def prep(side: int):
-        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        def fn(tbl) -> pd.DataFrame:
+            batch = _to_pandas_lossless(tbl)
             b = batch.copy()
             for c in all_cols:
                 if c not in b.columns:
@@ -564,17 +567,18 @@ def interval_join(
 
         return fn
 
-    both = left.map_batches(prep(0), batch_format="pandas").union(
-        intervals.map_batches(prep(1), batch_format="pandas")
+    both = left.map_batches(prep(0), batch_format="pyarrow").union(
+        intervals.map_batches(prep(1), batch_format="pyarrow")
     )
 
-    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    def merge_bucket(tbl) -> pd.DataFrame:
+        group = _to_pandas_lossless(tbl)
         l = group[group["__side"] == 0][left_cols].reset_index(drop=True)
         r = group[group["__side"] == 1][right_cols]
         return range_merge(l, r)
 
     return both.groupby("__bucket").map_groups(
-        merge_bucket, batch_format="pandas"
+        merge_bucket, batch_format="pyarrow"
     )
 
 

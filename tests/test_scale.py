@@ -216,3 +216,44 @@ def test_bucketed_join_large_int_keys_lossless(ray_session):
     out2 = bucketed_join(L2, R, "k", "rk").to_pandas()
     assert out2["k"].astype("int64").tolist() == [big[0]]
     assert out2["rv"].tolist() == ["a"]
+
+
+def test_asof_join_large_int_keys_lossless(ray_session):
+    """Same 2**53 regression for the as-of exchange."""
+    import pandas as pd
+    import ray.data
+
+    from rayxtract.joins import asof_join
+
+    big = 2**60 + 3
+    L = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "k": pd.Series([big, big], dtype="int64"),
+                "ts": pd.to_datetime(["2026-01-02", "2026-01-04"]).astype(
+                    "datetime64[us]"
+                ),
+                "lv": pd.Series([2**60 + 11, 2**60 + 12], dtype="int64"),
+            }
+        )
+    )
+    R = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "k": pd.Series([big], dtype="int64"),
+                "ts": pd.to_datetime(["2026-01-03"]).astype("datetime64[us]"),
+                "rv": pd.Series([2**60 + 99], dtype="int64"),
+            }
+        )
+    )
+    out = (
+        asof_join(L, R, "k", "ts", ["rv"])
+        .to_pandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert out["k"].astype("int64").tolist() == [big, big]
+    assert out["lv"].astype("int64").tolist() == [2**60 + 11, 2**60 + 12]
+    # first row predates the right ts -> null; second gets the EXACT value
+    assert pd.isna(out["rv_r"].iloc[0])
+    assert int(out["rv_r"].iloc[1]) == 2**60 + 99
