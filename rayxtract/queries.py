@@ -1384,6 +1384,49 @@ def q_emb_knn_graph_recall(sf_dir: str):
     return pd.concat([out, summary], ignore_index=True)
 
 
+def q_emb_knn_mutual(sf_dir: str):
+    """Mutual-kNN degree per vector: how many of a vector's top-5
+    neighbors ALSO list it in their own top-5 (the reciprocal-neighbor
+    density signal mutual-kNN clustering and outlier pruning build on —
+    a low mutual count marks a vector in a sparse region). Edges from
+    the integer-exact kNN graph; the reciprocity join runs distributed
+    as a bucketed self-join on the composite "a:b" string key (string
+    keys first-class in the exchange), then a count combiner per
+    vector. Output (vec_id, n_mutual) for vectors with >= 1 mutual
+    edge; DuckDB mirrors with a reversed-pair self-join over the same
+    graph CTE."""
+    from .agg import tree_aggregate
+    from .ann import knn_graph_exact
+    from .joins import bucketed_join
+
+    g = knn_graph_exact(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), k=5
+    ).materialize()  # n*k edge rows; consumed twice below
+
+    def fwd(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": b["vec_id"].astype(str) + ":" + b["nbr_id"].astype(str),
+                "vec_id": b["vec_id"].astype("int64"),
+            }
+        )
+
+    def rev(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"k": b["nbr_id"].astype(str) + ":" + b["vec_id"].astype(str)}
+        )
+
+    mutual = bucketed_join(
+        g.map_batches(fwd, batch_format="pandas"),
+        g.map_batches(rev, batch_format="pandas"),
+        "k",
+        "k",
+    )
+    return tree_aggregate(
+        mutual, keys=["vec_id"], aggs={"n_mutual": ("vec_id", "count")}
+    )
+
+
 def q_emb_cluster_sample(sf_dir: str):
     """Cluster-balanced diversity sampling (the per-cluster uniform-quota
     selection SemDeDup/DataComp-style curation runs after clustering:
@@ -9047,6 +9090,7 @@ QUERIES = {
     "emb_label_counts": q_emb_label_counts,
     "emb_int8_quantize": q_emb_int8_quantize,
     "emb_knn_graph": q_emb_knn_graph,
+    "emb_knn_mutual": q_emb_knn_mutual,
     "emb_cluster_sample": q_emb_cluster_sample,
     "emb_cluster_sample_agreement": q_emb_cluster_sample_agreement,
     "emb_knn_graph_ivf": q_emb_knn_graph_ivf,
@@ -9709,6 +9753,38 @@ ORACLE_SQL = {
           FROM s
         )
         SELECT vec_id, nbr_id, sim FROM r WHERE rn <= 5
+    """,
+    "emb_knn_mutual": """
+        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        x AS (
+          SELECT vec_id, i, embedding[i] AS v
+          FROM e, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+        ),
+        d AS (SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM x GROUP BY i),
+        c AS (
+          SELECT vec_id, i,
+                 CASE WHEN mx = mn THEN 0
+                      ELSE CAST(floor(((CAST(v AS DOUBLE) - CAST(mn AS DOUBLE)) * 255.0)
+                                      / (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE))) AS BIGINT)
+                 END AS code
+          FROM x JOIN d USING (i)
+        ),
+        s AS (
+          SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+                 CAST(SUM(a.code * b.code) AS BIGINT) AS sim
+          FROM c a JOIN c b ON a.i = b.i AND a.vec_id <> b.vec_id
+          GROUP BY a.vec_id, b.vec_id
+        ),
+        r AS (
+          SELECT vec_id, nbr_id FROM (
+            SELECT vec_id, nbr_id,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id ASC) AS rn
+            FROM s
+          ) WHERE rn <= 5
+        )
+        SELECT a.vec_id, CAST(COUNT(*) AS BIGINT) AS n_mutual
+        FROM r a JOIN r b ON a.vec_id = b.nbr_id AND a.nbr_id = b.vec_id
+        GROUP BY a.vec_id
     """,
     "emb_int8_quantize": """
         WITH e AS (SELECT vec_id, embedding FROM embeddings),
