@@ -365,31 +365,37 @@ def dsir_bucket_counts_batch(
     batch: pd.DataFrame, col: str = "text", tgt_col: str = "lang", tgt_val: str = "en"
 ) -> pd.DataFrame:
     """DSIR pass-1 combiner partial: (bucket, raw_n, tgt_n) token counts for
-    one batch — at most 256 rows out regardless of batch size."""
-    raw = np.zeros(_DSIR_BUCKETS, dtype=np.int64)
-    tgt = np.zeros(_DSIR_BUCKETS, dtype=np.int64)
-    is_tgt = (batch[tgt_col] == tgt_val).values
-    memo: dict[str, int] = {}
-    for text, t in zip(batch[col].values, is_tgt):
-        ws = text.split()
-        if not ws:
-            continue
-        codes, uniq = pd.factorize(np.array(ws, dtype=object))
-        ub = np.fromiter(
-            (memo[w] if w in memo else memo.setdefault(w, _dsir_bucket(w)) for w in uniq),
-            dtype=np.int64,
-            count=len(uniq),
+    one batch — at most 256 rows out regardless of batch size. One flat
+    factorize over the whole batch (each unique word pays ONE md5), then
+    two bincounts; the target counts reuse the same flat bucket stream
+    masked by the per-doc target flag."""
+    toks_per_doc = [t.split() for t in batch[col].values]
+    flat = [w for ws in toks_per_doc for w in ws]
+    if not flat:
+        return pd.DataFrame(
+            {
+                "bucket": pd.Series(dtype="int64"),
+                "raw_n": pd.Series(dtype="int64"),
+                "tgt_n": pd.Series(dtype="int64"),
+            }
         )
-        cnt = np.bincount(ub[codes], minlength=_DSIR_BUCKETS)
-        raw += cnt
-        if t:
-            tgt += cnt
+    codes, uniq = pd.factorize(np.array(flat, dtype=object))
+    ub = np.fromiter(
+        (_dsir_bucket(w) for w in uniq), dtype=np.int64, count=len(uniq)
+    )
+    bflat = ub[codes]
+    lens = np.fromiter(
+        (len(ws) for ws in toks_per_doc), dtype=np.int64, count=len(toks_per_doc)
+    )
+    is_tgt = np.repeat((batch[tgt_col] == tgt_val).to_numpy(), lens)
+    raw = np.bincount(bflat, minlength=_DSIR_BUCKETS)
+    tgt = np.bincount(bflat[is_tgt], minlength=_DSIR_BUCKETS)
     nz = np.nonzero(raw)[0]
     return pd.DataFrame(
         {
             "bucket": nz.astype(np.int64),
-            "raw_n": raw[nz],
-            "tgt_n": tgt[nz],
+            "raw_n": raw[nz].astype(np.int64),
+            "tgt_n": tgt[nz].astype(np.int64),
         }
     )
 
